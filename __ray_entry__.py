@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere in the library or here.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The engine's canonical input is the transcript table from
+``BASELINE.json``'s input_hint (conv_id, turn_idx, role, text, tool,
+ts), synthesized deterministically (seed-fixed) and cached under /tmp
+— see fluent_bit_ray/sources/transcripts.py. Oracle SQL reads the
+same cached parquet via DuckDB ``read_parquet`` so both sides compute
+over identical bytes. Additional queries run over the driver-provided
+testdata tables (events, documents, embeddings) registered as views.
 """
 
 from __future__ import annotations
@@ -18,27 +17,282 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_ORACLE_DIR = "/root/testdata/sf0.01"  # driver correctness scale
 
+
+# ----------------------------------------------------------------- entry
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship parse→enrich→route→aggregate over sf0.001 transcripts."""
+    from fluent_bit_ray.pipelines.flagship import run_flagship
+    from fluent_bit_ray.sinks import flowcounter
+
+    routed = run_flagship("/root/testdata/sf0.001")
+    return flowcounter(routed.ds, unit="minute")
 
 
+# --------------------------------------------------------------- helpers
+def _tpath(sf_dir: str) -> str:
+    from fluent_bit_ray.sources.transcripts import ensure_transcripts
+    return ensure_transcripts(sf_dir)
+
+
+# The level-extraction logic the flagship parser chain applies, expressed
+# once so every oracle query shares it (parser order: apache, toolcall,
+# json, logfmt, ltsv; only json/logfmt/ltsv rows carry a level key).
+_LEVEL_SQL = """
+    CASE
+      WHEN text LIKE '{%' THEN json_extract_string(text, '$.level')
+      WHEN text LIKE 'CALL %' THEN NULL
+      WHEN regexp_matches(text, 'level=') THEN regexp_extract(text, 'level=(\\w+)', 1)
+      WHEN contains(text, chr(9)) AND regexp_matches(text, 'level:')
+        THEN regexp_extract(text, 'level:(\\w+)', 1)
+      ELSE NULL
+    END
+"""
+
+
+def _transcripts_cte(sf_dir: str) -> str:
+    return (f"SELECT *, 'transcript.' || role AS tag, {_LEVEL_SQL} AS level "
+            f"FROM read_parquet('{_tpath(sf_dir)}')")
+
+
+# --------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from fluent_bit_ray.pipelines.flagship import build_flagship
+    from fluent_bit_ray.sinks import flowcounter
+    from fluent_bit_ray.sources.transcripts import read_transcripts
+
+    def _routed(sf_dir: str, **kw):
+        return build_flagship(**kw).run(read_transcripts(sf_dir))
+
+    # -- counter oracle: total rows per sink, incl. rewrite_tag re-entry
+    def route_counts(sf_dir: str):
+        got = _routed(sf_dir).sink_counts()
+        return pd.DataFrame(
+            {"sink": sorted(got), "n": [got[k] for k in sorted(got)]})
+
+    # -- routed-row equality: the tool sink's exact row set
+    def routed_rows_tool(sf_dir: str):
+        ds = _routed(sf_dir, with_rewrite=False, with_enrich=False).sink("tool_sink")
+        out = ds.to_pandas()[["conv_id", "turn_idx", "text", "tag"]]
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    # -- flowcounter oracle per (tag, minute)
+    def flowcounter_minute(sf_dir: str):
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=False)
+        fc = flowcounter(routed.ds, unit="minute")
+        fc["n_records"] = fc["n_records"].astype("int64")
+        fc["n_bytes"] = fc["n_bytes"].astype("int64")
+        return fc
+
+    # -- parse: tool-call extraction from turn text (grep+regex parse)
+    def parse_toolcalls(sf_dir: str):
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=False)
+        ds = routed.ds
+        import pyarrow as pa
+
+        def project(b: pa.Table) -> pa.Table:
+            m = pa.compute.equal(b.column("parsed_by"), "toolcall")
+            b = b.filter(m)
+            return b.select(["conv_id", "turn_idx", "p_calltool", "p_status"]) \
+                .rename_columns(["conv_id", "turn_idx", "calltool", "status"])
+
+        out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    # -- grep: error-level rows only (filter suite)
+    def grep_error_rows(sf_dir: str):
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=False)
+        import pyarrow as pa
+
+        def project(b: pa.Table) -> pa.Table:
+            m = pa.compute.equal(b.column("p_level"), "error")
+            return b.filter(pa.compute.fill_null(m, False)) \
+                .select(["conv_id", "turn_idx", "role"])
+
+        out = routed.ds.map_batches(project, batch_format="pyarrow").to_pandas()
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    # -- enrich: per-category counts over tool turns (lookup join oracle)
+    def enrich_tool_categories(sf_dir: str):
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=True)
+        ds = routed.sink("tool_sink")
+        from ray.data.aggregate import Count
+        agg = ds.groupby("category").aggregate(Count(alias_name="n"))
+        out = agg.to_pandas().sort_values("category").reset_index(drop=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    # -- SP window: tumbling 60s count + dur_ms sum per role, code=200
+    def sp_window_tumbling(sf_dir: str):
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=False)
+        import numpy as np
+        import pyarrow as pa
+
+        def partial(b: pa.Table) -> pa.Table:
+            ok = pa.compute.fill_null(
+                pa.compute.equal(b.column("p_code"), 200), False)
+            b = b.filter(ok)
+            if b.num_rows == 0:
+                return pa.table({"role": pa.array([], type=pa.string()),
+                                 "w": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64()),
+                                 "dur_ms": pa.array([], type=pa.int64())})
+            ts = b.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()).to_numpy()
+            w = (ts // 1_000_000_000) // 60 * 60
+            dur = b.column("p_dur").to_numpy(zero_copy_only=False).astype("float64")
+            dur_ms = np.where(np.isnan(dur), 0,
+                              np.round(dur * 1000)).astype("int64")
+            df = pd.DataFrame({"role": b.column("role").to_pylist(), "w": w,
+                               "n": 1, "dur_ms": dur_ms})
+            g = df.groupby(["role", "w"], sort=False).agg(
+                n=("n", "sum"), dur_ms=("dur_ms", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Sum
+        agg = (routed.ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["role", "w"])
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("dur_ms", alias_name="dur_ms")))
+        out = agg.to_pandas()
+        out["window_start"] = pd.to_datetime(out["w"], unit="s")
+        out = out[["role", "window_start", "n", "dur_ms"]]
+        out["n"] = out["n"].astype("int64")
+        out["dur_ms"] = out["dur_ms"].astype("int64")
+        return out.sort_values(["role", "window_start"]).reset_index(drop=True)
+
+    # -- events table: flowcounter-style per (event_type, minute)
+    def events_flowcounter(sf_dir: str):
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "event_type", "value"])
+        import pyarrow as pa
+
+        def partial(b: pa.Table) -> pa.Table:
+            ts = b.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()).to_numpy()
+            w = (ts // 1_000_000_000) // 60 * 60
+            df = pd.DataFrame({"event_type": b.column("event_type").to_pylist(),
+                               "w": w,
+                               "value_c": np.round(
+                                   b.column("value").to_numpy(zero_copy_only=False) * 100
+                               ).astype("int64")})
+            g = df.groupby(["event_type", "w"], sort=False).agg(
+                n=("value_c", "size"), value_c=("value_c", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Sum
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["event_type", "w"])
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("value_c", alias_name="value_c")))
+        out = agg.to_pandas()
+        out["minute_ts"] = pd.to_datetime(out["w"], unit="s")
+        out = out[["event_type", "minute_ts", "n", "value_c"]]
+        out["n"] = out["n"].astype("int64")
+        out["value_c"] = out["value_c"].astype("int64")
+        return out.sort_values(["event_type", "minute_ts"]).reset_index(drop=True)
+
+    return {
+        "route_counts": route_counts,
+        "routed_rows_tool": routed_rows_tool,
+        "flowcounter_minute": flowcounter_minute,
+        "parse_toolcalls": parse_toolcalls,
+        "grep_error_rows": grep_error_rows,
+        "enrich_tool_categories": enrich_tool_categories,
+        "sp_window_tumbling": sp_window_tumbling,
+        "events_flowcounter": events_flowcounter,
+    }
 
 
+# ------------------------------------------------------------ oracle SQL
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fluent_bit_ray.sources.dims import ensure_dim
+
+    t = _transcripts_cte(SF_ORACLE_DIR)
+    dim_tools = ensure_dim("dim_tools")
+
+    return {
+        "route_counts": f"""
+            WITH t AS ({t}),
+            alerts AS (SELECT * FROM t WHERE level IN ('error','warn'))
+            SELECT * FROM (
+              SELECT 'alerts' AS sink, count(*)::BIGINT AS n FROM alerts
+              UNION ALL
+              SELECT 'all', (SELECT count(*) FROM t) + (SELECT count(*) FROM alerts)
+              UNION ALL
+              SELECT 'assistant',
+                (SELECT count(*) FROM t WHERE role = 'assistant')
+                + (SELECT count(*) FROM alerts WHERE role = 'assistant')
+              UNION ALL
+              SELECT 'tool_sink', (SELECT count(*) FROM t WHERE role = 'tool')
+            ) ORDER BY sink
+        """,
+        "routed_rows_tool": f"""
+            WITH t AS ({t})
+            SELECT conv_id, turn_idx, text, tag FROM t
+            WHERE role = 'tool' ORDER BY conv_id, turn_idx
+        """,
+        "flowcounter_minute": f"""
+            WITH t AS ({t})
+            SELECT tag, date_trunc('minute', ts) AS bucket_ts,
+                   count(*)::BIGINT AS n_records,
+                   sum(strlen(text))::BIGINT AS n_bytes
+            FROM t GROUP BY 1, 2 ORDER BY tag, bucket_ts
+        """,
+        "parse_toolcalls": f"""
+            WITH t AS ({t})
+            SELECT conv_id, turn_idx,
+                   regexp_extract(text, '^CALL (\\w+)\\((.*)\\) -> (\\w+)$', 1) AS calltool,
+                   regexp_extract(text, '^CALL (\\w+)\\((.*)\\) -> (\\w+)$', 3) AS status
+            FROM t
+            WHERE regexp_matches(text, '^CALL (\\w+)\\((.*)\\) -> (\\w+)$')
+            ORDER BY conv_id, turn_idx
+        """,
+        "grep_error_rows": f"""
+            WITH t AS ({t})
+            SELECT conv_id, turn_idx, role FROM t
+            WHERE level = 'error' ORDER BY conv_id, turn_idx
+        """,
+        "enrich_tool_categories": f"""
+            WITH t AS ({t})
+            SELECT coalesce(d.category, 'Unknown') AS category,
+                   count(*)::BIGINT AS n
+            FROM t LEFT JOIN read_parquet('{dim_tools}') d ON t.tool = d.tool
+            WHERE t.role = 'tool'
+            GROUP BY 1 ORDER BY category
+        """,
+        "sp_window_tumbling": f"""
+            WITH t AS ({t}),
+            parsed AS (
+              SELECT role, ts,
+                CASE
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.code') AS BIGINT)
+                  WHEN text LIKE 'CALL %' THEN NULL
+                  WHEN regexp_matches(text, 'code=') THEN TRY_CAST(regexp_extract(text, 'code=(\\d+)', 1) AS BIGINT)
+                  WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'code:(\\d+)', 1) AS BIGINT)
+                  WHEN regexp_matches(text, '^[0-9.]+ - ') THEN TRY_CAST(regexp_extract(text, '" (\\d+) ', 1) AS BIGINT)
+                END AS code,
+                CASE
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.dur') AS DOUBLE)
+                  WHEN regexp_matches(text, 'dur=') THEN TRY_CAST(regexp_extract(text, 'dur=([0-9.]+)', 1) AS DOUBLE)
+                  WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'dur:([0-9.]+)', 1) AS DOUBLE)
+                END AS dur
+              FROM t)
+            SELECT role,
+                   date_trunc('minute', ts) AS window_start,
+                   count(*)::BIGINT AS n,
+                   sum(coalesce(CAST(round(dur * 1000) AS BIGINT), 0))::BIGINT AS dur_ms
+            FROM parsed WHERE code = 200
+            GROUP BY 1, 2 ORDER BY role, window_start
+        """,
+        "events_flowcounter": """
+            SELECT event_type,
+                   date_trunc('minute', ts) AS minute_ts,
+                   count(*)::BIGINT AS n,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_c
+            FROM events GROUP BY 1, 2 ORDER BY event_type, minute_ts
+        """,
+    }

@@ -1,0 +1,368 @@
+"""The four Fluent Bit parser formats, vectorized over Arrow columns.
+
+Semantics mirrored from the reference (no code ported):
+- dispatcher ``flb_parser_do`` → regex/json/ltsv/logfmt
+  (reference src/flb_parser.c:641-660);
+- regex: named captures → ordered map, zero-length captures skipped
+  (reference src/flb_parser_regex.c:183-200), per-field typecast,
+  time-key extraction with optional ``time_keep``;
+- json: object → map, time-key lookup/removal
+  (reference src/flb_parser_json.c:117-220);
+- ltsv: ``k:v<TAB>...`` (reference src/flb_parser_ltsv.c:200);
+- logfmt: ``k=v k2="v 2"`` (reference src/flb_parser_logfmt.c:251);
+- typecast int/float/bool/string/hex (reference src/flb_parser.c:868);
+- decoders json/escaped/escaped_utf8/mysql_quoted
+  (reference src/flb_parser_decoder.c:388-464).
+
+API: ``parser.parse_column(arr)`` takes a pyarrow (or numpy/object)
+string array and returns ``(maps, times)`` where ``maps`` is a list of
+per-row dict-or-None (None = parser miss; the filter stage keeps the
+original record on miss, reference plugins/filter_parser/filter_parser.c:330-333)
+and ``times`` is a datetime64[ns] numpy array (NaT when the parser
+declares no time key or lookup missed).
+
+The regex parser has an Arrow fast path (``pc.extract_regex``) and a
+Python ``re`` fallback for syntax RE2 can't compile.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .timeparse import parse_epoch_column, parse_time_column
+
+_NAT = np.datetime64("NaT")
+
+
+def typecast(value, ttype: str):
+    """Cast one extracted string per declared type; keep string on failure."""
+    if value is None:
+        return None
+    try:
+        if ttype in ("integer", "int"):
+            return int(value)
+        if ttype == "float":
+            return float(value)
+        if ttype in ("bool", "boolean"):
+            v = str(value).lower()
+            if v in ("true", "t", "1", "yes"):
+                return True
+            if v in ("false", "f", "0", "no"):
+                return False
+            return value
+        if ttype == "hex":
+            return int(str(value), 16)
+    except (ValueError, TypeError):
+        return value
+    return value
+
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "a": "\a", '"': '"', "\\": "\\", "/": "/"}
+
+
+def _unescape(s: str, utf8: bool = False) -> str:
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt == "u" and i + 5 < n:
+                try:
+                    out.append(chr(int(s[i + 2:i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
+            if nxt in _ESCAPES and (utf8 is False or nxt in ('"', "\\", "/")):
+                out.append(_ESCAPES[nxt])
+                i += 2
+                continue
+            if utf8:
+                out.append(nxt)
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def apply_decoders(fields: dict, decoders: list[tuple[str, str, str]]) -> dict:
+    """Apply an ordered decoder ruleset to a parsed map.
+
+    Each rule is (action, field, backend):
+    - action "decode_field": parse the field's string as <backend> and
+      *replace the value with the decoded structure* (json backend) —
+      if decode fails the value is left untouched;
+    - action "decode_field_as": rewrite the field's string in place
+      (escaped / escaped_utf8 / mysql_quoted backends).
+    """
+    for action, field, backend in decoders:
+        if field not in fields:
+            continue
+        val = fields[field]
+        if not isinstance(val, str):
+            continue
+        if backend == "json":
+            try:
+                decoded = json.loads(val)
+            except (ValueError, TypeError):
+                continue
+            if action == "decode_field" and isinstance(decoded, (dict, list)):
+                fields[field] = decoded
+        elif backend == "escaped":
+            fields[field] = _unescape(val)
+        elif backend == "escaped_utf8":
+            fields[field] = _unescape(val, utf8=True)
+        elif backend == "mysql_quoted":
+            v = val
+            if len(v) >= 2 and v[0] == v[-1] and v[0] in ("'", '"'):
+                v = v[1:-1]
+            fields[field] = v.replace("''", "'").replace("\\'", "'")
+    return fields
+
+
+class Parser:
+    """Base parser: common time-lookup / typecast / decoder plumbing."""
+
+    fmt = "base"
+
+    def __init__(self, name: str, time_key: str | None = None,
+                 time_format: str | None = None, time_keep: bool = False,
+                 types: dict[str, str] | None = None,
+                 decoders: list[tuple[str, str, str]] | None = None):
+        self.name = name
+        self.time_key = time_key
+        self.time_format = time_format
+        self.time_keep = time_keep
+        self.types = types or {}
+        self.decoders = decoders or []
+
+    # -- subclass hook ------------------------------------------------
+    def _parse_values(self, values: list) -> list[dict | None]:
+        raise NotImplementedError
+
+    # -- shared driver ------------------------------------------------
+    def parse_column(self, arr) -> tuple[list[dict | None], np.ndarray]:
+        if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+            values = arr.to_pylist()
+        else:
+            values = list(arr)
+        maps = self._parse_values(values)
+        times = self._extract_times(maps)
+        if self.types:
+            for m in maps:
+                if m:
+                    for k, t in self.types.items():
+                        if k in m:
+                            m[k] = typecast(m[k], t)
+        if self.decoders:
+            for m in maps:
+                if m:
+                    apply_decoders(m, self.decoders)
+        return maps, times
+
+    def _extract_times(self, maps: list[dict | None]) -> np.ndarray:
+        n = len(maps)
+        times = np.full(n, _NAT, dtype="datetime64[ns]")
+        if not self.time_key:
+            return times
+        raw = [None] * n
+        hit = []
+        for i, m in enumerate(maps):
+            if m is not None and self.time_key in m:
+                v = m[self.time_key]
+                raw[i] = v if isinstance(v, str) else str(v)
+                hit.append(i)
+                if not self.time_keep:
+                    del m[self.time_key]
+        if not hit:
+            return times
+        vals = [raw[i] for i in hit]
+        if self.time_format:
+            parsed = parse_time_column(vals, self.time_format)
+        else:
+            parsed = parse_epoch_column(vals)
+        for j, i in enumerate(hit):
+            times[i] = parsed[j]
+        return times
+
+
+class RegexParser(Parser):
+    fmt = "regex"
+
+    def __init__(self, name: str, pattern: str, skip_empty_values: bool = True,
+                 **kw):
+        super().__init__(name, **kw)
+        self.pattern = pattern
+        self.skip_empty = skip_empty_values
+        # Onigmo uses (?<name>...); translate to (?P<name>...) for both engines
+        py_pat = re.sub(r"\(\?<([A-Za-z_]\w*)>", r"(?P<\1>", pattern)
+        self._py = re.compile(py_pat)
+        self._group_names = [g for g in self._py.groupindex]
+        # Arrow/RE2 fast path: probe compile once
+        self._arrow_ok = True
+        try:
+            pc.extract_regex(pa.array(["probe"], type=pa.string()), pattern=py_pat)
+        except pa.ArrowInvalid:
+            self._arrow_ok = False
+        self._arrow_pattern = py_pat
+
+    def _parse_values(self, values: list) -> list[dict | None]:
+        if self._arrow_ok:
+            arr = pa.array(values, type=pa.string())
+            st = pc.extract_regex(arr, pattern=self._arrow_pattern)
+            names = [f.name for f in st.type]
+            cols = [st.field(i).to_pylist() for i in range(st.type.num_fields)]
+            valid = pc.is_valid(st).to_pylist()
+            out = []
+            for i, ok in enumerate(valid):
+                if not ok:
+                    out.append(None)
+                    continue
+                m = {}
+                for j, nm in enumerate(names):
+                    v = cols[j][i]
+                    if v == "" and self.skip_empty:
+                        continue  # zero-length capture skipped (flb_parser_regex.c:183-200)
+                    m[nm] = v
+                out.append(m)
+            return out
+        out = []
+        search = self._py.search
+        for v in values:
+            mt = search(v) if v is not None else None
+            if mt is None:
+                out.append(None)
+                continue
+            m = {}
+            for nm in self._group_names:
+                v2 = mt.group(nm)
+                if v2 is None or (v2 == "" and self.skip_empty):
+                    continue
+                m[nm] = v2
+            out.append(m)
+        return out
+
+
+class JsonParser(Parser):
+    fmt = "json"
+
+    def _parse_values(self, values: list) -> list[dict | None]:
+        out = []
+        loads = json.loads
+        for v in values:
+            if v is None:
+                out.append(None)
+                continue
+            s = v.lstrip() if isinstance(v, str) else ""
+            if not s.startswith("{"):
+                out.append(None)
+                continue
+            try:
+                obj = loads(v)
+            except ValueError:
+                out.append(None)
+                continue
+            out.append(obj if isinstance(obj, dict) else None)
+        return out
+
+
+class LtsvParser(Parser):
+    fmt = "ltsv"
+
+    def _parse_values(self, values: list) -> list[dict | None]:
+        out = []
+        for v in values:
+            if not v or ":" not in v:
+                out.append(None)
+                continue
+            m = {}
+            any_kv = False
+            for tok in v.split("\t"):
+                if ":" in tok:
+                    k, _, val = tok.partition(":")
+                    m[k] = val
+                    any_kv = True
+            out.append(m if any_kv else None)
+        return out
+
+
+_LOGFMT_TOKEN = re.compile(r'([\w.\-/@]+)=("(?:[^"\\]|\\.)*"|\S*)')
+
+
+class LogfmtParser(Parser):
+    fmt = "logfmt"
+
+    def _parse_values(self, values: list) -> list[dict | None]:
+        out = []
+        finditer = _LOGFMT_TOKEN.finditer
+        for v in values:
+            if not v or "=" not in v:
+                out.append(None)
+                continue
+            m = {}
+            for mt in finditer(v):
+                k, val = mt.group(1), mt.group(2)
+                if val.startswith('"') and val.endswith('"') and len(val) >= 2:
+                    val = _unescape(val[1:-1])
+                m[k] = val
+            out.append(m if m else None)
+        return out
+
+
+_PARSER_TYPES = {"regex": RegexParser, "json": JsonParser,
+                 "ltsv": LtsvParser, "logfmt": LogfmtParser}
+
+
+def build_parser(spec: dict) -> Parser:
+    """Build a parser from a config dict (the [PARSER] section analogue).
+
+    Keys: name, format (regex|json|ltsv|logfmt), regex (for format=regex),
+    time_key, time_format, time_keep, types ({field: type}),
+    decoders ([(action, field, backend), ...]).
+    """
+    spec = dict(spec)
+    fmt = spec.pop("format")
+    name = spec.pop("name")
+    cls = _PARSER_TYPES[fmt]
+    kw = {k: spec[k] for k in ("time_key", "time_format", "time_keep",
+                               "types", "decoders") if k in spec}
+    if fmt == "regex":
+        return cls(name, pattern=spec["regex"],
+                   skip_empty_values=spec.get("skip_empty_values", True), **kw)
+    return cls(name, **kw)
+
+
+# The engine's default parser set over the synthetic transcript grammars
+# (analogue of conf/parsers.conf; the apache pattern follows the same
+# named-group shape as conf/parsers.conf:2-6).
+APACHE_PATTERN = (
+    r'^(?P<host>[^ ]*) [^ ]* (?P<user>[^ ]*) \[(?P<time>[^\]]*)\] '
+    r'"(?P<method>\S+)(?: +(?P<path>[^\"]*?)(?: +\S*)?)?" '
+    r'(?P<code>[^ ]*) (?P<size>[^ ]*)(?: "(?P<referer>[^\"]*)" "(?P<agent>[^\"]*)")?$'
+)
+TOOLCALL_PATTERN = (
+    r'^CALL (?P<calltool>\w+)\((?P<args>.*)\) -> (?P<status>\w+)$'
+)
+
+
+def default_parsers() -> list[Parser]:
+    return [
+        build_parser({"name": "apache", "format": "regex", "regex": APACHE_PATTERN,
+                      "time_key": "time", "time_format": "%d/%b/%Y:%H:%M:%S %z",
+                      "types": {"code": "integer", "size": "integer"}}),
+        build_parser({"name": "toolcall", "format": "regex",
+                      "regex": TOOLCALL_PATTERN}),
+        build_parser({"name": "json", "format": "json",
+                      "types": {"code": "integer", "dur": "float"}}),
+        build_parser({"name": "logfmt", "format": "logfmt",
+                      "types": {"code": "integer", "dur": "float"}}),
+        build_parser({"name": "ltsv", "format": "ltsv",
+                      "types": {"code": "integer", "dur": "float"}}),
+    ]

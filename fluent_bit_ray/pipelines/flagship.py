@@ -1,0 +1,63 @@
+"""The flagship parse→enrich→route→aggregate pipeline.
+
+End-to-end analogue of a full reference config (SURVEY §3.1):
+transcript source → parser filter (5 parsers, first-success) →
+lookup/ua/geo enrich → rewrite_tag on error levels (emitter loop) →
+tag/match fan-out to sinks → counter/flowcounter aggregates.
+"""
+
+from __future__ import annotations
+
+from ..parsers.core import APACHE_PATTERN, TOOLCALL_PATTERN
+from ..sources.transcripts import read_transcripts
+from .pipeline import Pipeline
+
+PARSER_SPECS = [
+    {"name": "apache", "format": "regex", "regex": APACHE_PATTERN,
+     "time_key": "time", "time_format": "%d/%b/%Y:%H:%M:%S %z",
+     "types": {"code": "integer", "size": "integer"}},
+    {"name": "toolcall", "format": "regex", "regex": TOOLCALL_PATTERN},
+    {"name": "json", "format": "json",
+     "types": {"code": "integer", "dur": "float"}},
+    {"name": "logfmt", "format": "logfmt",
+     "types": {"code": "integer", "dur": "float"}},
+    {"name": "ltsv", "format": "ltsv",
+     "types": {"code": "integer", "dur": "float"}},
+]
+
+PROMOTE = {"code": "int64", "dur": "float64", "level": "string",
+           "calltool": "string", "status": "string",
+           "host": "string", "agent": "string"}
+
+SINKS = [
+    ("all", "*"),
+    ("assistant", "*.assistant"),
+    ("tool_sink", "transcript.tool"),
+    ("alerts", "alert.*"),
+]
+
+
+def build_flagship(with_rewrite: bool = True, with_enrich: bool = True,
+                   emit_fields: bool = True,
+                   batch_size: int | None = 16384) -> Pipeline:
+    stages: list[dict] = [
+        {"type": "parser", "key_name": "text", "parsers": PARSER_SPECS,
+         "promote": PROMOTE, "emit_fields": emit_fields},
+    ]
+    if with_enrich:
+        stages += [
+            {"type": "lookup_enrich", "dim": "dim_tools", "lookup_key": "tool"},
+            {"type": "ua_enrich", "lookup_key": "p_agent"},
+            {"type": "geoip_enrich", "lookup_key": "p_host"},
+        ]
+    if with_rewrite:
+        # error/warn records re-emitted under alert.<role>; original kept
+        stages.append({"type": "rewrite_tag", "match": "transcript.*",
+                       "rules": [("$p_level", "^(error|warn)$",
+                                  "alert.$TAG[1]", True)]})
+    return Pipeline(stages=stages, sinks=SINKS, batch_size=batch_size)
+
+
+def run_flagship(sf_dir: str, **kw):
+    ds = read_transcripts(sf_dir)
+    return build_flagship(**kw).run(ds)

@@ -1,0 +1,200 @@
+"""Pipeline = tag derivation → ordered filter chain → route fan-out.
+
+Mirrors the reference engine's lifecycle (SURVEY §3.1) in Ray Data
+terms:
+- ingestion-time filter chain (src/flb_filter.c:56-140, run in config
+  order per matching tag) → consecutive NARROW stages fused into one
+  ``map_batches`` callable (one pass over each block, no per-stage
+  block materialization);
+- WIDE stages (throttle/throttle_size — global windowed state) break
+  fusion and run as groupby-based operators;
+- rewrite_tag re-entry (emitter semantics, in_emitter/emitter.c:82):
+  after a full chain pass, rows marked ``_reenter`` loop through the
+  whole chain again under their new tag, to a bounded fixed point;
+- routing (src/flb_router.c, flb_routes_mask.c) → a uint64 ``routes``
+  bitmask column; each sink is a lazily filtered view, or use
+  ``write_sinks`` for the single-pass multiplexed fan-out write.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..record import ROUTES_COL, TAG_COL
+from ..stages.base import Stage, build_stage, ensure_column, replace_column
+from ..stages.rewrite_tag import HOP_COL, REENTER_COL
+from ..tags import Router, derive_tag
+
+INTERNAL_COLS = (REENTER_COL, HOP_COL)
+
+
+class _ChainFn:
+    """One fused map_batches callable applying an ordered stage list.
+
+    Constructed per actor/task; stages carry precompiled state
+    (regexes, parsers, dimension dicts) built once in their __init__.
+    """
+
+    def __init__(self, specs: list[dict]):
+        self.stages = [build_stage(s) if isinstance(s, dict) else s
+                       for s in specs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for st in self.stages:
+            batch = st(batch)
+        return batch
+
+
+def _tag_batch(batch: pa.Table, prefix: str) -> pa.Table:
+    if TAG_COL in batch.column_names:
+        return batch
+    tag = derive_tag(batch.column("role"), prefix=prefix)
+    return batch.append_column(TAG_COL, tag)
+
+
+class Pipeline:
+    def __init__(self, stages: list[dict | Stage] | None = None,
+                 sinks: list[tuple] | None = None,
+                 tag_prefix: str = "transcript",
+                 max_hops: int = 4,
+                 batch_size: int | None = 16384,
+                 concurrency: int | None = None):
+        self.stage_specs = stages or []
+        self.router = Router(sinks or [("all", "*")])
+        self.tag_prefix = tag_prefix
+        self.max_hops = max_hops
+        self.batch_size = batch_size
+        self.concurrency = concurrency
+
+    # ------------------------------------------------------------------
+    def _built_stages(self) -> list[Stage]:
+        return [build_stage(s) if isinstance(s, dict) else s
+                for s in self.stage_specs]
+
+    def _segments(self) -> list[tuple[str, list]]:
+        """Split the ordered chain into narrow segments and wide stages."""
+        segs: list[tuple[str, list]] = []
+        cur: list = []
+        for s in self._built_stages():
+            if getattr(s, "wide", False):
+                if cur:
+                    segs.append(("narrow", cur))
+                    cur = []
+                segs.append(("wide", [s]))
+            else:
+                cur.append(s)
+        if cur:
+            segs.append(("narrow", cur))
+        return segs
+
+    def _apply_chain(self, ds):
+        prefix = self.tag_prefix
+
+        def tag_fn(b: pa.Table) -> pa.Table:
+            return _tag_batch(b, prefix)
+
+        ds = ds.map_batches(tag_fn, batch_format="pyarrow",
+                            batch_size=self.batch_size)
+        for kind, seg in self._segments():
+            if kind == "wide":
+                ds = seg[0].apply(ds)
+            else:
+                kw = {}
+                if self.concurrency:
+                    kw["concurrency"] = self.concurrency
+                fn = _ChainFn(seg)
+                ds = ds.map_batches(fn, batch_format="pyarrow",
+                                    batch_size=self.batch_size, **kw)
+        return ds
+
+    def _has_rewrite_tag(self) -> bool:
+        from ..stages.rewrite_tag import RewriteTagStage
+        return any(isinstance(s, RewriteTagStage) for s in self._built_stages())
+
+    def run(self, ds) -> "Routed":
+        """Apply chain (+ bounded emitter fixed point) and routing."""
+        out = self._apply_chain(ds)
+        if self._has_rewrite_tag():
+            # bounded re-entry: re-entrant rows are few; materialize the
+            # small pending side each hop, never the main stream
+            done = _strip_reenter_split(out, keep="done")
+            pending = _strip_reenter_split(out, keep="pending")
+            for _ in range(self.max_hops):
+                pending = pending.materialize()
+                if pending.count() == 0:
+                    break
+                hop_out = self._apply_chain(pending)
+                done = done.union(_strip_reenter_split(hop_out, keep="done"))
+                pending = _strip_reenter_split(hop_out, keep="pending")
+            out = done
+
+        router = self.router
+
+        def route_fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            routes = router.routes_column(b.column(TAG_COL))
+            b = replace_column(b, ROUTES_COL, pa.array(routes, type=pa.uint64()))
+            drop = [c for c in INTERNAL_COLS if c in b.column_names]
+            return b.drop_columns(drop) if drop else b
+
+        out = out.map_batches(route_fn, batch_format="pyarrow",
+                              batch_size=self.batch_size)
+        return Routed(out, router)
+
+
+def _clear_reenter(b: pa.Table) -> pa.Table:
+    return replace_column(b, REENTER_COL,
+                          pa.array([False] * b.num_rows, type=pa.bool_()))
+
+
+def _strip_reenter_split(ds, keep: str):
+    """Split a chain output into completed rows vs re-entrant rows."""
+    def fn(b: pa.Table) -> pa.Table:
+        b = ensure_column(b, REENTER_COL, pa.bool_(), fill=False)
+        m = b.column(REENTER_COL).to_numpy(zero_copy_only=False)
+        m = np.asarray(m, dtype=bool)
+        if keep == "done":
+            return b.filter(pa.array(~m))
+        return _clear_reenter(b.filter(pa.array(m)))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class Routed:
+    """Routed output: per-sink filtered views over one tagged stream."""
+
+    def __init__(self, ds, router: Router):
+        self.ds = ds
+        self.router = router
+
+    def sink(self, name: str):
+        router = self.router
+
+        def fn(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            m = router.sink_mask(b.column(ROUTES_COL), name)
+            return b.filter(pa.array(m))
+
+        return self.ds.map_batches(fn, batch_format="pyarrow")
+
+    def sink_counts(self):
+        """out_counter oracle: row count per sink in ONE pass.
+
+        Per-batch popcount partials → tiny groupby (pre-aggregated,
+        no all-to-all of the data itself).
+        """
+        router = self.router
+        names = router.sink_names()
+
+        def partial(b: pa.Table) -> pa.Table:
+            counts = [int(router.sink_mask(b.column(ROUTES_COL), n).sum())
+                      for n in names]
+            return pa.table({"sink": pa.array(names),
+                             "n": pa.array(counts, type=pa.int64())})
+
+        from ray.data.aggregate import Sum
+        agg = (self.ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("sink").aggregate(Sum("n", alias_name="n")))
+        return {r["sink"]: r["n"] for r in agg.take_all()}

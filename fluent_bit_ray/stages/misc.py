@@ -1,0 +1,127 @@
+"""Small filters: alter_size, expect, python UDF (lua analogue), stdout.
+
+- alter_size (fork plugin filter_alter_size/alter_size.c:62-130): add N
+  synthetic keys ``key_N`` or remove the first N keys — record-width
+  benchmark helper.
+- expect (plugins/filter_expect, expect.h:31-35): per-record assertions
+  key_exists / key_not_exists / key_val_is_null / key_val_is_not_null /
+  key_val_eq; action "warn" collects, "exit" raises (test oracle).
+- py_udf: the Lua filter analogue (plugins/filter_lua/lua.c:411-545):
+  user fn(tag, ts, record_dict) -> (code, record_dict); code -1 drop,
+  0 keep as-is, 1 replace record. Runs row-wise over decoded fields —
+  the user-extension hook, intentionally not vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..record import FIELDS_COL, TAG_COL, fields_loads
+from .base import (Stage, decode_fields_subset, register, replace_column,
+                   scatter_fields)
+
+
+@register("alter_size")
+class AlterSizeStage(Stage):
+    def __init__(self, add: int = 0, remove: int = 0, **kw):
+        super().__init__(**kw)
+        self.add = add
+        self.remove = remove
+
+    def transform(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:
+        idx = np.nonzero(mask)[0]
+        dicts = decode_fields_subset(batch, idx)
+        out = []
+        for d in dicts:
+            if self.remove > 0:
+                keys = list(d)[self.remove:]
+                d = {k: d[k] for k in keys}
+            for i in range(self.add):
+                d[f"key_{i}"] = "test_value"
+            out.append(d)
+        return scatter_fields(batch, idx, out)
+
+
+class ExpectViolation(AssertionError):
+    pass
+
+
+@register("expect")
+class ExpectStage(Stage):
+    def __init__(self, checks: list[tuple], action: str = "exit", **kw):
+        """checks: [(kind, key[, value])] with kinds key_exists |
+        key_not_exists | key_val_is_null | key_val_is_not_null | key_val_eq."""
+        super().__init__(**kw)
+        self.checks = checks
+        self.action = action
+        self.violations: list[str] = []
+
+    def _check_row(self, d: dict) -> str | None:
+        for chk in self.checks:
+            kind, key = chk[0], chk[1]
+            if kind == "key_exists" and key not in d:
+                return f"key_exists failed for {key!r}"
+            if kind == "key_not_exists" and key in d:
+                return f"key_not_exists failed for {key!r}"
+            if kind == "key_val_is_null" and d.get(key) is not None:
+                return f"key_val_is_null failed for {key!r}"
+            if kind == "key_val_is_not_null" and d.get(key) is None:
+                return f"key_val_is_not_null failed for {key!r}"
+            if kind == "key_val_eq" and d.get(key) != chk[2]:
+                return f"key_val_eq failed for {key!r}: {d.get(key)!r} != {chk[2]!r}"
+        return None
+
+    def transform(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:
+        idx = np.nonzero(mask)[0]
+        dicts = decode_fields_subset(batch, idx)
+        for d in dicts:
+            msg = self._check_row(d)
+            if msg:
+                if self.action == "exit":
+                    raise ExpectViolation(msg)
+                self.violations.append(msg)
+        return batch
+
+
+@register("py_udf")
+class PyUdfStage(Stage):
+    def __init__(self, fn, **kw):
+        super().__init__(**kw)
+        self.fn = fn
+
+    def transform(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:
+        idx = np.nonzero(mask)[0]
+        dicts = decode_fields_subset(batch, idx)
+        tags = (batch.column(TAG_COL).to_pylist()
+                if TAG_COL in batch.column_names else [None] * batch.num_rows)
+        ts = (batch.column("ts").to_pylist()
+              if "ts" in batch.column_names else [None] * batch.num_rows)
+        keep = np.ones(batch.num_rows, dtype=bool)
+        out_idx, out_dicts = [], []
+        for i, d in zip(idx, dicts):
+            code, rec = self.fn(tags[i], ts[i], d)
+            if code == -1:
+                keep[i] = False
+            elif code == 1:
+                out_idx.append(i)
+                out_dicts.append(rec)
+        if out_idx:
+            batch = scatter_fields(batch, np.array(out_idx), out_dicts)
+        if not keep.all():
+            batch = batch.filter(pa.array(keep))
+        return batch
+
+
+@register("stdout")
+class StdoutStage(Stage):
+    """Pass-through debug print (plugins/filter_stdout)."""
+
+    def __init__(self, limit: int = 5, **kw):
+        super().__init__(**kw)
+        self.limit = limit
+
+    def transform(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:
+        for row in batch.slice(0, self.limit).to_pylist():
+            print(row)
+        return batch

@@ -1,0 +1,100 @@
+"""throttle / throttle_size — deterministic event-time rate limiting.
+
+The reference versions are processing-time sliding windows
+(plugins/filter_throttle/throttle.c:98-107 global record-rate;
+fork plugins/filter_throttle_size/throttle_size.c:658 per-key
+byte-rate). Processing-time behavior is nondeterministic, so — per
+SURVEY §7 "hard parts" — we re-express both in EVENT time:
+
+- throttle(rate, interval_s): within each event-time bucket
+  ``floor(ts / interval)``, keep the first ``rate`` records in
+  deterministic (ts, conv_id, turn_idx) order; drop the rest.
+- throttle_size(limit_bytes, interval_s, name_field): within each
+  (key, bucket), keep records while the running byte total
+  (len(text)) stays ≤ limit.
+
+Both are WIDE operators (global per-bucket state): implemented as
+``groupby(bucket).map_groups`` — the shuffle key is the time bucket
+(+ name key), which is uniform by construction, so no skew salting is
+needed. They expose ``apply(ds) -> ds`` instead of per-batch
+``__call__``; the pipeline builder breaks map_batches fusion around
+them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .base import Stage, register
+
+
+def _bucket_column(batch: pa.Table, interval_s: int, ts_col: str) -> pa.Table:
+    ts = batch.column(ts_col).cast(pa.timestamp("ns")).cast(pa.int64())
+    bucket = pa.compute.floor(
+        pa.compute.divide(ts.cast(pa.float64()), float(interval_s * 1_000_000_000))
+    ).cast(pa.int64())
+    return batch.append_column("_bucket", bucket)
+
+
+@register("throttle")
+class ThrottleStage(Stage):
+    wide = True
+
+    def __init__(self, rate: int, interval_s: int = 60, ts_col: str = "ts", **kw):
+        super().__init__(**kw)
+        self.rate = rate
+        self.interval_s = interval_s
+        self.ts_col = ts_col
+
+    def apply(self, ds):
+        rate = self.rate
+        ts_col = self.ts_col
+
+        def add_bucket(b: pa.Table) -> pa.Table:
+            return _bucket_column(b, self.interval_s, ts_col)
+
+        def limit_group(g: pd.DataFrame) -> pd.DataFrame:
+            order = [c for c in (ts_col, "conv_id", "turn_idx") if c in g.columns]
+            g = g.sort_values(order, kind="mergesort")
+            return g.iloc[:rate]
+
+        return (ds.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("_bucket")
+                  .map_groups(limit_group, batch_format="pandas")
+                  .drop_columns(["_bucket"]))
+
+
+@register("throttle_size")
+class ThrottleSizeStage(Stage):
+    wide = True
+
+    def __init__(self, limit_bytes: int, interval_s: int = 60,
+                 name_field: str = "role", size_field: str = "text",
+                 ts_col: str = "ts", **kw):
+        super().__init__(**kw)
+        self.limit_bytes = limit_bytes
+        self.interval_s = interval_s
+        self.name_field = name_field
+        self.size_field = size_field
+        self.ts_col = ts_col
+
+    def apply(self, ds):
+        limit = self.limit_bytes
+        ts_col, size_field = self.ts_col, self.size_field
+
+        def add_bucket(b: pa.Table) -> pa.Table:
+            return _bucket_column(b, self.interval_s, ts_col)
+
+        def limit_group(g: pd.DataFrame) -> pd.DataFrame:
+            order = [c for c in (ts_col, "conv_id", "turn_idx") if c in g.columns]
+            g = g.sort_values(order, kind="mergesort")
+            sizes = g[size_field].astype(str).str.len().to_numpy(dtype=np.int64)
+            keep = np.cumsum(sizes) <= limit
+            return g.iloc[keep]
+
+        return (ds.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby(["_bucket", self.name_field])
+                  .map_groups(limit_group, batch_format="pandas")
+                  .drop_columns(["_bucket"]))

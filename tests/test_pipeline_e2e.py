@@ -1,0 +1,138 @@
+import json
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from fluent_bit_ray.pipelines.flagship import build_flagship
+from fluent_bit_ray.sinks import counter_total, flowcounter
+from fluent_bit_ray.sources.transcripts import ensure_transcripts
+from fluent_bit_ray.record import fields_loads
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def transcripts_df():
+    return pq.read_table(ensure_transcripts(SF)).to_pandas()
+
+
+def oracle_level(text: str):
+    """Independent reimplementation: level as the pipeline parsers see it."""
+    s = text.lstrip()
+    if s.startswith("{"):
+        try:
+            return json.loads(text).get("level")
+        except ValueError:
+            return None
+    if text.startswith("CALL "):
+        return None
+    m = re.search(r"^|\s", text) and re.match(r".*?\blevel=(\w+)", text)
+    if "=" in text and not text.startswith("CALL "):
+        m = re.match(r".*?\blevel=(\w+)", text)
+        if m:
+            return m.group(1)
+    if "\t" in text and ":" in text:
+        m2 = re.match(r".*?level:(\w+)", text)
+        if m2:
+            return m2.group(1)
+    return None
+
+
+def test_flagship_routing_counts_vs_oracle(transcripts_df):
+    routed = build_flagship(with_rewrite=True, with_enrich=False).run(
+        rd.read_parquet(ensure_transcripts(SF)))
+    got = routed.sink_counts()
+
+    df = transcripts_df
+    tag = "transcript." + df["role"]
+    level = df["text"].map(oracle_level)
+    is_alert = level.isin(["error", "warn"])
+    n = len(df)
+    # sink "all" (*): every original row + every alert copy
+    assert got["all"] == n + int(is_alert.sum())
+    # *.assistant: originals with role assistant + alert copies of them
+    a = int((df["role"] == "assistant").sum())
+    a_alert = int((is_alert & (df["role"] == "assistant")).sum())
+    assert got["assistant"] == a + a_alert
+    assert got["tool_sink"] == int((df["role"] == "tool").sum())
+    assert got["alerts"] == int(is_alert.sum())
+
+
+def test_flagship_text_equality_and_order(transcripts_df):
+    routed = build_flagship(with_rewrite=False, with_enrich=False).run(
+        rd.read_parquet(ensure_transcripts(SF)))
+    out = routed.sink("tool_sink")
+    pdf = out.to_pandas()[["conv_id", "turn_idx", "text"]] \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    exp = transcripts_df[transcripts_df["role"] == "tool"][
+        ["conv_id", "turn_idx", "text"]] \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pdf, exp)
+
+
+def test_flagship_parse_fraction(transcripts_df):
+    routed = build_flagship(with_rewrite=False, with_enrich=False).run(
+        rd.read_parquet(ensure_transcripts(SF)))
+    pdf = routed.ds.to_pandas()
+    # grammar mix: 8/10 of rows are parseable (free text g∈{8,9} is not)
+    parsed = (pdf["parsed_by"] != "").mean()
+    assert 0.75 <= parsed <= 0.85
+    # every parsed apache row promoted a host; every json/logfmt/ltsv a code
+    apache = pdf[pdf["parsed_by"] == "apache"]
+    assert apache["p_host"].notna().all()
+    assert apache["p_code"].notna().all()
+
+
+def test_flowcounter_vs_pandas(transcripts_df):
+    routed = build_flagship(with_rewrite=False, with_enrich=False).run(
+        rd.read_parquet(ensure_transcripts(SF)))
+    fc = flowcounter(routed.sink("tool_sink"), unit="minute")
+
+    df = transcripts_df[transcripts_df["role"] == "tool"].copy()
+    df["bucket_ts"] = df["ts"].dt.floor("min")
+    df["tag"] = "transcript.tool"
+    exp = (df.groupby(["tag", "bucket_ts"])
+             .agg(n_records=("text", "size"),
+                  n_bytes=("text", lambda s: s.str.len().sum()))
+             .reset_index()
+             .sort_values(["tag", "bucket_ts"]).reset_index(drop=True))
+    fc["n_records"] = fc["n_records"].astype("int64")
+    fc["n_bytes"] = fc["n_bytes"].astype("int64")
+    exp["n_bytes"] = exp["n_bytes"].astype("int64")
+    pd.testing.assert_frame_equal(fc, exp)
+
+
+def test_counter(transcripts_df):
+    routed = build_flagship(with_rewrite=False, with_enrich=False).run(
+        rd.read_parquet(ensure_transcripts(SF)))
+    assert counter_total(routed.sink("all")) == len(transcripts_df)
+
+
+def test_rewrite_tag_loop_bounded():
+    # a rule that would retag forever: a.x -> a.x ; must stop at max_hops
+    from fluent_bit_ray.pipelines.pipeline import Pipeline
+    t = pa.table({"conv_id": ["c"] * 3, "turn_idx": pa.array([0, 1, 2], type=pa.int32()),
+                  "role": ["user"] * 3, "text": ["zzz"] * 3,
+                  "tool": [""] * 3,
+                  "ts": pa.array([0, 1, 2], type=pa.timestamp("ns"))})
+    p = Pipeline(stages=[{"type": "rewrite_tag",
+                          "rules": [("$text", "z", "$TAG", True)],
+                          "max_hops": 3}],
+                 sinks=[("all", "*")], max_hops=3)
+    routed = p.run(rd.from_arrow(t))
+    # originals + copies per hop, bounded: 3 rows × (1 + 3 hops) = 12
+    assert routed.sink_counts()["all"] == 12
+
+
+def test_enrich_in_pipeline(transcripts_df):
+    routed = build_flagship(with_rewrite=False, with_enrich=True).run(
+        rd.read_parquet(ensure_transcripts(SF)))
+    pdf = routed.sink("tool_sink").to_pandas()
+    assert (pdf["category"] != "Unknown").all()
+    ua = pdf[pdf["parsed_by"] == "apache"]["ua_browser"]
+    assert (ua != "Unknown").all()

@@ -1,0 +1,245 @@
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fluent_bit_ray.record import fields_dumps, fields_loads
+from fluent_bit_ray.stages import build_stage
+from fluent_bit_ray.stages.misc import ExpectViolation
+
+
+def mk_batch(rows):
+    """rows: list of dicts; 'fields' dict is JSON-encoded."""
+    cols = {}
+    keys = []
+    for r in rows:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    for k in keys:
+        vals = [r.get(k) for r in rows]
+        if k == "fields":
+            vals = [fields_dumps(v) if isinstance(v, dict) else v for v in vals]
+            cols[k] = pa.array(vals, type=pa.large_string())
+        else:
+            cols[k] = pa.array(vals)
+    return pa.table(cols)
+
+
+def fields_of(batch):
+    return [fields_loads(v) for v in batch.column("fields").to_pylist()]
+
+
+# ---------------------------------------------------------------- grep
+def test_grep_regex_keeps_matching():
+    # mirrors tests/runtime/filter_grep.c: Regex val 1 over {"val": i*i}
+    b = mk_batch([{"text": str(i * i)} for i in range(1, 11)])
+    st = build_stage({"type": "grep", "rules": [("regex", "$text", "1")]})
+    out = st(b)
+    vals = out.column("text").to_pylist()
+    assert vals == [v for v in (str(i * i) for i in range(1, 11)) if "1" in v]
+
+
+def test_grep_exclude():
+    b = mk_batch([{"text": str(i * i)} for i in range(1, 11)])
+    st = build_stage({"type": "grep", "rules": [("exclude", "$text", "1")]})
+    out = st(b)
+    vals = out.column("text").to_pylist()
+    assert vals == [v for v in (str(i * i) for i in range(1, 11)) if "1" not in v]
+
+
+def test_grep_rule_order_first_decisive_wins():
+    b = mk_batch([{"text": "ab"}, {"text": "a"}, {"text": "b"}, {"text": "c"}])
+    # exclude b → drops "ab","b"; then regex a keeps "a", drops "c"
+    st = build_stage({"type": "grep", "rules": [("exclude", "$text", "b"),
+                                               ("regex", "$text", "a")]})
+    assert st(b).column("text").to_pylist() == ["a"]
+    # reversed: regex a decides everything first (keep a*, drop rest);
+    # exclude never runs
+    st2 = build_stage({"type": "grep", "rules": [("regex", "$text", "a"),
+                                                 ("exclude", "$text", "b")]})
+    assert st2(b).column("text").to_pylist() == ["ab", "a"]
+
+
+def test_grep_on_fields_key():
+    b = mk_batch([{"text": "x", "fields": {"level": "error"}},
+                  {"text": "y", "fields": {"level": "info"}},
+                  {"text": "z", "fields": {}}])
+    st = build_stage({"type": "grep", "rules": [("regex", "$level", "^err")]})
+    assert st(b).column("text").to_pylist() == ["x"]
+
+
+# -------------------------------------------------------------- modify
+def test_modify_rules_matrix():
+    b = mk_batch([{"fields": {"a": "1", "b": "2", "prefix_x": "3"}}])
+    st = build_stage({"type": "modify", "rules": [
+        ("rename", "a", "a2"),        # ok: a exists, a2 absent
+        ("rename", "b", "a2"),        # no-op: conflict
+        ("add", "c", "9"),            # added
+        ("add", "b", "NO"),           # no-op: exists
+        ("set", "b", "22"),           # upsert → moves to end
+        ("remove_wildcard", "prefix_"),
+        ("copy", "c", "c2"),
+    ]})
+    f = fields_of(st(b))[0]
+    assert f == {"a2": "1", "c": "9", "c2": "9", "b": "22"}
+    # insertion order: copy lands right after source; set appends at end
+    assert list(f) == ["a2", "c", "c2", "b"]
+
+
+def test_modify_hard_rename_and_conditions():
+    b = mk_batch([{"fields": {"k": "v", "old": "1", "new": "2"}},
+                  {"fields": {"old": "1", "new": "2"}}])
+    st = build_stage({"type": "modify",
+                      "conditions": [("key_exists", "k")],
+                      "rules": [("hard_rename", "old", "new")]})
+    f = fields_of(st(b))
+    assert f[0] == {"k": "v", "new": "1"}   # condition held → hard rename
+    assert f[1] == {"old": "1", "new": "2"}  # condition failed → untouched
+
+
+def test_modify_condition_kinds():
+    st = build_stage({"type": "modify",
+                      "conditions": [("key_value_equals", "x", "1"),
+                                     ("a_key_matches", "^pre"),
+                                     ("key_value_matches", "y", r"\d+")],
+                      "rules": [("add", "hit", "yes")]})
+    b = mk_batch([{"fields": {"x": "1", "prefix": "p", "y": "42"}},
+                  {"fields": {"x": "2", "prefix": "p", "y": "42"}}])
+    f = fields_of(st(b))
+    assert f[0].get("hit") == "yes"
+    assert "hit" not in f[1]
+
+
+# ------------------------------------------------------ record_modifier
+def test_record_modifier():
+    b = mk_batch([{"fields": {"a": "1", "b": "2", "c": "3"}}])
+    st = build_stage({"type": "record_modifier", "remove_keys": ["b"],
+                      "records": [("host", "node-1")]})
+    assert fields_of(st(b))[0] == {"a": "1", "c": "3", "host": "node-1"}
+
+    st2 = build_stage({"type": "record_modifier", "whitelist_keys": ["a"]})
+    assert fields_of(st2(b))[0] == {"a": "1"}
+
+    with pytest.raises(ValueError):
+        build_stage({"type": "record_modifier", "remove_keys": ["a"],
+                     "whitelist_keys": ["b"]})
+
+
+# ---------------------------------------------------------------- nest
+def test_nest_and_lift():
+    b = mk_batch([{"fields": {"k1": "a", "nest_one": "1", "nest_two": "2"}}])
+    st = build_stage({"type": "nest", "operation": "nest",
+                      "wildcard": ["nest_*"], "nest_under": "sub",
+                      "remove_prefix": "nest_"})
+    f = fields_of(st(b))[0]
+    assert f == {"k1": "a", "sub": {"one": "1", "two": "2"}}
+
+    b2 = mk_batch([{"fields": f}])
+    st2 = build_stage({"type": "nest", "operation": "lift",
+                       "nested_under": "sub", "add_prefix": "up_"})
+    assert fields_of(st2(b2))[0] == {"k1": "a", "up_one": "1", "up_two": "2"}
+
+
+# -------------------------------------------------------------- parser
+def test_parser_stage_first_success_and_promote():
+    from fluent_bit_ray.parsers.core import TOOLCALL_PATTERN
+    b = mk_batch([
+        {"text": 'CALL bash({"a": 1}) -> ok', "role": "tool"},
+        {"text": 'level=info code=200 dur=0.5', "role": "user"},
+        {"text": 'just free text', "role": "user"},
+    ])
+    st = build_stage({"type": "parser", "key_name": "text",
+                      "parsers": [
+                          {"name": "toolcall", "format": "regex",
+                           "regex": TOOLCALL_PATTERN},
+                          {"name": "logfmt", "format": "logfmt",
+                           "types": {"code": "integer", "dur": "float"}},
+                      ],
+                      "promote": {"code": "int64", "calltool": "string"}})
+    out = st(b)
+    assert out.column("parsed_by").to_pylist() == ["toolcall", "logfmt", ""]
+    f = fields_of(out)
+    assert f[0]["calltool"] == "bash" and f[0]["status"] == "ok"
+    assert f[1]["code"] == 200 and f[1]["dur"] == 0.5
+    assert out.column("p_code").to_pylist() == [None, 200, None]
+    assert out.column("p_calltool").to_pylist() == ["bash", None, None]
+    # text column untouched (invariant)
+    assert out.column("text").to_pylist() == b.column("text").to_pylist()
+
+
+def test_parser_stage_reserve_data_false():
+    b = mk_batch([{"text": "k=v", "fields": {"keepme": "1"}}])
+    st = build_stage({"type": "parser", "key_name": "text",
+                      "reserve_data": False,
+                      "parsers": [{"name": "lf", "format": "logfmt"}]})
+    assert fields_of(st(b))[0] == {"k": "v"}
+    st2 = build_stage({"type": "parser", "key_name": "text",
+                       "parsers": [{"name": "lf", "format": "logfmt"}]})
+    assert fields_of(st2(b))[0] == {"k": "v", "keepme": "1"}
+
+
+# ---------------------------------------------------------- misc stages
+def test_alter_size_and_expect():
+    b = mk_batch([{"fields": {"a": "1", "b": "2"}}])
+    st = build_stage({"type": "alter_size", "add": 3})
+    f = fields_of(st(b))[0]
+    assert len(f) == 5 and f["key_0"] == "test_value"
+
+    st2 = build_stage({"type": "alter_size", "remove": 1})
+    assert fields_of(st2(b))[0] == {"b": "2"}
+
+    ok = build_stage({"type": "expect", "checks": [("key_exists", "a")]})
+    ok(b)  # no raise
+    bad = build_stage({"type": "expect", "checks": [("key_exists", "zz")]})
+    with pytest.raises(ExpectViolation):
+        bad(b)
+
+
+def test_py_udf():
+    b = mk_batch([{"text": "a", "fields": {"n": 1}},
+                  {"text": "b", "fields": {"n": 2}}])
+
+    def fn(tag, ts, rec):
+        if rec.get("n") == 1:
+            return -1, rec          # drop
+        rec["n2"] = rec["n"] * 10
+        return 1, rec               # replace
+
+    st = build_stage({"type": "py_udf", "fn": fn})
+    out = st(b)
+    assert out.column("text").to_pylist() == ["b"]
+    assert fields_of(out)[0] == {"n": 2, "n2": 20}
+
+
+# ------------------------------------------------------------- throttle
+def test_tag_match_scoping():
+    b = mk_batch([{"text": "11", "tag": "a.x"}, {"text": "11", "tag": "b.y"}])
+    st = build_stage({"type": "grep", "match": "a.*",
+                      "rules": [("exclude", "$text", "1")]})
+    out = st(b)
+    # only the a.x row was subject to the exclude
+    assert out.column("tag").to_pylist() == ["b.y"]
+
+
+# -------------------------------------------------------------- enrich
+def test_lookup_enrich():
+    b = mk_batch([{"tool": "bash"}, {"tool": ""}, {"tool": "search"}])
+    st = build_stage({"type": "lookup_enrich", "dim": "dim_tools",
+                      "lookup_key": "tool"})
+    out = st(b)
+    assert out.column("category").to_pylist() == ["exec", "Unknown", "retrieval"]
+    assert out.column("risk").to_pylist() == [3, None, 1]
+
+
+def test_ua_and_geo_enrich():
+    b = mk_batch([{"p_agent": "Mozilla/5.0 (X11; Linux x86_64) Firefox/92.0",
+                   "p_host": "10.0.1.2"},
+                  {"p_agent": "curl/7.68.0", "p_host": "10.3.1.2"},
+                  {"p_agent": None, "p_host": None}])
+    ua = build_stage({"type": "ua_enrich", "lookup_key": "p_agent"})
+    geo = build_stage({"type": "geoip_enrich", "lookup_key": "p_host"})
+    out = geo(ua(b))
+    assert out.column("ua_browser").to_pylist() == ["Firefox", "curl", "Unknown"]
+    assert out.column("geo_city").to_pylist() == ["Amsterdam", "Unknown", "Unknown"]
