@@ -53,7 +53,7 @@ _LEVEL_SQL = """
 
 def _transcripts_cte(sf_dir: str) -> str:
     return (f"SELECT *, 'transcript.' || role AS tag, {_LEVEL_SQL} AS level "
-            f"FROM read_parquet('{_tpath(sf_dir)}')")
+            f"FROM read_parquet('{_tpath(sf_dir)}/*.parquet')")
 
 
 # --------------------------------------------------------------- queries
@@ -195,6 +195,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["value_c"] = out["value_c"].astype("int64")
         return out.sort_values(["event_type", "minute_ts"]).reset_index(drop=True)
 
+    # ---------------- training-data ops over documents / embeddings
+    from fluent_bit_ray.dataops import (brute_force_topk, embedding_dup_pairs,
+                                        exact_dedup, fingerprint_ds,
+                                        langid_ds, minhash_dup_pairs,
+                                        quality_ds, simhash_ds,
+                                        token_count_ds)
+
+    def _docs(sf_dir: str):
+        return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def _embs(sf_dir: str):
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def dedup_exact_docs(sf_dir: str):
+        out = exact_dedup(_docs(sf_dir)).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def doc_token_counts(sf_dir: str):
+        out = token_count_ds(_docs(sf_dir)).to_pandas()
+        out = out[["doc_id", "n_tokens_ws", "n_tokens_bpe"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def doc_quality(sf_dir: str):
+        out = quality_ds(_docs(sf_dir)).to_pandas()
+        out = out[["doc_id", "n_chars_q", "n_words", "n_stopwords", "n_punct"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def doc_langid(sf_dir: str):
+        out = langid_ds(_docs(sf_dir)).to_pandas()[["doc_id", "lang_pred"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def doc_fingerprint(sf_dir: str):
+        out = fingerprint_ds(_docs(sf_dir)).to_pandas()[["doc_id", "fingerprint"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def doc_simhash(sf_dir: str):
+        out = simhash_ds(_docs(sf_dir)).to_pandas()[["doc_id", "simhash"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def docs_minhash_pairs(sf_dir: str):
+        return minhash_dup_pairs(_docs(sf_dir), threshold=0.7)
+
+    def emb_dup_pairs(sf_dir: str):
+        out = embedding_dup_pairs(_embs(sf_dir), threshold=0.5)
+        if len(out) == 0:
+            return pd.DataFrame({"vec_id_a": pd.Series(dtype="int64"),
+                                 "vec_id_b": pd.Series(dtype="int64"),
+                                 "cos_r4": pd.Series(dtype="float64")})
+        out = out.rename(columns={"key_a": "vec_id_a", "key_b": "vec_id_b"})
+        out["cos_r4"] = np.round(out["cosine"], 4)
+        return out[["vec_id_a", "vec_id_b", "cos_r4"]]
+
+    def ann_topk(sf_dir: str):
+        embs = _embs(sf_dir)
+        qdf = embs.to_pandas().sort_values("vec_id").head(5)
+        qvecs = np.stack(qdf["embedding"].to_numpy())
+        out = brute_force_topk(embs, qvecs, k=10)
+        out["cos_r4"] = np.round(out["cosine"], 4)
+        out = out[["q", "vec_id", "cos_r4"]]
+        return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
+
     return {
         "route_counts": route_counts,
         "routed_rows_tool": routed_rows_tool,
@@ -204,6 +266,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_tool_categories": enrich_tool_categories,
         "sp_window_tumbling": sp_window_tumbling,
         "events_flowcounter": events_flowcounter,
+        "dedup_exact_docs": dedup_exact_docs,
+        "doc_token_counts": doc_token_counts,
+        "doc_quality": doc_quality,
+        "doc_langid": doc_langid,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_simhash": doc_simhash,
+        "docs_minhash_pairs": docs_minhash_pairs,
+        "emb_dup_pairs": emb_dup_pairs,
+        "ann_topk": ann_topk,
     }
 
 
@@ -295,4 +366,52 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_c
             FROM events GROUP BY 1, 2 ORDER BY event_type, minute_ts
         """,
+        "dedup_exact_docs": """
+            SELECT min(doc_id)::BIGINT AS doc_id FROM documents
+            GROUP BY text ORDER BY doc_id
+        """,
+        "doc_token_counts": """
+            SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens_ws,
+                   len(regexp_extract_all(text,
+                       $$'[a-z]+|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+$$))::BIGINT
+                       AS n_tokens_bpe
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   strlen(text)::BIGINT AS n_chars_q,
+                   len(string_split(text, ' '))::BIGINT AS n_words,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> x IN ('the','a','an','and','of','to','in','is',
+                                  'it','that','for','on','with','as','at',
+                                  'by','this','be','are')))::BIGINT AS n_stopwords,
+                   len(regexp_extract_all(text, '[^\w\s]'))::BIGINT AS n_punct
+            FROM documents ORDER BY doc_id
+        """,
+        "emb_dup_pairs": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                       AS cos_r4
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+            ORDER BY vec_id_a, vec_id_b
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS q, embedding FROM embeddings
+                       WHERE vec_id < 5),
+            scored AS (
+              SELECT q.q, e.vec_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.q
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                DESC, e.vec_id) AS rk
+              FROM q CROSS JOIN embeddings e)
+            SELECT q, vec_id, round(cos, 4) AS cos_r4 FROM scored
+            WHERE rk <= 10 ORDER BY q, vec_id
+        """,
+        # doc_langid / doc_fingerprint / doc_simhash / docs_minhash_pairs:
+        # non-SQL-expressible (heuristic / rolling-hash / sketch ops) —
+        # intentionally omitted → driver records rows-only checks.
     }

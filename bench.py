@@ -1,0 +1,135 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+Headline = the flagship parse→enrich→route→aggregate pipeline over the
+synthetic transcript table at $GRAFT_SF_DIR scale (default sf0.1,
+600k turns), consumed via per-sink counts + flowcounter (no driver
+materialization of the row stream).
+
+--scaling: runs the headline twice in FRESH processes at
+$SCALING_LO (default 8) and $SCALING_HI (default 32) CPUs on the same
+input and reports both throughputs + efficiency = T_hi/(ratio*T_lo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> None:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from fluent_bit_ray.pipelines.flagship import build_flagship
+    from fluent_bit_ray.sinks import flowcounter
+    from fluent_bit_ray.sources.transcripts import (ensure_transcripts,
+                                                    n_rows_for_sf, sf_from_dir)
+
+    from fluent_bit_ray.sources.transcripts import read_transcripts
+    path = ensure_transcripts(sf_dir)
+    n_rows = n_rows_for_sf(sf_from_dir(sf_dir))
+
+    # warm: OS page cache AND the Ray worker pool (the first executed
+    # dataset pays worker spawn + import + JIT costs) with ONE untimed
+    # run of the same workload, then measure steady-state throughput
+    import ray.data as rd
+    read_transcripts(sf_dir).count()
+    build_flagship().run(read_transcripts(sf_dir)).sink_counts()
+
+    queries: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        queries[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # headline: full flagship with rewrite-tag loop + enrich, consumed by
+    # the counter oracle (single pass) …
+    def headline():
+        routed = build_flagship().run(read_transcripts(sf_dir))
+        return routed.sink_counts()
+
+    counts = timed("flagship_e2e", headline)
+
+    # … plus component benchmarks
+    def bench_parse_only():
+        routed = build_flagship(with_rewrite=False, with_enrich=False,
+                                emit_fields=False).run(read_transcripts(sf_dir))
+        return routed.ds.count()
+
+    timed("parse_route_count", bench_parse_only)
+
+    def bench_flowcounter():
+        routed = build_flagship(with_rewrite=False, with_enrich=False,
+                                emit_fields=False).run(read_transcripts(sf_dir))
+        return flowcounter(routed.ds, unit="minute")
+
+    timed("flowcounter", bench_flowcounter)
+
+    headline_sec = queries["flagship_e2e"]
+    print(json.dumps({
+        "metric": "flagship parse→enrich→route→aggregate e2e (turns/sec in turns_per_sec)",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_from_dir(sf_dir),
+        "rows": n_rows,
+        "turns_per_sec": round(n_rows / headline_sec, 1),
+        "num_cpus": num_cpus,
+        "sink_counts": counts,
+    }))
+    ray.shutdown()
+
+
+def run_scaling() -> None:
+    lo = int(os.environ.get("SCALING_LO", "8"))
+    hi = int(os.environ.get("SCALING_HI", "32"))
+    # scaling needs enough work to saturate the larger level: default to
+    # sf1 (6M turns), synthesized+cached up front so neither child pays it
+    sf_dir = os.environ.get("SCALING_SF_DIR", "/root/testdata/sf1")
+    from fluent_bit_ray.sources.transcripts import ensure_transcripts
+    ensure_transcripts(sf_dir)
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    ratio = hi / lo
+    eff = (t_lo / t_hi) / ratio
+    print(json.dumps({
+        "metric": f"scaling efficiency {lo}→{hi} cpus",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"], "rows": r_hi["rows"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_bench()

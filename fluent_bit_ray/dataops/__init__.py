@@ -1,0 +1,10 @@
+from .textstats import fingerprint_ds, langid_ds, quality_ds, token_count_ds  # noqa: F401
+from .dedup import (  # noqa: F401
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_ds,
+    simhash_dup_pairs,
+)
+from .annsearch import brute_force_topk, lsh_topk  # noqa: F401

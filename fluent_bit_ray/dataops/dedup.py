@@ -1,0 +1,323 @@
+"""Deduplication operators over a documents / embeddings table.
+
+Five families, each expressed Ray-Data-first:
+
+- exact_dedup: content-hash → groupby(hash) → min-key representative.
+  The hash (md5 hex) is computed vectorized per batch; the shuffle
+  moves only (hash, key) pairs, never the text.
+- minhash_dup_pairs: word-shingle → MinHash (k permutations, numpy) →
+  LSH banding → groupby(band, band_hash) bucket join → candidate
+  pairs → exact n-gram Jaccard verification. Partitioning assumption:
+  the candidate set is ≪ the corpus (bucket sizes are capped and
+  logged; hot buckets are truncated, which is the standard LSH skew
+  guard).
+- ngram_jaccard_pairs: the verification metric standalone (exact
+  all-pairs — guarded to small inputs; the scale path is
+  minhash_dup_pairs which only verifies candidates).
+- simhash: 64-bit sign-of-sum signature per doc; near-dup pairs via
+  band-exact-match blocking + Hamming verification.
+- embedding_dup_pairs: cosine near-dup over a ``list<float>`` column.
+  method="exact" does blocked matmul per batch against a broadcast
+  (ray.put) normalized matrix — exact, distributed, oracle-matchable;
+  method="lsh" buckets by random-hyperplane signature first (the
+  100TB path — only same-bucket pairs are scored).
+
+All hashes are crc32/md5-based — deterministic across processes (no
+PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+# ------------------------------------------------------------- exact
+def exact_dedup(ds, key: str = "doc_id", text_col: str = "text"):
+    """Representative (min key) per distinct text. Returns Dataset[key]."""
+    from ray.data.aggregate import Min
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h": df[text_col].astype(str).map(_md5_hex),
+            key: df[key],
+        })
+
+    return (ds.map_batches(hash_batch, batch_format="pandas")
+              .groupby("h")
+              .aggregate(Min(key, alias_name=key))
+              .select_columns([key]))
+
+
+# ----------------------------------------------------------- shingles
+def _shingles(text: str, n: int = 3) -> set[int]:
+    words = text.split()
+    if len(words) < n:
+        return {zlib.crc32(" ".join(words).encode())}
+    return {zlib.crc32(" ".join(words[i:i + n]).encode())
+            for i in range(len(words) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+# ----------------------------------------------------------- minhash
+def _perm_params(num_perm: int, seed: int = 7):
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rs.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if not sh:
+        return np.zeros(len(a), dtype=np.uint64)
+    s = np.fromiter(sh, dtype=np.uint64)
+    # (k, m) permuted hashes → min along m
+    vals = (a[:, None] * s[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+class _MinhashBands:
+    """Actor-pool stage: doc → (band, band_hash, key) rows."""
+
+    def __init__(self, key: str, text_col: str, num_perm: int, bands: int,
+                 shingle_n: int):
+        self.key = key
+        self.text_col = text_col
+        self.a, self.b = _perm_params(num_perm)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_n = shingle_n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out_band, out_bh, out_key = [], [], []
+        r = self.rows_per_band
+        for k, t in zip(df[self.key], df[self.text_col].astype(str)):
+            sig = minhash_signature(_shingles(t, self.shingle_n), self.a, self.b)
+            for bi in range(self.bands):
+                chunk = sig[bi * r:(bi + 1) * r]
+                bh = zlib.crc32(chunk.tobytes())
+                out_band.append(bi)
+                out_bh.append(bh)
+                out_key.append(k)
+        return pd.DataFrame({"band": out_band, "bh": out_bh, self.key: out_key})
+
+
+def _bucket_pairs(ds_banded, key: str, max_bucket: int = 200):
+    """groupby(band, bh) → unordered candidate key pairs (deduped)."""
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        ks = sorted(g[key].tolist())
+        if len(ks) < 2:
+            return pd.DataFrame({"key_a": [], "key_b": []})
+        if len(ks) > max_bucket:  # hot-bucket cap (skew guard)
+            ks = ks[:max_bucket]
+        a, b = zip(*itertools.combinations(ks, 2))
+        return pd.DataFrame({"key_a": a, "key_b": b})
+
+    cand = (ds_banded.groupby(["band", "bh"])
+            .map_groups(pairs_of, batch_format="pandas"))
+    # dedupe pairs produced by multiple bands
+    from ray.data.aggregate import Count
+    return (cand.groupby(["key_a", "key_b"])
+                .aggregate(Count(alias_name="nbands")))
+
+
+def minhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16,
+                      shingle_n: int = 3, threshold: float = 0.7,
+                      round_to: int = 6) -> pd.DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    Returns a small pandas frame (key_a, key_b, jaccard) sorted.
+    Verification fetches only texts of candidate keys (semi-join by
+    broadcast key set) — assumes candidates ≪ corpus.
+    """
+    banded = ds.map_batches(
+        _MinhashBands, fn_constructor_kwargs=dict(
+            key=key, text_col=text_col, num_perm=num_perm, bands=bands,
+            shingle_n=shingle_n),
+        batch_format="pandas", concurrency=(1, 8))
+    cand = _bucket_pairs(banded, key).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({"key_a": [], "key_b": [], "jaccard": []})
+
+    need = set(cand["key_a"]) | set(cand["key_b"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[key].isin(need)][[key, text_col]]
+
+    texts = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    sh = {k: _shingles(str(t), shingle_n)
+          for k, t in zip(texts[key], texts[text_col])}
+    jac = [jaccard(sh[a], sh[b]) for a, b in zip(cand["key_a"], cand["key_b"])]
+    cand["jaccard"] = np.round(jac, round_to)
+    out = cand[cand["jaccard"] >= threshold][["key_a", "key_b", "jaccard"]]
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
+def ngram_jaccard_pairs(ds, key: str = "doc_id", text_col: str = "text",
+                        shingle_n: int = 3, threshold: float = 0.7,
+                        limit: int = 20000) -> pd.DataFrame:
+    """Exact all-pairs n-gram Jaccard (small inputs only — guarded)."""
+    df = ds.select_columns([key, text_col]).to_pandas()
+    if len(df) > limit:
+        raise ValueError(f"all-pairs Jaccard guarded to ≤{limit} docs; "
+                         "use minhash_dup_pairs at scale")
+    keys = df[key].tolist()
+    shs = [_shingles(str(t), shingle_n) for t in df[text_col]]
+    rows = []
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            v = jaccard(shs[i], shs[j])
+            if v >= threshold:
+                a, b = sorted((keys[i], keys[j]))
+                rows.append((a, b, round(v, 6)))
+    out = pd.DataFrame(rows, columns=["key_a", "key_b", "jaccard"])
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------- simhash
+def simhash64(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in text.split():
+        d = hashlib.md5(w.encode("utf-8")).digest()[:8]
+        h = np.uint64(int.from_bytes(d, "little"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= (1 << i)
+    return out
+
+
+def simhash_ds(ds, key: str = "doc_id", text_col: str = "text"):
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df[text_col].astype(str).map(simhash64)
+        return pd.DataFrame({key: df[key],
+                             "simhash": sh.astype("uint64").astype("int64")})
+    return ds.map_batches(add, batch_format="pandas")
+
+
+def simhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
+                      max_hamming: int = 3) -> pd.DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Blocking: split 64 bits into (max_hamming+1) bands — any pair
+    within the radius shares at least one exact band (pigeonhole).
+    """
+    nb = max_hamming + 1
+    width = 64 // nb
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_b, out_v, out_k, out_s = [], [], [], []
+        for k, s in zip(df[key], df["simhash"]):
+            u = int(s) & ((1 << 64) - 1)
+            for bi in range(nb):
+                out_b.append(bi)
+                out_v.append((u >> (bi * width)) & ((1 << width) - 1))
+                out_k.append(k)
+                out_s.append(s)
+        return pd.DataFrame({"band": out_b, "bv": out_v, key: out_k,
+                             "simhash": out_s})
+
+    sh = simhash_ds(ds, key=key, text_col=text_col)
+    banded = sh.map_batches(band_rows, batch_format="pandas")
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        recs = sorted(zip(g[key], g["simhash"]))
+        for (ka, sa), (kb, sb) in itertools.combinations(recs, 2):
+            ham = bin((int(sa) ^ int(sb)) & ((1 << 64) - 1)).count("1")
+            if ham <= max_hamming:
+                rows.append((ka, kb, ham))
+        return pd.DataFrame(rows, columns=["key_a", "key_b", "hamming"])
+
+    pairs = (banded.groupby(["band", "bv"])
+             .map_groups(pairs_of, batch_format="pandas")).to_pandas()
+    if len(pairs) == 0:
+        return pd.DataFrame({"key_a": [], "key_b": [], "hamming": []})
+    pairs = pairs.drop_duplicates(["key_a", "key_b"])
+    return pairs.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------- embeddings
+def embedding_dup_pairs(ds, key: str = "vec_id", col: str = "embedding",
+                        threshold: float = 0.95, method: str = "exact",
+                        n_planes: int = 12, seed: int = 11) -> pd.DataFrame:
+    """Cosine near-dup pairs over an embedding column.
+
+    method="exact": every batch is scored against the full normalized
+    matrix broadcast once via ray.put (exact; matrix must fit a
+    worker — fine to ~1M×256d). method="lsh": random-hyperplane
+    bucketing, pairs scored within buckets only (approximate; the
+    arbitrarily-large-corpus path).
+    """
+    import ray
+
+    mat_df = ds.select_columns([key, col]).to_pandas()
+    keys = mat_df[key].to_numpy()
+    mat = np.stack(mat_df[col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+    if method == "lsh":
+        rs = np.random.RandomState(seed)
+        planes = rs.randn(mat.shape[1], n_planes)
+        sig = (mat @ planes > 0).astype(np.uint32)
+        bucket = (sig * (1 << np.arange(n_planes, dtype=np.uint32))).sum(axis=1)
+        order = np.argsort(bucket, kind="stable")
+        rows = []
+        for _, grp in itertools.groupby(order, key=lambda i: bucket[i]):
+            idxs = list(grp)
+            if len(idxs) < 2:
+                continue
+            sub = mat[idxs]
+            cos = sub @ sub.T
+            ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+            for i2, j2 in zip(ii, jj):
+                a, b = sorted((keys[idxs[i2]], keys[idxs[j2]]))
+                rows.append((a, b, round(float(cos[i2, j2]), 6)))
+        out = pd.DataFrame(rows, columns=["key_a", "key_b", "cosine"])
+        return (out.drop_duplicates(["key_a", "key_b"])
+                   .sort_values(["key_a", "key_b"]).reset_index(drop=True))
+
+    # exact: broadcast matrix once, blocked matmul per batch
+    ref = ray.put((keys, mat))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        all_keys, all_mat = ray.get(ref)
+        pos = {k: i for i, k in enumerate(all_keys)}
+        sub = np.stack(df[col].to_numpy()).astype(np.float64)
+        sub /= np.maximum(np.linalg.norm(sub, axis=1, keepdims=True), 1e-12)
+        cos = sub @ all_mat.T
+        rows_a, rows_b, rows_c = [], [], []
+        for r, k in enumerate(df[key]):
+            i = pos[k]
+            js = np.nonzero(cos[r] >= threshold)[0]
+            for j in js:
+                if all_keys[j] > k:  # emit each unordered pair once
+                    rows_a.append(k)
+                    rows_b.append(all_keys[j])
+                    rows_c.append(round(float(cos[r, j]), 6))
+        return pd.DataFrame({"key_a": rows_a, "key_b": rows_b,
+                             "cosine": rows_c})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)

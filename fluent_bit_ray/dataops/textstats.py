@@ -1,0 +1,106 @@
+"""Text analysis over a documents table: tokens, quality, lang-id,
+fingerprints.
+
+All stages are vectorized ``map_batches`` transforms (pandas string
+kernels / numpy); nothing materializes the corpus. These extend the
+engine beyond the reference's operator set for training-data pipeline
+use (per the build brief), so there is no reference citation — the
+semantics are standard corpus-QA heuristics.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_STOP_EN = {"the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+            "for", "on", "with", "as", "at", "by", "this", "be", "are"}
+_STOP_DE = {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu"}
+_STOP_FR = {"le", "la", "les", "et", "est", "pas", "pour", "dans", "une"}
+_STOP_ES = {"el", "los", "las", "y", "es", "no", "para", "en", "una"}
+_LANGS = [("en", _STOP_EN), ("de", _STOP_DE), ("fr", _STOP_FR), ("es", _STOP_ES)]
+
+# BPE-ish pre-tokenizer: contractions | words | numbers | punct runs
+_BPE_RE = re.compile(r"'[a-z]+|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+FP_BASE = 257
+FP_MOD = (1 << 61) - 1
+
+
+def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    s = df[text_col].astype(str)
+    # whitespace tokens, single-space convention (== duckdb string_split ' ')
+    df["n_tokens_ws"] = (s.str.count(" ") + 1).astype("int64")
+    df["n_tokens_bpe"] = s.map(lambda t: len(_BPE_RE.findall(t))).astype("int64")
+    return df
+
+
+def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    s = df[text_col].astype(str)
+    n_chars = s.str.len().astype("int64")
+    words = s.str.lower().str.split(" ")
+    n_words = words.map(len).astype("int64")
+    n_stop = words.map(lambda ws: sum(1 for w in ws if w in _STOP_EN)).astype("int64")
+    n_punct = s.str.count(_PUNCT_RE.pattern).astype("int64")
+    df["n_chars_q"] = n_chars
+    df["n_words"] = n_words
+    df["n_stopwords"] = n_stop
+    df["n_punct"] = n_punct
+    # composite quality score (float; per-row deterministic formula)
+    df["quality"] = np.round(
+        0.4 * np.minimum(n_chars / 500.0, 1.0)
+        + 0.4 * (n_stop / np.maximum(n_words, 1))
+        + 0.2 * (1.0 - np.minimum(n_punct / np.maximum(n_chars, 1) * 10.0, 1.0)),
+        6)
+    return df
+
+
+def langid_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    words_col = df[text_col].astype(str).str.lower().str.findall(r"[a-zà-ÿä-ü]+")
+
+    def pick(ws) -> str:
+        best, best_n = "unknown", 0
+        for lang, stop in _LANGS:
+            n = sum(1 for w in ws if w in stop)
+            if n > best_n:
+                best, best_n = lang, n
+        return best if best_n >= 1 else "unknown"
+
+    df["lang_pred"] = words_col.map(pick)
+    return df
+
+
+def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Rabin–Karp rolling hash of the whole text (mod 2^61-1)."""
+    def fp(t: str) -> int:
+        h = 0
+        for ch in t.encode("utf-8"):
+            h = (h * FP_BASE + ch) % FP_MOD
+        return h
+
+    df["fingerprint"] = df[text_col].astype(str).map(fp).astype("int64")
+    return df
+
+
+def _apply(ds, fn, **kw):
+    return ds.map_batches(lambda df: fn(df, **kw), batch_format="pandas")
+
+
+def token_count_ds(ds, text_col: str = "text"):
+    return _apply(ds, token_count_batch, text_col=text_col)
+
+
+def quality_ds(ds, text_col: str = "text"):
+    return _apply(ds, quality_batch, text_col=text_col)
+
+
+def langid_ds(ds, text_col: str = "text"):
+    return _apply(ds, langid_batch, text_col=text_col)
+
+
+def fingerprint_ds(ds, text_col: str = "text"):
+    return _apply(ds, fingerprint_batch, text_col=text_col)

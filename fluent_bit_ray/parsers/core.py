@@ -217,21 +217,25 @@ class RegexParser(Parser):
         if self._arrow_ok:
             arr = pa.array(values, type=pa.string())
             st = pc.extract_regex(arr, pattern=self._arrow_pattern)
+            valid = pc.is_valid(st)
+            out: list[dict | None] = [None] * len(values)
+            n_hit = pc.sum(valid.cast(pa.int8())).as_py() or 0
+            if n_hit == 0:
+                return out
+            # materialize captured values for MATCHED rows only
+            hit_idx = np.nonzero(valid.to_numpy(zero_copy_only=False))[0]
+            sub = st.filter(valid)
             names = [f.name for f in st.type]
-            cols = [st.field(i).to_pylist() for i in range(st.type.num_fields)]
-            valid = pc.is_valid(st).to_pylist()
-            out = []
-            for i, ok in enumerate(valid):
-                if not ok:
-                    out.append(None)
-                    continue
+            cols = [sub.field(i).to_pylist() for i in range(st.type.num_fields)]
+            skip_empty = self.skip_empty
+            for j, i in enumerate(hit_idx):
                 m = {}
-                for j, nm in enumerate(names):
-                    v = cols[j][i]
-                    if v == "" and self.skip_empty:
+                for g, nm in enumerate(names):
+                    v = cols[g][j]
+                    if v == "" and skip_empty:
                         continue  # zero-length capture skipped (flb_parser_regex.c:183-200)
                     m[nm] = v
-                out.append(m)
+                out[i] = m
             return out
         out = []
         search = self._py.search

@@ -39,7 +39,7 @@ SINKS = [
 
 def build_flagship(with_rewrite: bool = True, with_enrich: bool = True,
                    emit_fields: bool = True,
-                   batch_size: int | None = 16384) -> Pipeline:
+                   batch_size: int | None = None) -> Pipeline:
     stages: list[dict] = [
         {"type": "parser", "key_name": "text", "parsers": PARSER_SPECS,
          "promote": PROMOTE, "emit_fields": emit_fields},

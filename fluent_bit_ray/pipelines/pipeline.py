@@ -34,16 +34,44 @@ class _ChainFn:
 
     Constructed per actor/task; stages carry precompiled state
     (regexes, parsers, dimension dicts) built once in their __init__.
+
+    When ``reentrant_hops > 0`` the emitter fixed point runs BATCH-
+    LOCALLY: rows a rewrite_tag stage re-emitted (``_reenter``) are
+    looped through the same stage list again, up to the hop bound.
+    Re-entry is row-local in the reference too (each emitted record
+    independently traverses the filter chain under its new tag,
+    src/flb_filter.c:56-140), so this is semantically exact for
+    chains without wide stages — and it keeps the whole pipeline one
+    streaming pass with zero recomputation.
     """
 
-    def __init__(self, specs: list[dict]):
+    def __init__(self, specs: list[dict], reentrant_hops: int = 0):
         self.stages = [build_stage(s) if isinstance(s, dict) else s
                        for s in specs]
+        self.reentrant_hops = reentrant_hops
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _apply(self, batch: pa.Table) -> pa.Table:
         for st in self.stages:
             batch = st(batch)
         return batch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self._apply(batch)
+        if not self.reentrant_hops or REENTER_COL not in batch.column_names:
+            return batch
+        done_parts = []
+        for _ in range(self.reentrant_hops):
+            m = np.asarray(batch.column(REENTER_COL)
+                           .to_numpy(zero_copy_only=False), dtype=bool)
+            if not m.any():
+                break
+            done_parts.append(batch.filter(pa.array(~m)))
+            pending = _clear_reenter(batch.filter(pa.array(m)))
+            batch = self._apply(pending)
+        if not done_parts:
+            return batch
+        done_parts.append(batch)
+        return pa.concat_tables(done_parts, promote_options="default")
 
 
 def _tag_batch(batch: pa.Table, prefix: str) -> pa.Table:
@@ -88,7 +116,7 @@ class Pipeline:
             segs.append(("narrow", cur))
         return segs
 
-    def _apply_chain(self, ds):
+    def _apply_chain(self, ds, reentrant_hops: int = 0):
         prefix = self.tag_prefix
 
         def tag_fn(b: pa.Table) -> pa.Table:
@@ -103,7 +131,7 @@ class Pipeline:
                 kw = {}
                 if self.concurrency:
                     kw["concurrency"] = self.concurrency
-                fn = _ChainFn(seg)
+                fn = _ChainFn(seg, reentrant_hops=reentrant_hops)
                 ds = ds.map_batches(fn, batch_format="pyarrow",
                                     batch_size=self.batch_size, **kw)
         return ds
@@ -112,10 +140,17 @@ class Pipeline:
         from ..stages.rewrite_tag import RewriteTagStage
         return any(isinstance(s, RewriteTagStage) for s in self._built_stages())
 
+    def _has_wide(self) -> bool:
+        return any(getattr(s, "wide", False) for s in self._built_stages())
+
     def run(self, ds) -> "Routed":
         """Apply chain (+ bounded emitter fixed point) and routing."""
-        out = self._apply_chain(ds)
-        if self._has_rewrite_tag():
+        if self._has_rewrite_tag() and not self._has_wide():
+            # single narrow segment → batch-local re-entry, one streaming pass
+            out = self._apply_chain(ds, reentrant_hops=self.max_hops)
+        else:
+            out = self._apply_chain(ds)
+        if self._has_rewrite_tag() and self._has_wide():
             # bounded re-entry: re-entrant rows are few; materialize the
             # small pending side each hop, never the main stream
             done = _strip_reenter_split(out, keep="done")

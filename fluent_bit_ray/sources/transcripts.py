@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 3
+GEN_VERSION = 4
 BASE_EPOCH = 1448403340  # fixed ts used by the reference's test data generator
 ROWS_PER_SF = 6_000_000  # sf0.001 -> 6k rows, sf0.01 -> 60k, sf0.1 -> 600k
 CACHE_ROOT = "/tmp/graft_transcripts"
@@ -201,30 +201,49 @@ def gen_transcripts(n_rows: int, seed: int = 42) -> pa.Table:
     })
 
 
+SHARD_ROWS = 25_000  # one parquet file per ~25k turns → parallel reads
+
+
 def transcripts_path(sf_dir: str) -> str:
+    """Directory of shard parquet files (the realistic many-file layout)."""
     base = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
-    return os.path.join(CACHE_ROOT, f"v{GEN_VERSION}", base, "transcripts.parquet")
+    return os.path.join(CACHE_ROOT, f"v{GEN_VERSION}", base, "transcripts")
 
 
 def ensure_transcripts(sf_dir: str) -> str:
-    """Generate (once, atomically) and return the transcript parquet path."""
+    """Generate (once, atomically) and return the transcript parquet dir.
+
+    Output is a directory of `part-NNNNN.parquet` shards so the Ray
+    read parallelizes across files — a single big file makes the read
+    one serial task and starves every downstream stage.
+    """
     path = transcripts_path(sf_dir)
-    if os.path.exists(path):
+    if os.path.isdir(path):
         return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     table = gen_transcripts(n_rows_for_sf(sf_from_dir(sf_dir)))
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".parquet.tmp")
-    os.close(fd)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".transcripts.tmp")
     try:
-        pq.write_table(table, tmp, row_group_size=65536)
-        os.replace(tmp, path)  # atomic: concurrent generators converge
+        n = table.num_rows
+        n_shards = max(1, (n + SHARD_ROWS - 1) // SHARD_ROWS)
+        for s in range(n_shards):
+            lo = s * SHARD_ROWS
+            pq.write_table(table.slice(lo, SHARD_ROWS),
+                           os.path.join(tmpdir, f"part-{s:05d}.parquet"),
+                           row_group_size=8192)
+        try:
+            os.rename(tmpdir, path)  # atomic publish
+        except OSError:
+            pass  # concurrent generator won the race; ours is discarded below
     finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        if os.path.isdir(tmpdir):
+            import shutil
+            shutil.rmtree(tmpdir, ignore_errors=True)
     return path
 
 
 def read_transcripts(sf_dir: str, columns: list[str] | None = None):
-    """Ray Dataset over the (cached) synthetic transcript table."""
+    """Ray Dataset over the (cached) synthetic transcript shards."""
     import ray.data as rd
     return rd.read_parquet(ensure_transcripts(sf_dir), columns=columns)

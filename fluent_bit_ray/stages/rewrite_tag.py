@@ -23,6 +23,7 @@ import pyarrow as pa
 
 from ..record import FIELDS_COL, TAG_COL, RecordAccessor, fields_loads, translate
 from .base import Stage, ensure_column, register, replace_column
+from .grep import _FieldMatcher
 
 REENTER_COL = "_reenter"
 HOP_COL = "_hop"
@@ -34,7 +35,8 @@ class RewriteTagStage(Stage):
                  max_hops: int = 4, **kw):
         """rules: [(field '$x', regex, new_tag_template, keep_original)]"""
         super().__init__(**kw)
-        self.rules = [(RecordAccessor(f), re.compile(p), tmpl, bool(keep))
+        self.rules = [(RecordAccessor(f), _FieldMatcher(f, p), re.compile(p),
+                       tmpl, bool(keep))
                       for f, p, tmpl, keep in rules]
         self.max_hops = max_hops
 
@@ -43,32 +45,45 @@ class RewriteTagStage(Stage):
         batch = ensure_column(batch, HOP_COL, pa.int32(), fill=0)
         n = batch.num_rows
         hops = batch.column(HOP_COL).to_numpy(zero_copy_only=False)
-        idx = np.nonzero(mask & (hops < self.max_hops))[0]
+        eligible = mask & (hops < self.max_hops)
+        if not eligible.any():
+            return batch
+
+        # vectorized first-match-wins: rule index per row (-1 = no rule)
+        rule_of = np.full(n, -1, dtype=np.int64)
+        undecided = eligible.copy()
+        for r_i, (_, matcher, _, _, _) in enumerate(self.rules):
+            if not undecided.any():
+                break
+            m = matcher.match(batch) & undecided
+            rule_of[m] = r_i
+            undecided &= ~m
+        idx = np.nonzero(rule_of >= 0)[0]
         if len(idx) == 0:
             return batch
 
-        cols = {c: batch.column(c).to_pylist() for c in batch.column_names
+        # per-row template translation only for the (few) matched rows:
+        # decode just the matched subset, not the whole batch
+        sub = batch.take(pa.array(idx))
+        cols = {c: sub.column(c).to_pylist() for c in sub.column_names
                 if c != FIELDS_COL}
-        fvals = (batch.column(FIELDS_COL).to_pylist()
-                 if FIELDS_COL in batch.column_names else [""] * n)
+        fvals = (sub.column(FIELDS_COL).to_pylist()
+                 if FIELDS_COL in sub.column_names else None)
 
         keep_orig = np.ones(n, dtype=bool)
         emitted: list[tuple[int, str]] = []  # (source row, new tag)
-        for i in idx:
-            row = {c: cols[c][i] for c in cols}
-            row[FIELDS_COL] = fields_loads(fvals[i])
-            for ra, rx, tmpl, keep in self.rules:
-                v = ra.get(row)
-                if not isinstance(v, str):
-                    continue
-                m = rx.search(v)
-                if m is None:
-                    continue
-                new_tag = translate(tmpl, row, captures=(m.group(0),) + m.groups())
-                emitted.append((i, new_tag))
-                if not keep:
-                    keep_orig[i] = False
-                break  # first matching rule wins (process_record loop)
+        for j, i in enumerate(idx):
+            ra, _, rx, tmpl, keep = self.rules[rule_of[i]]
+            row = {c: cols[c][j] for c in cols}
+            row[FIELDS_COL] = fields_loads(fvals[j]) if fvals is not None else {}
+            v = ra.get(row)
+            m = rx.search(v) if isinstance(v, str) else None
+            if m is None:  # matcher/regex disagree only on non-str values
+                continue
+            new_tag = translate(tmpl, row, captures=(m.group(0),) + m.groups())
+            emitted.append((i, new_tag))
+            if not keep:
+                keep_orig[i] = False
 
         if not emitted:
             return batch
