@@ -257,6 +257,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["q", "vec_id", "cos_r4"]]
         return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
 
+    # ---------------- multiline join (tail multiline semantics)
+    FIRSTLINE = r"^(\d|\{|CALL )"
+
+    def multiline_segments(sf_dir: str):
+        from fluent_bit_ray.stages import build_stage
+        st = build_stage({"type": "multiline", "firstline": FIRSTLINE})
+        out = st.apply(read_transcripts(sf_dir)).to_pandas()
+        out["first_turn"] = out["first_turn"].astype("int64")
+        out["n_parts"] = out["n_parts"].astype("int64")
+        out = out[["conv_id", "first_turn", "n_parts", "text"]]
+        return out.sort_values(["conv_id", "first_turn"]).reset_index(drop=True)
+
+    # ---------------- SP SQL subset (tumbling count per role)
+    def sp_count_window(sf_dir: str):
+        from fluent_bit_ray.sp import sp_execute
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=False)
+        res = sp_execute(routed.ds,
+                         "SELECT role, COUNT(*) AS n FROM TAG:'transcript.*' "
+                         "WHERE p_code = 200 WINDOW TUMBLING (60 SECOND) "
+                         "GROUP BY role")
+        res["n"] = res["n"].astype("int64")
+        return res.sort_values(["role", "window_start"]).reset_index(drop=True)
+
+    # ---------------- throttle / throttle_size (event-time determinized)
+    def throttle_kept(sf_dir: str):
+        from fluent_bit_ray.stages import build_stage
+        st = build_stage({"type": "throttle", "rate": 5, "interval_s": 60})
+        out = st.apply(read_transcripts(sf_dir)).to_pandas()
+        out = out[["conv_id", "turn_idx"]]
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    def throttle_size_kept(sf_dir: str):
+        from fluent_bit_ray.stages import build_stage
+        st = build_stage({"type": "throttle_size", "limit_bytes": 2000,
+                          "interval_s": 60, "name_field": "role"})
+        out = st.apply(read_transcripts(sf_dir)).to_pandas()
+        out = out[["conv_id", "turn_idx"]]
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
     return {
         "route_counts": route_counts,
         "routed_rows_tool": routed_rows_tool,
@@ -275,6 +316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": docs_minhash_pairs,
         "emb_dup_pairs": emb_dup_pairs,
         "ann_topk": ann_topk,
+        "multiline_segments": multiline_segments,
+        "sp_count_window": sp_count_window,
+        "throttle_kept": throttle_kept,
+        "throttle_size_kept": throttle_size_kept,
     }
 
 
@@ -410,6 +455,64 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN embeddings e)
             SELECT q, vec_id, round(cos, 4) AS cos_r4 FROM scored
             WHERE rk <= 10 ORDER BY q, vec_id
+        """,
+        "multiline_segments": f"""
+            WITH t AS ({t}),
+            seg AS (
+              SELECT conv_id, turn_idx, text,
+                     CASE WHEN regexp_matches(text, '^(\\d|\\{{|CALL )')
+                          THEN 1 ELSE 0 END AS is_first,
+                     sum(CASE WHEN regexp_matches(text, '^(\\d|\\{{|CALL )')
+                          THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run
+              FROM t),
+            segs AS (
+              -- rows before the first firstline (run=0) are emitted as-is;
+              -- others group into their run
+              SELECT conv_id,
+                     CASE WHEN run = 0 THEN turn_idx ELSE NULL END AS solo,
+                     run, turn_idx, text FROM seg)
+            SELECT conv_id,
+                   min(turn_idx)::BIGINT AS first_turn,
+                   count(*)::BIGINT AS n_parts,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS text
+            FROM segs
+            GROUP BY conv_id, run, solo
+            ORDER BY conv_id, first_turn
+        """,
+        "sp_count_window": f"""
+            WITH t AS ({t}),
+            parsed AS (
+              SELECT role, ts,
+                CASE
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.code') AS BIGINT)
+                  WHEN text LIKE 'CALL %' THEN NULL
+                  WHEN regexp_matches(text, 'code=') THEN TRY_CAST(regexp_extract(text, 'code=(\\d+)', 1) AS BIGINT)
+                  WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'code:(\\d+)', 1) AS BIGINT)
+                  WHEN regexp_matches(text, '^[0-9.]+ - ') THEN TRY_CAST(regexp_extract(text, '" (\\d+) ', 1) AS BIGINT)
+                END AS code
+              FROM t)
+            SELECT role, date_trunc('minute', ts) AS window_start,
+                   count(*)::BIGINT AS n
+            FROM parsed WHERE code = 200
+            GROUP BY 1, 2 ORDER BY role, window_start
+        """,
+        "throttle_kept": f"""
+            WITH t AS ({t})
+            SELECT conv_id, turn_idx FROM t
+            QUALIFY row_number() OVER (
+              PARTITION BY (epoch(ts)::BIGINT // 60)
+              ORDER BY ts, conv_id, turn_idx) <= 5
+            ORDER BY conv_id, turn_idx
+        """,
+        "throttle_size_kept": f"""
+            WITH t AS ({t})
+            SELECT conv_id, turn_idx FROM t
+            QUALIFY sum(strlen(text)) OVER (
+              PARTITION BY (epoch(ts)::BIGINT // 60), role
+              ORDER BY ts, conv_id, turn_idx
+              ROWS UNBOUNDED PRECEDING) <= 2000
+            ORDER BY conv_id, turn_idx
         """,
         # doc_langid / doc_fingerprint / doc_simhash / docs_minhash_pairs:
         # non-SQL-expressible (heuristic / rolling-hash / sketch ops) —

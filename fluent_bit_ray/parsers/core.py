@@ -34,6 +34,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+try:  # orjson: ~5× stdlib on the JSON-parser hot path
+    import orjson as _orjson
+except ImportError:  # pragma: no cover
+    _orjson = None
+
 from .timeparse import parse_epoch_column, parse_time_column
 
 _NAT = np.datetime64("NaT")
@@ -149,10 +154,18 @@ class Parser:
 
     # -- shared driver ------------------------------------------------
     def parse_column(self, arr) -> tuple[list[dict | None], np.ndarray]:
-        if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        """``arr``: pyarrow (chunked) string array OR a Python list.
+
+        Arrow input stays Arrow on the RegexParser fast path (no
+        per-row object materialization for unmatched rows); other
+        parsers convert once.
+        """
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if isinstance(arr, pa.Array) and not isinstance(self, RegexParser):
             values = arr.to_pylist()
         else:
-            values = list(arr)
+            values = arr if isinstance(arr, pa.Array) else list(arr)
         maps = self._parse_values(values)
         times = self._extract_times(maps)
         if self.types:
@@ -213,9 +226,10 @@ class RegexParser(Parser):
             self._arrow_ok = False
         self._arrow_pattern = py_pat
 
-    def _parse_values(self, values: list) -> list[dict | None]:
+    def _parse_values(self, values) -> list[dict | None]:
         if self._arrow_ok:
-            arr = pa.array(values, type=pa.string())
+            arr = (values if isinstance(values, pa.Array)
+                   else pa.array(values, type=pa.string()))
             st = pc.extract_regex(arr, pattern=self._arrow_pattern)
             valid = pc.is_valid(st)
             out: list[dict | None] = [None] * len(values)
@@ -237,6 +251,8 @@ class RegexParser(Parser):
                     m[nm] = v
                 out[i] = m
             return out
+        if isinstance(values, pa.Array):
+            values = values.to_pylist()
         out = []
         search = self._py.search
         for v in values:
@@ -259,7 +275,7 @@ class JsonParser(Parser):
 
     def _parse_values(self, values: list) -> list[dict | None]:
         out = []
-        loads = json.loads
+        loads = _orjson.loads if _orjson is not None else json.loads
         for v in values:
             if v is None:
                 out.append(None)

@@ -18,6 +18,11 @@ from __future__ import annotations
 import json
 import re
 
+try:  # fast path: orjson is ~5× stdlib for the fields column
+    import orjson as _orjson
+except ImportError:  # pragma: no cover
+    _orjson = None
+
 FIXED_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 FIELDS_COL = "fields"
 TAG_COL = "tag"
@@ -32,13 +37,18 @@ def fields_loads(s) -> dict:
     if not s:
         return {}
     try:
-        obj = json.loads(s)
+        obj = _orjson.loads(s) if _orjson is not None else json.loads(s)
     except (ValueError, TypeError):
         return {}
     return obj if isinstance(obj, dict) else {}
 
 
 def fields_dumps(d: dict) -> str:
+    if _orjson is not None:
+        try:
+            return _orjson.dumps(d).decode()
+        except TypeError:
+            pass  # exotic value types → stdlib with default=str
     return json.dumps(d, separators=(",", ":"), ensure_ascii=False, default=str)
 
 

@@ -1,0 +1,433 @@
+"""Stream-processor SQL subset: parse + execute over a tagged Dataset.
+
+Grammar (reference src/stream_processor/README.md:1-30, parser
+src/stream_processor/parser/sql.y):
+
+    [CREATE STREAM name AS]
+    SELECT keys|aggregates FROM STREAM:name | TAG:'pattern'
+      [WHERE condition]
+      [WINDOW TUMBLING (N SECOND|MINUTE|HOUR)
+       | WINDOW HOPPING (N SECOND, ADVANCE BY M SECOND)]
+      [GROUP BY keys]
+
+Semantics mirrored (SURVEY §2.6):
+- aggregates AVG/SUM/COUNT/MIN/MAX (flb_sp.c:388-490, aggregated path
+  :1768-1830) → per-batch partials + Ray groupby (partial+final);
+- condition tree with AND/OR/NOT, numeric coercion of string values
+  (flb_sp.c:1112-1223, string→number :283);
+- GROUP BY (flb_sp_groupby.c) → hash shuffle on (window, keys);
+- tumbling window = event-time bucket floor(ts/size); hopping window
+  assigns each row to ceil(size/advance) overlapping buckets
+  (flb_sp_window.c:26-122). DEVIATION (documented): the reference
+  windows by *arrival* time and flushes on processing-time timers; we
+  use the event-time ``ts`` column — deterministic and batch-testable;
+- functions RECORD_TAG() / RECORD_TIME() (flb_sp_func_record.c:78).
+
+Key resolution on our record layout: fixed column → promoted ``p_<k>``
+column → decoded ``fields`` JSON (slow path).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..record import FIELDS_COL, TAG_COL, fields_loads
+from ..tags import match_mask
+
+_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+          "hour": 3600, "hours": 3600}
+
+_SQL_RE = re.compile(
+    r"^\s*(?:CREATE\s+STREAM\s+(?P<stream>\w+)\s+AS\s+)?"
+    r"SELECT\s+(?P<select>.+?)\s+FROM\s+"
+    r"(?:STREAM:(?P<from_stream>\w+)|TAG:'(?P<from_tag>[^']*)')"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+WINDOW\s+(?P<wtype>TUMBLING|HOPPING)\s*\("
+    r"\s*(?P<wsize>\d+)\s+(?P<wunit>\w+)"
+    r"(?:\s*,\s*ADVANCE\s+BY\s+(?P<wadv>\d+)\s+(?P<wadvunit>\w+))?\s*\))?"
+    r"(?:\s+GROUP\s+BY\s+(?P<groupby>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_AGG_RE = re.compile(r"^(AVG|SUM|COUNT|MIN|MAX)\s*\(\s*(\*|[\w.]+)\s*\)"
+                     r"(?:\s+AS\s+(\w+))?$", re.IGNORECASE)
+_KEY_RE = re.compile(r"^([\w.]+|RECORD_TAG\(\)|RECORD_TIME\(\))"
+                     r"(?:\s+AS\s+(\w+))?$", re.IGNORECASE)
+
+
+class SPQuery:
+    def __init__(self):
+        self.stream = None
+        self.from_stream = None
+        self.from_tag = None
+        self.select: list[dict] = []
+        self.where = None
+        self.window = None  # (type, size_s, advance_s)
+        self.group_by: list[str] = []
+
+    @property
+    def has_aggregates(self) -> bool:
+        return any(s["kind"] == "agg" for s in self.select)
+
+
+def sp_parse(sql: str) -> SPQuery:
+    m = _SQL_RE.match(sql)
+    if not m:
+        raise ValueError(f"cannot parse SP query: {sql!r}")
+    q = SPQuery()
+    q.stream = m.group("stream")
+    q.from_stream = m.group("from_stream")
+    q.from_tag = m.group("from_tag")
+    for part in _split_commas(m.group("select")):
+        part = part.strip()
+        if part == "*":
+            q.select.append({"kind": "star"})
+            continue
+        am = _AGG_RE.match(part)
+        if am:
+            fn, key, alias = am.group(1).upper(), am.group(2), am.group(3)
+            q.select.append({"kind": "agg", "fn": fn, "key": key,
+                             "alias": alias or f"{fn}({key})"})
+            continue
+        km = _KEY_RE.match(part)
+        if km:
+            q.select.append({"kind": "key", "key": km.group(1),
+                             "alias": km.group(2) or km.group(1)})
+            continue
+        raise ValueError(f"cannot parse select item {part!r}")
+    if m.group("where"):
+        q.where = _parse_cond(m.group("where"))
+    if m.group("wtype"):
+        size = int(m.group("wsize")) * _UNITS[m.group("wunit").lower()]
+        wtype = m.group("wtype").upper()
+        adv = size
+        if wtype == "HOPPING":
+            if not m.group("wadv"):
+                raise ValueError("HOPPING window requires ADVANCE BY")
+            adv = int(m.group("wadv")) * _UNITS[m.group("wadvunit").lower()]
+        q.window = (wtype, size, adv)
+    if m.group("groupby"):
+        q.group_by = [g.strip() for g in m.group("groupby").split(",")]
+    return q
+
+
+def _split_commas(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
+# ----------------------------------------------------------- conditions
+_TOKEN = re.compile(
+    r"\s*(\(|\)|AND\b|OR\b|NOT\b|IS\s+NOT\s+NULL|IS\s+NULL|"
+    r">=|<=|!=|<>|=|<|>|'(?:[^'\\]|\\.)*'|[\w.]+)", re.IGNORECASE)
+
+
+def _tokenize(s: str) -> list[str]:
+    toks, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if not m:
+            raise ValueError(f"bad condition near {s[pos:pos + 20]!r}")
+        toks.append(m.group(1))
+        pos = m.end()
+    return toks
+
+
+class _CondParser:
+    def __init__(self, toks: list[str]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def eat(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse(self):
+        node = self.parse_or()
+        if self.peek() is not None:
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek() and self.peek().upper() == "OR":
+            self.eat()
+            left = ("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.peek() and self.peek().upper() == "AND":
+            self.eat()
+            left = ("and", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        if self.peek() and self.peek().upper() == "NOT":
+            self.eat()
+            return ("not", self.parse_not())
+        return self.parse_atom()
+
+    def parse_atom(self):
+        t = self.peek()
+        if t == "(":
+            self.eat()
+            node = self.parse_or()
+            if self.eat() != ")":
+                raise ValueError("expected )")
+            return node
+        key = self.eat()
+        nxt = self.peek()
+        if nxt and re.match(r"IS\s+NOT\s+NULL", nxt, re.I):
+            self.eat()
+            return ("notnull", key)
+        if nxt and re.match(r"IS\s+NULL", nxt, re.I):
+            self.eat()
+            return ("isnull", key)
+        op = self.eat()
+        val = self.eat()
+        if val is None:
+            raise ValueError("expected literal")
+        if val.startswith("'"):
+            lit = val[1:-1]
+        else:
+            try:
+                lit = int(val)
+            except ValueError:
+                lit = float(val)
+        if op == "<>":
+            op = "!="
+        return ("cmp", op, key, lit)
+
+
+def _parse_cond(s: str):
+    return _CondParser(_tokenize(s)).parse()
+
+
+# ------------------------------------------------------------ execution
+def _resolve_key(b: pa.Table, key: str, decoded=None):
+    """Column values for a record key (fixed → promoted → fields)."""
+    if key == "RECORD_TAG()":
+        key = TAG_COL
+    if key == "RECORD_TIME()":
+        key = "ts"
+    if key in b.column_names:
+        return b.column(key).to_pandas()
+    if f"p_{key}" in b.column_names:
+        return b.column(f"p_{key}").to_pandas()
+    if FIELDS_COL in b.column_names:
+        if decoded is None:
+            decoded = [fields_loads(v)
+                       for v in b.column(FIELDS_COL).to_pylist()]
+        return pd.Series([d.get(key) for d in decoded])
+    return pd.Series([None] * b.num_rows)
+
+
+def _coerce_pair(series: pd.Series, lit):
+    """Numeric comparison coercion (flb_sp.c:283, :892)."""
+    if isinstance(lit, (int, float)) and not isinstance(lit, bool):
+        return pd.to_numeric(series, errors="coerce"), lit
+    return series.astype(object).where(series.notna(), None).map(
+        lambda v: v if isinstance(v, str) else
+        (None if v is None else str(v))), lit
+
+
+def _eval_cond(node, b: pa.Table, decoded=None) -> np.ndarray:
+    kind = node[0]
+    if kind == "and":
+        return _eval_cond(node[1], b, decoded) & _eval_cond(node[2], b, decoded)
+    if kind == "or":
+        return _eval_cond(node[1], b, decoded) | _eval_cond(node[2], b, decoded)
+    if kind == "not":
+        return ~_eval_cond(node[1], b, decoded)
+    if kind == "isnull":
+        return _resolve_key(b, node[1], decoded).isna().to_numpy()
+    if kind == "notnull":
+        return _resolve_key(b, node[1], decoded).notna().to_numpy()
+    _, op, key, lit = node
+    s = _resolve_key(b, key, decoded)
+    s, lit = _coerce_pair(s, lit)
+    with np.errstate(invalid="ignore"):
+        if op == "=":
+            r = s == lit
+        elif op == "!=":
+            r = s != lit
+        elif op == "<":
+            r = s < lit
+        elif op == "<=":
+            r = s <= lit
+        elif op == ">":
+            r = s > lit
+        else:
+            r = s >= lit
+    return r.fillna(False).to_numpy(dtype=bool)
+
+
+def sp_execute(ds, sql: str, streams: dict | None = None,
+               ts_col: str = "ts"):
+    """Execute an SP query over a tagged Dataset.
+
+    Returns a Dataset (non-aggregate) or a sorted pandas frame
+    (aggregate). ``streams`` maps STREAM:name → Dataset for queries
+    reading a previously created stream.
+    """
+    q = sp_parse(sql)
+    if q.from_stream:
+        if not streams or q.from_stream not in streams:
+            raise ValueError(f"unknown stream {q.from_stream!r}")
+        ds = streams[q.from_stream]
+
+    needs_fields_decode = False  # resolved lazily inside _resolve_key
+
+    def filter_fn(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        mask = np.ones(b.num_rows, dtype=bool)
+        if q.from_tag and TAG_COL in b.column_names:
+            mask &= match_mask(b.column(TAG_COL), q.from_tag)
+        if q.where is not None:
+            mask &= _eval_cond(q.where, b)
+        return b.filter(pa.array(mask))
+
+    ds = ds.map_batches(filter_fn, batch_format="pyarrow")
+
+    if not q.has_aggregates:
+        sel = [s for s in q.select]
+
+        def project(b: pa.Table) -> pa.Table:
+            if any(s["kind"] == "star" for s in sel):
+                return b
+            cols, names = [], []
+            for s in sel:
+                v = _resolve_key(b, s["key"])
+                cols.append(pa.array(v))
+                names.append(s["alias"])
+            return pa.table(dict(zip(names, cols)))
+
+        return ds.map_batches(project, batch_format="pyarrow")
+
+    # ---------------- aggregate path: partials then groupby
+    aggs = [s for s in q.select if s["kind"] == "agg"]
+    gkeys = list(q.group_by)
+    window = q.window
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty_partial(aggs, gkeys, window)
+        data = {}
+        if window:
+            ts = b.column(ts_col).cast(pa.timestamp("ns")).cast(pa.int64()) \
+                .to_numpy() // 1_000_000_000
+            wtype, size, adv = window
+            if wtype == "TUMBLING":
+                data["_w"] = (ts // size) * size
+            else:  # hopping: explode to every window containing the row
+                n_over = -(-size // adv)  # ceil
+                reps = []
+                base = (ts // adv) * adv
+                for k in range(n_over):
+                    start = base - k * adv
+                    ok = ts < start + size
+                    reps.append((start, ok))
+                idx = np.concatenate([np.nonzero(ok)[0] for _, ok in reps])
+                starts = np.concatenate([s[ok] for s, ok in reps])
+                b = b.take(pa.array(idx))
+                data["_w"] = starts
+        for g in gkeys:
+            data[g] = _resolve_key(b, g).to_numpy(dtype=object)
+        for i, a in enumerate(aggs):
+            if a["fn"] == "COUNT":
+                data[f"_v{i}"] = np.ones(b.num_rows)
+                data[f"_n{i}"] = np.ones(b.num_rows)
+            else:
+                vals = pd.to_numeric(_resolve_key(b, a["key"]),
+                                     errors="coerce")
+                data[f"_v{i}"] = vals.to_numpy(dtype=float)
+                data[f"_n{i}"] = vals.notna().to_numpy(dtype=float)
+        df = pd.DataFrame(data)
+        keys = (["_w"] if window else []) + gkeys
+        if not keys:
+            df["_k"] = 0
+            keys = ["_k"]
+        spec = {}
+        for i, a in enumerate(aggs):
+            fn = a["fn"]
+            if fn in ("COUNT", "SUM", "AVG"):
+                spec[f"_v{i}"] = "sum"
+            elif fn == "MIN":
+                spec[f"_v{i}"] = "min"
+            else:
+                spec[f"_v{i}"] = "max"
+            spec[f"_n{i}"] = "sum"
+        g = df.groupby(keys, sort=False, dropna=False).agg(spec).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+    keys = (["_w"] if window else []) + gkeys
+    ray_aggs = []
+    for i, a in enumerate(aggs):
+        fn = a["fn"]
+        if fn in ("COUNT", "SUM", "AVG"):
+            ray_aggs.append(Sum(f"_v{i}", alias_name=f"_v{i}"))
+        elif fn == "MIN":
+            ray_aggs.append(Min(f"_v{i}", alias_name=f"_v{i}"))
+        else:
+            ray_aggs.append(Max(f"_v{i}", alias_name=f"_v{i}"))
+        ray_aggs.append(Sum(f"_n{i}", alias_name=f"_n{i}"))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    if keys:
+        agg = parts.groupby(keys).aggregate(*ray_aggs)
+    else:
+        agg = parts.groupby("_k").aggregate(*ray_aggs)
+    out = agg.to_pandas()
+    res = pd.DataFrame()
+    if window:
+        res["window_start"] = pd.to_datetime(out["_w"], unit="s")
+    for g in gkeys:
+        res[g] = out[g]
+    for i, a in enumerate(aggs):
+        fn = a["fn"]
+        if fn == "COUNT":
+            res[a["alias"]] = out[f"_v{i}"].astype("int64")
+        elif fn == "AVG":
+            with np.errstate(invalid="ignore"):
+                res[a["alias"]] = out[f"_v{i}"] / out[f"_n{i}"]
+        else:
+            res[a["alias"]] = out[f"_v{i}"]
+    sort_cols = (["window_start"] if window else []) + gkeys
+    if sort_cols:
+        res = res.sort_values(sort_cols).reset_index(drop=True)
+    return res
+
+
+def _empty_partial(aggs, gkeys, window) -> pa.Table:
+    data = {}
+    if window:
+        data["_w"] = pa.array([], type=pa.int64())
+    for g in gkeys:
+        data[g] = pa.array([], type=pa.string())
+    for i in range(len(aggs)):
+        data[f"_v{i}"] = pa.array([], type=pa.float64())
+        data[f"_n{i}"] = pa.array([], type=pa.float64())
+    if not window and not gkeys:
+        data["_k"] = pa.array([], type=pa.int64())
+    return pa.table(data)

@@ -32,6 +32,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..sources import dims as dims_mod
 from .base import Stage, register, replace_column
@@ -56,18 +57,27 @@ class LookupEnrichStage(Stage):
         self.dtypes = {f: table.schema.field(f).type for f in self.add_fields}
 
     def transform(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:
-        keys = pd.Series(batch.column(self.lookup_key).to_pylist(), dtype="object")
+        # dictionary-encode the key column: the lookup runs once per
+        # UNIQUE key, then fans out via take (no per-row Python objects)
+        col = batch.column(self.lookup_key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dic = pc.dictionary_encode(col)
+        uniq = dic.dictionary.to_pylist()
+        indices = dic.indices
+        all_masked = bool(mask.all())
         for f in self.add_fields:
-            vals = keys.map(self.maps[f])
             typ = self.dtypes[f]
-            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-                vals = vals.where(vals.notna(), UNKNOWN)
-                arr = pa.array(np.where(mask, vals.to_numpy(dtype=object), UNKNOWN),
-                               type=pa.string())
-            else:
-                arr = pa.array([v if (m and pd.notna(v)) else None
-                                for v, m in zip(vals, mask)], type=typ)
-            batch = replace_column(batch, self.prefix + f, arr)
+            is_str = pa.types.is_string(typ) or pa.types.is_large_string(typ)
+            miss = UNKNOWN if is_str else None
+            lut = pa.array([self.maps[f].get(u, miss) if u is not None else miss
+                            for u in uniq], type=pa.string() if is_str else typ)
+            vals = lut.take(indices)
+            if not all_masked:
+                keepers = pa.array(mask)
+                vals = pc.if_else(keepers, vals,
+                                  pa.scalar(miss, type=vals.type))
+            batch = replace_column(batch, self.prefix + f, vals)
         return batch
 
 
@@ -87,32 +97,31 @@ class UAParserEnrichStage(Stage):
     def transform(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:
         if self.lookup_key not in batch.column_names:
             return batch
-        vals = batch.column(self.lookup_key).to_pylist()
-        n = batch.num_rows
-        browser = [UNKNOWN] * n
-        osn = [UNKNOWN] * n
-        device = [UNKNOWN] * n
-        # evaluate per unique agent string (low cardinality), first match wins
-        cache: dict[str, tuple[str, str, str]] = {}
-        for i in np.nonzero(mask)[0]:
-            v = vals[i]
-            if not isinstance(v, str) or not v:
-                continue
-            hit = cache.get(v)
-            if hit is None:
-                hit = (UNKNOWN, UNKNOWN, UNKNOWN)
-                for rx, b, o, d in self.rules:
+        col = batch.column(self.lookup_key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # dictionary-encode: the regex table runs once per UNIQUE agent
+        # string (low cardinality), then fans out via take
+        dic = pc.dictionary_encode(col)
+        uniq = dic.dictionary.to_pylist()
+        luts = {"browser": [], "os": [], "device": []}
+        for v in uniq:
+            hit = (UNKNOWN, UNKNOWN, UNKNOWN)
+            if isinstance(v, str) and v:
+                for rx, b, o, d in self.rules:  # first match wins
                     if rx.search(v):
                         hit = (b, o, d)
                         break
-                cache[v] = hit
-            browser[i], osn[i], device[i] = hit
-        batch = replace_column(batch, self.prefix + "browser",
-                               pa.array(browser, type=pa.string()))
-        batch = replace_column(batch, self.prefix + "os",
-                               pa.array(osn, type=pa.string()))
-        batch = replace_column(batch, self.prefix + "device",
-                               pa.array(device, type=pa.string()))
+            luts["browser"].append(hit[0])
+            luts["os"].append(hit[1])
+            luts["device"].append(hit[2])
+        all_masked = bool(mask.all())
+        for name, lut in luts.items():
+            vals = pa.array(lut, type=pa.string()).take(dic.indices)
+            vals = pc.fill_null(vals, UNKNOWN)
+            if not all_masked:
+                vals = pc.if_else(pa.array(mask), vals, pa.scalar(UNKNOWN))
+            batch = replace_column(batch, self.prefix + name, vals)
         return batch
 
 
@@ -133,30 +142,34 @@ class GeoipEnrichStage(Stage):
     def transform(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:
         if self.lookup_key not in batch.column_names:
             return batch
-        vals = batch.column(self.lookup_key).to_pylist()
-        n = batch.num_rows
-        city = [UNKNOWN] * n
-        country = [UNKNOWN] * n
-        lat: list = [None] * n
-        lon: list = [None] * n
-        for i in np.nonzero(mask)[0]:
-            v = vals[i]
-            if not isinstance(v, str):
-                continue
-            parts = v.split(".")
-            if len(parts) < 2:
-                continue
-            hit = self.table.get(f"{parts[0]}.{parts[1]}.")
-            if hit:
-                city[i], country[i], lat[i], lon[i] = hit
-        batch = replace_column(batch, self.prefix + "city",
-                               pa.array(city, type=pa.string()))
-        batch = replace_column(batch, self.prefix + "country",
-                               pa.array(country, type=pa.string()))
-        batch = replace_column(batch, self.prefix + "lat",
-                               pa.array(lat, type=pa.float64()))
-        batch = replace_column(batch, self.prefix + "lon",
-                               pa.array(lon, type=pa.float64()))
+        col = batch.column(self.lookup_key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # vectorized prefix extraction, then per-unique-prefix lookup
+        # (≤256 uniques: "A.B." prefixes)
+        pref = pc.extract_regex(col.cast(pa.string()),
+                                pattern=r"^(?P<p>\d+\.\d+\.)")
+        pref_vals = pc.if_else(pc.is_valid(pref),
+                               pc.struct_field(pref, "p"),
+                               pa.scalar(None, type=pa.string()))
+        dic = pc.dictionary_encode(pref_vals)
+        uniq = dic.dictionary.to_pylist()
+        all_masked = bool(mask.all())
+        specs = [("city", 0, pa.string(), UNKNOWN),
+                 ("country", 1, pa.string(), UNKNOWN),
+                 ("lat", 2, pa.float64(), None),
+                 ("lon", 3, pa.float64(), None)]
+        for name, slot, typ, miss in specs:
+            lut = pa.array(
+                [self.table[u][slot] if (u is not None and u in self.table)
+                 else miss for u in uniq], type=typ)
+            vals = lut.take(dic.indices)
+            if miss is not None:
+                vals = pc.fill_null(vals, miss)
+            if not all_masked:
+                vals = pc.if_else(pa.array(mask), vals,
+                                  pa.scalar(miss, type=typ))
+            batch = replace_column(batch, self.prefix + name, vals)
         return batch
 
 

@@ -51,9 +51,12 @@ class ParserStage(Stage):
         n = batch.num_rows
         idx = np.nonzero(mask)[0]
 
-        # source values for masked rows
+        # source values for masked rows — kept as Arrow; only parser
+        # subsets materialize Python objects (allocator churn is the
+        # scaling bottleneck on many-core nodes)
         if self.key_name in batch.column_names:
-            src = batch.column(self.key_name).take(pa.array(idx)).to_pylist()
+            src_arr = batch.column(self.key_name).combine_chunks() \
+                .take(pa.array(idx)).cast(pa.string())
             src_is_fixed = True
         else:
             src_is_fixed = False
@@ -62,18 +65,19 @@ class ParserStage(Stage):
                 decoded = [fields_loads(v) for v in fv]
             else:
                 decoded = [{} for _ in idx]
-            src = [d.get(self.key_name) for d in decoded]
+            src_arr = pa.array([d.get(self.key_name) for d in decoded],
+                               type=pa.string())
 
         k = len(idx)
         maps: list[dict | None] = [None] * k
         hit_name = [""] * k
         times = np.full(k, np.datetime64("NaT"), dtype="datetime64[ns]")
-        remaining = np.array([isinstance(s, str) for s in src], dtype=bool)
+        remaining = pa.compute.is_valid(src_arr).to_numpy(zero_copy_only=False).copy()
         for p in self.parsers:
             if not remaining.any():
                 break
             sub = np.nonzero(remaining)[0]
-            sub_maps, sub_times = p.parse_column([src[i] for i in sub])
+            sub_maps, sub_times = p.parse_column(src_arr.take(pa.array(sub)))
             for j, i in enumerate(sub):
                 if sub_maps[j] is not None:
                     maps[i] = sub_maps[j]
@@ -85,8 +89,8 @@ class ParserStage(Stage):
         batch = self._merge_event_ts(batch, idx, times)
 
         # parsed_by column
-        batch = ensure_column(batch, "parsed_by", pa.string(), fill="")
-        pb = batch.column("parsed_by").to_pylist()
+        pb = (batch.column("parsed_by").to_pylist()
+              if "parsed_by" in batch.column_names else [""] * n)
         for j, i in enumerate(idx):
             if hit_name[j]:
                 pb[i] = hit_name[j]
@@ -111,8 +115,8 @@ class ParserStage(Stage):
             return batch
 
         # merge parsed map into the fields column
-        batch = ensure_column(batch, FIELDS_COL, pa.large_string(), fill="")
-        fcol = batch.column(FIELDS_COL).to_pylist()
+        fcol = (batch.column(FIELDS_COL).to_pylist()
+                if FIELDS_COL in batch.column_names else [""] * n)
         for j, i in enumerate(idx):
             m = maps[j]
             if m is None:

@@ -32,9 +32,8 @@ from .base import Stage, register
 
 def _bucket_column(batch: pa.Table, interval_s: int, ts_col: str) -> pa.Table:
     ts = batch.column(ts_col).cast(pa.timestamp("ns")).cast(pa.int64())
-    bucket = pa.compute.floor(
-        pa.compute.divide(ts.cast(pa.float64()), float(interval_s * 1_000_000_000))
-    ).cast(pa.int64())
+    # integer division (epochs are positive → trunc == floor)
+    bucket = pa.compute.divide(ts, interval_s * 1_000_000_000)
     return batch.append_column("_bucket", bucket)
 
 

@@ -1,0 +1,70 @@
+import glob
+import json
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from fluent_bit_ray.pipelines.flagship import build_flagship
+from fluent_bit_ray.sources.transcripts import ensure_transcripts
+from fluent_bit_ray.state import LineageRunner
+
+SF = "/root/testdata/sf0.001"
+
+
+def input_files():
+    return sorted(glob.glob(ensure_transcripts(SF) + "/*.parquet"))
+
+
+def fresh_runner(tmp_path, wave_files=2):
+    out = str(tmp_path / "out")
+    p = build_flagship(with_rewrite=False, with_enrich=False)
+    return LineageRunner(p, out, wave_files=wave_files), out
+
+
+def test_lineage_run_and_resume(tmp_path):
+    runner, out = fresh_runner(tmp_path)
+    files = input_files()
+    s1 = runner.run(files)
+    assert s1["waves_run"] == s1["waves_total"] > 0
+    assert s1["waves_skipped"] == 0
+    # sink counts match a direct pipeline run
+    import ray.data as rd
+    routed = build_flagship(with_rewrite=False, with_enrich=False).run(
+        rd.read_parquet(files))
+    expect = routed.sink_counts()
+    assert s1["sink_counts"] == expect
+
+    # written parquet row counts agree per sink
+    for sink, n in expect.items():
+        got = sum(pq.read_metadata(f).num_rows for f in
+                  glob.glob(f"{out}/{sink}/wave=*/part-*.parquet"))
+        assert got == n
+
+    # resume: everything already complete → nothing reruns
+    s2 = runner.run(files)
+    assert s2["waves_run"] == 0
+    assert s2["waves_skipped"] == s1["waves_total"]
+    assert s2["sink_counts"] == expect
+
+    # crash simulation: drop ONE wave's manifest → only that wave reruns
+    manifests = sorted(glob.glob(f"{out}/_lineage/wave-*.json"))
+    os.unlink(manifests[0])
+    s3 = runner.run(files)
+    assert s3["waves_run"] == 1
+    assert s3["waves_skipped"] == s1["waves_total"] - 1
+    assert s3["sink_counts"] == expect
+    # idempotent rewrite: per-sink totals still exact after the rerun
+    for sink, n in expect.items():
+        got = sum(pq.read_metadata(f).num_rows for f in
+                  glob.glob(f"{out}/{sink}/wave=*/part-*.parquet"))
+        assert got == n
+
+
+def test_manifest_contents(tmp_path):
+    runner, out = fresh_runner(tmp_path, wave_files=3)
+    runner.run(input_files())
+    m = json.load(open(sorted(glob.glob(f"{out}/_lineage/wave-*.json"))[0]))
+    assert set(m) >= {"wave", "input_files", "rows_in", "sink_counts",
+                      "wall_sec", "engine"}
+    assert m["rows_in"] > 0 and m["wall_sec"] >= 0

@@ -1,0 +1,123 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fluent_bit_ray.sp import sp_execute, sp_parse
+
+
+def mk_ds(n=200):
+    ts = pd.to_datetime(1_448_403_340 + np.arange(n), unit="s")
+    code = np.where(np.arange(n) % 3 == 0, 200, 500)
+    return rd.from_arrow(pa.table({
+        "tag": pa.array(["transcript.user" if i % 2 else "transcript.tool"
+                         for i in range(n)]),
+        "role": pa.array(["user" if i % 2 else "tool" for i in range(n)]),
+        "p_code": pa.array(code, type=pa.int64()),
+        "p_dur": pa.array((np.arange(n) % 10) / 10.0, type=pa.float64()),
+        "ts": pa.array(ts, type=pa.timestamp("ns")),
+    }))
+
+
+def test_parse_full_query():
+    q = sp_parse("CREATE STREAM s AS SELECT role, COUNT(*), AVG(dur) AS a "
+                 "FROM TAG:'transcript.*' WHERE code = 200 "
+                 "WINDOW TUMBLING (60 SECOND) GROUP BY role;")
+    assert q.stream == "s"
+    assert q.from_tag == "transcript.*"
+    assert q.window == ("TUMBLING", 60, 60)
+    assert q.group_by == ["role"]
+    assert q.select[1] == {"kind": "agg", "fn": "COUNT", "key": "*",
+                           "alias": "COUNT(*)"}
+    assert q.select[2]["alias"] == "a"
+
+
+def test_parse_invalid():
+    with pytest.raises(ValueError):
+        sp_parse("SELEKT x FROM TAG:'a'")
+    with pytest.raises(ValueError):
+        sp_parse("SELECT x FROM TAG:'a' WINDOW HOPPING (5 SECOND)")
+
+
+def test_non_aggregate_select_where():
+    out = sp_execute(mk_ds(), "SELECT role, p_code AS code FROM "
+                     "TAG:'*.tool' WHERE p_code = 200").to_pandas()
+    assert set(out.columns) == {"role", "code"}
+    assert (out["role"] == "tool").all()
+    assert (out["code"] == 200).all()
+    # tool rows are even i; code=200 at i%3==0 → i%6==0
+    assert len(out) == len([i for i in range(200) if i % 2 == 0 and i % 3 == 0])
+
+
+def test_condition_tree():
+    out = sp_execute(mk_ds(), "SELECT role FROM TAG:'*' WHERE "
+                     "(p_code = 200 AND p_dur >= 0.5) OR NOT role = 'user'") \
+        .to_pandas()
+    exp = 0
+    for i in range(200):
+        code = 200 if i % 3 == 0 else 500
+        dur = (i % 10) / 10.0
+        role = "user" if i % 2 else "tool"
+        if (code == 200 and dur >= 0.5) or role != "user":
+            exp += 1
+    assert len(out) == exp
+
+
+def test_tumbling_window_aggregate():
+    res = sp_execute(mk_ds(), "SELECT role, COUNT(*) AS n, SUM(p_dur) AS sd, "
+                     "MIN(p_code) AS mn, MAX(p_code) AS mx, AVG(p_dur) AS ad "
+                     "FROM TAG:'transcript.*' "
+                     "WINDOW TUMBLING (60 SECOND) GROUP BY role")
+    # reference computation in pandas
+    df = mk_ds().to_pandas()
+    df["w"] = df["ts"].dt.floor("60s")
+    exp = (df.groupby(["w", "role"])
+           .agg(n=("p_code", "size"), sd=("p_dur", "sum"),
+                mn=("p_code", "min"), mx=("p_code", "max"),
+                ad=("p_dur", "mean")).reset_index()
+           .sort_values(["w", "role"]).reset_index(drop=True))
+    assert len(res) == len(exp)
+    assert res["n"].tolist() == exp["n"].tolist()
+    assert np.allclose(res["sd"], exp["sd"])
+    assert np.allclose(res["ad"], exp["ad"])
+    assert res["mn"].tolist() == exp["mn"].tolist()
+
+
+def test_hopping_window():
+    res = sp_execute(mk_ds(120), "SELECT COUNT(*) AS n FROM TAG:'*' "
+                     "WINDOW HOPPING (60 SECOND, ADVANCE BY 30 SECOND)")
+    df = mk_ds(120).to_pandas()
+    epoch = df["ts"].astype("int64") // 10**9
+    rows = {}
+    for t in epoch:
+        base = (t // 30) * 30
+        for k in range(2):  # ceil(60/30)
+            start = base - k * 30
+            if t < start + 60:
+                rows[start] = rows.get(start, 0) + 1
+    exp = pd.Series(rows).sort_index()
+    assert res["n"].tolist() == exp.tolist()
+    # each row lands in exactly 2 windows
+    assert res["n"].sum() == 2 * 120
+
+
+def test_count_no_group_no_window():
+    res = sp_execute(mk_ds(), "SELECT COUNT(*) AS n FROM TAG:'*' "
+                     "WHERE p_code = 500")
+    assert res["n"].iloc[0] == len([i for i in range(200) if i % 3 != 0])
+
+
+def test_record_tag_function():
+    out = sp_execute(mk_ds(10), "SELECT RECORD_TAG() AS t FROM TAG:'*.user'") \
+        .to_pandas()
+    assert (out["t"] == "transcript.user").all()
+
+
+def test_stream_chaining():
+    ds = mk_ds()
+    s1 = sp_execute(ds, "CREATE STREAM ok AS SELECT role, p_dur, ts "
+                    "FROM TAG:'*' WHERE p_code = 200")
+    res = sp_execute(None, "SELECT COUNT(*) AS n FROM STREAM:ok",
+                     streams={"ok": s1})
+    assert res["n"].iloc[0] == len([i for i in range(200) if i % 3 == 0])
