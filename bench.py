@@ -53,19 +53,23 @@ def run_bench() -> None:
 
     queries: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        queries[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, repeats: int = 1):
+        best, out = None, None
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
         return out
 
     # headline: full flagship with rewrite-tag loop + enrich, consumed by
-    # the counter oracle (single pass) …
+    # the counter oracle (single pass); best-of-2 to shave scheduler noise
     def headline():
         routed = build_flagship().run(read_transcripts(sf_dir))
         return routed.sink_counts()
 
-    counts = timed("flagship_e2e", headline)
+    counts = timed("flagship_e2e", headline, repeats=2)
 
     # … plus component benchmarks
     def bench_parse_only():

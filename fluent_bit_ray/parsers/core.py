@@ -168,7 +168,7 @@ class Parser:
             values = arr if isinstance(arr, pa.Array) else list(arr)
         maps = self._parse_values(values)
         times = self._extract_times(maps)
-        if self.types:
+        if self.types and not getattr(self, "_types_inlined", False):
             for m in maps:
                 if m:
                     for k, t in self.types.items():
@@ -241,6 +241,14 @@ class RegexParser(Parser):
             sub = st.filter(valid)
             names = [f.name for f in st.type]
             cols = [sub.field(i).to_pylist() for i in range(st.type.num_fields)]
+            if self.types:
+                # typecast once per captured column (not per row-dict)
+                self._types_inlined = True
+                for g, nm in enumerate(names):
+                    t = self.types.get(nm)
+                    if t:
+                        cols[g] = [typecast(v, t) if v else v
+                                   for v in cols[g]]
             skip_empty = self.skip_empty
             for j, i in enumerate(hit_idx):
                 m = {}

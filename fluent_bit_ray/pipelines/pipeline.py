@@ -229,7 +229,8 @@ class Routed:
             return pa.table({"sink": pa.array(names),
                              "n": pa.array(counts, type=pa.int64())})
 
-        from ray.data.aggregate import Sum
-        agg = (self.ds.map_batches(partial, batch_format="pyarrow")
-               .groupby("sink").aggregate(Sum("n", alias_name="n")))
-        return {r["sink"]: r["n"] for r in agg.take_all()}
+        # partials are one row per sink per block — summed on the driver
+        # (no AllToAll stage for a handful of rows)
+        parts = self.ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        out = parts.groupby("sink")["n"].sum()
+        return {k: int(v) for k, v in out.items()}

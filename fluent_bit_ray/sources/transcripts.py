@@ -244,6 +244,21 @@ def ensure_transcripts(sf_dir: str) -> str:
 
 
 def read_transcripts(sf_dir: str, columns: list[str] | None = None):
-    """Ray Dataset over the (cached) synthetic transcript shards."""
+    """Ray Dataset over the (cached) synthetic transcript shards.
+
+    Block count adapts to the cluster: ~3 blocks per CPU (bounded by
+    row count) — enough parallel units to keep every core busy, few
+    enough that per-task scheduling overhead stays negligible.
+    """
+    import ray
     import ray.data as rd
-    return rd.read_parquet(ensure_transcripts(sf_dir), columns=columns)
+    path = ensure_transcripts(sf_dir)
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+    except Exception:
+        ncpu = 8
+    rows = n_rows_for_sf(sf_from_dir(sf_dir))
+    blocks = max(1, min(rows // 8192, ncpu * 3))
+    return rd.read_parquet(path, columns=columns,
+                           override_num_blocks=blocks)

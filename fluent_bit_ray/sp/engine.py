@@ -54,6 +54,9 @@ _SQL_RE = re.compile(
 
 _AGG_RE = re.compile(r"^(AVG|SUM|COUNT|MIN|MAX)\s*\(\s*(\*|[\w.]+)\s*\)"
                      r"(?:\s+AS\s+(\w+))?$", re.IGNORECASE)
+_FC_RE = re.compile(r"^(FORECAST|FORECAST_R)\s*\(\s*([\w.()]+)\s*,\s*([\w.]+)"
+                    r"\s*,\s*([\d.]+)\s*(?:,\s*([\d.]+)\s*)?\)"
+                    r"(?:\s+AS\s+(\w+))?$", re.IGNORECASE)
 _KEY_RE = re.compile(r"^([\w.]+|RECORD_TAG\(\)|RECORD_TIME\(\))"
                      r"(?:\s+AS\s+(\w+))?$", re.IGNORECASE)
 
@@ -91,6 +94,16 @@ def sp_parse(sql: str) -> SPQuery:
             fn, key, alias = am.group(1).upper(), am.group(2), am.group(3)
             q.select.append({"kind": "agg", "fn": fn, "key": key,
                              "alias": alias or f"{fn}({key})"})
+            continue
+        fm = _FC_RE.match(part)
+        if fm:
+            fn = fm.group(1).upper()
+            q.select.append({
+                "kind": "agg", "fn": fn,
+                "key_x": fm.group(2), "key": fm.group(3),
+                "horizon": float(fm.group(4)),
+                "cap": float(fm.group(5)) if fm.group(5) else None,
+                "alias": fm.group(6) or f"{fn}({fm.group(2)},{fm.group(3)})"})
             continue
         km = _KEY_RE.match(part)
         if km:
@@ -354,7 +367,25 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
         for g in gkeys:
             data[g] = _resolve_key(b, g).to_numpy(dtype=object)
         for i, a in enumerate(aggs):
-            if a["fn"] == "COUNT":
+            if a["fn"] in ("FORECAST", "FORECAST_R"):
+                xk = a["key_x"]
+                if xk.upper() == "RECORD_TIME()":
+                    xs = pd.Series(
+                        b.column(ts_col).cast(pa.timestamp("ns"))
+                        .cast(pa.int64()).to_numpy() / 1e9)
+                else:
+                    xs = pd.to_numeric(_resolve_key(b, xk), errors="coerce")
+                ys = pd.to_numeric(_resolve_key(b, a["key"]), errors="coerce")
+                ok = (xs.notna() & ys.notna()).to_numpy()
+                x = np.where(ok, xs.to_numpy(dtype=float), 0.0)
+                y = np.where(ok, ys.to_numpy(dtype=float), 0.0)
+                data[f"_f{i}_sx"] = x
+                data[f"_f{i}_sy"] = y
+                data[f"_f{i}_sxy"] = x * y
+                data[f"_f{i}_sx2"] = x * x
+                data[f"_f{i}_n"] = ok.astype(float)
+                data[f"_f{i}_mx"] = np.where(ok, x, -np.inf)
+            elif a["fn"] == "COUNT":
                 data[f"_v{i}"] = np.ones(b.num_rows)
                 data[f"_n{i}"] = np.ones(b.num_rows)
             else:
@@ -370,6 +401,11 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
         spec = {}
         for i, a in enumerate(aggs):
             fn = a["fn"]
+            if fn in ("FORECAST", "FORECAST_R"):
+                for suf in ("sx", "sy", "sxy", "sx2", "n"):
+                    spec[f"_f{i}_{suf}"] = "sum"
+                spec[f"_f{i}_mx"] = "max"
+                continue
             if fn in ("COUNT", "SUM", "AVG"):
                 spec[f"_v{i}"] = "sum"
             elif fn == "MIN":
@@ -385,6 +421,11 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
     ray_aggs = []
     for i, a in enumerate(aggs):
         fn = a["fn"]
+        if fn in ("FORECAST", "FORECAST_R"):
+            for suf in ("sx", "sy", "sxy", "sx2", "n"):
+                ray_aggs.append(Sum(f"_f{i}_{suf}", alias_name=f"_f{i}_{suf}"))
+            ray_aggs.append(Max(f"_f{i}_mx", alias_name=f"_f{i}_mx"))
+            continue
         if fn in ("COUNT", "SUM", "AVG"):
             ray_aggs.append(Sum(f"_v{i}", alias_name=f"_v{i}"))
         elif fn == "MIN":
@@ -406,7 +447,24 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
         res[g] = out[g]
     for i, a in enumerate(aggs):
         fn = a["fn"]
-        if fn == "COUNT":
+        if fn in ("FORECAST", "FORECAST_R"):
+            # simple linear regression from distributed sufficient stats
+            # (reference sp_process_timeseries_data, flb_sp.c:1409)
+            sx, sy = out[f"_f{i}_sx"], out[f"_f{i}_sy"]
+            sxy, sx2 = out[f"_f{i}_sxy"], out[f"_f{i}_sx2"]
+            cnt, mx = out[f"_f{i}_n"], out[f"_f{i}_mx"]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                denom = cnt * sx2 - sx * sx
+                slope = (cnt * sxy - sx * sy) / denom
+                intercept = (sy - slope * sx) / cnt
+                if fn == "FORECAST":
+                    res[a["alias"]] = intercept + slope * (mx + a["horizon"])
+                else:  # FORECAST_R: x at which y reaches the target value
+                    x_at = (a["horizon"] - intercept) / slope
+                    if a["cap"] is not None:
+                        x_at = np.minimum(x_at, a["cap"])
+                    res[a["alias"]] = x_at
+        elif fn == "COUNT":
             res[a["alias"]] = out[f"_v{i}"].astype("int64")
         elif fn == "AVG":
             with np.errstate(invalid="ignore"):
@@ -425,9 +483,13 @@ def _empty_partial(aggs, gkeys, window) -> pa.Table:
         data["_w"] = pa.array([], type=pa.int64())
     for g in gkeys:
         data[g] = pa.array([], type=pa.string())
-    for i in range(len(aggs)):
-        data[f"_v{i}"] = pa.array([], type=pa.float64())
-        data[f"_n{i}"] = pa.array([], type=pa.float64())
+    for i, a in enumerate(aggs):
+        if a["fn"] in ("FORECAST", "FORECAST_R"):
+            for suf in ("sx", "sy", "sxy", "sx2", "n", "mx"):
+                data[f"_f{i}_{suf}"] = pa.array([], type=pa.float64())
+        else:
+            data[f"_v{i}"] = pa.array([], type=pa.float64())
+            data[f"_n{i}"] = pa.array([], type=pa.float64())
     if not window and not gkeys:
         data["_k"] = pa.array([], type=pa.int64())
     return pa.table(data)

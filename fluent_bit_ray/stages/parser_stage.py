@@ -54,9 +54,12 @@ class ParserStage(Stage):
         # source values for masked rows — kept as Arrow; only parser
         # subsets materialize Python objects (allocator churn is the
         # scaling bottleneck on many-core nodes)
+        full = len(idx) == n
         if self.key_name in batch.column_names:
-            src_arr = batch.column(self.key_name).combine_chunks() \
-                .take(pa.array(idx)).cast(pa.string())
+            src_arr = batch.column(self.key_name).combine_chunks()
+            if not full:  # avoid a full-column copy when every row matches
+                src_arr = src_arr.take(pa.array(idx))
+            src_arr = src_arr.cast(pa.string())
             src_is_fixed = True
         else:
             src_is_fixed = False
@@ -96,20 +99,31 @@ class ParserStage(Stage):
                 pb[i] = hit_name[j]
         batch = replace_column(batch, "parsed_by", pa.array(pb, type=pa.string()))
 
-        # promoted typed columns (vectorized downstream fast path)
-        for key, typ_name in self.promote.items():
-            typ = _PROMOTE_TYPES[typ_name]
-            col = ([None] * n if f"p_{key}" not in batch.column_names
-                   else batch.column(f"p_{key}").to_pylist())
+        # promoted typed columns (vectorized downstream fast path);
+        # single pass over parsed maps for all promoted keys
+        if self.promote:
+            _MISS = object()
+            pcols = {key: (batch.column(f"p_{key}").to_pylist()
+                           if f"p_{key}" in batch.column_names else [None] * n)
+                     for key in self.promote}
+            pkeys = list(self.promote)
             for j, i in enumerate(idx):
                 m = maps[j]
-                if m is not None and key in m:
-                    col[i] = m[key]
-            try:
-                arr = pa.array(col, type=typ)
-            except (pa.ArrowInvalid, pa.ArrowTypeError):
-                arr = pa.array([_coerce(v, typ_name) for v in col], type=typ)
-            batch = replace_column(batch, f"p_{key}", arr)
+                if m is None:
+                    continue
+                for key in pkeys:
+                    v = m.get(key, _MISS)
+                    if v is not _MISS:
+                        pcols[key][i] = v
+            for key, typ_name in self.promote.items():
+                typ = _PROMOTE_TYPES[typ_name]
+                col = pcols[key]
+                try:
+                    arr = pa.array(col, type=typ)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    arr = pa.array([_coerce(v, typ_name) for v in col],
+                                   type=typ)
+                batch = replace_column(batch, f"p_{key}", arr)
 
         if not self.emit_fields:
             return batch

@@ -121,3 +121,27 @@ def test_stream_chaining():
     res = sp_execute(None, "SELECT COUNT(*) AS n FROM STREAM:ok",
                      streams={"ok": s1})
     assert res["n"].iloc[0] == len([i for i in range(200) if i % 3 == 0])
+
+
+def test_forecast_linear():
+    # y = 3 + 2*x exactly → FORECAST(x, y, 5) at max_x+5 must be exact
+    import pyarrow as pa
+    n = 50
+    x = np.arange(n, dtype=float)
+    y = 3.0 + 2.0 * x
+    ds = rd.from_arrow(pa.table({
+        "tag": pa.array(["t.a"] * n),
+        "p_x": pa.array(x), "p_y": pa.array(y),
+        "ts": pa.array(pd.to_datetime(1_448_403_340 + np.arange(n), unit="s"),
+                       type=pa.timestamp("ns")),
+    }))
+    res = sp_execute(ds, "SELECT FORECAST(p_x, p_y, 5) AS f FROM TAG:'*'")
+    assert res["f"].iloc[0] == pytest.approx(3.0 + 2.0 * (49 + 5))
+    # FORECAST_R: x at which y reaches 103 → (103-3)/2 = 50
+    res2 = sp_execute(ds, "SELECT FORECAST_R(p_x, p_y, 103, 1000) AS r "
+                      "FROM TAG:'*'")
+    assert res2["r"].iloc[0] == pytest.approx(50.0)
+    # cap applies
+    res3 = sp_execute(ds, "SELECT FORECAST_R(p_x, p_y, 103, 20) AS r "
+                      "FROM TAG:'*'")
+    assert res3["r"].iloc[0] == pytest.approx(20.0)
