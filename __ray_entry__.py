@@ -298,8 +298,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["turn_idx"] = out["turn_idx"].astype("int32")
         return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
+    # ---------------- conv-level stats: skew-safe two-stage aggregation.
+    # conv_id is Zipf-skewed (conv-000000 holds ~9% of rows); a naive
+    # groupby(conv_id) ships every hot-key row to one reducer. The
+    # per-batch partial groupby below collapses each conv to ONE row per
+    # block before the shuffle — the pre-aggregation/salting pattern.
+    def conv_stats(sf_dir: str):
+        import pyarrow as pa
+
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "conv_id": b.column("conv_id").to_pylist(),
+                "turn_idx": b.column("turn_idx").to_numpy(zero_copy_only=False),
+                "ts": b.column("ts").cast(pa.timestamp("ns")).cast(pa.int64())
+                      .to_numpy(),
+            })
+            g = df.groupby("conv_id", sort=False).agg(
+                n_turns=("turn_idx", "size"),
+                max_turn=("turn_idx", "max"),
+                first_ts=("ts", "min"), last_ts=("ts", "max")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Max, Min, Sum
+        agg = (read_transcripts(sf_dir)
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("conv_id")
+               .aggregate(Sum("n_turns", alias_name="n_turns"),
+                          Max("max_turn", alias_name="max_turn"),
+                          Min("first_ts", alias_name="first_ts"),
+                          Max("last_ts", alias_name="last_ts")))
+        out = agg.to_pandas()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        out["max_turn"] = out["max_turn"].astype("int64")
+        out["first_ts"] = pd.to_datetime(out["first_ts"])
+        out["last_ts"] = pd.to_datetime(out["last_ts"])
+        return out.sort_values("conv_id").reset_index(drop=True)
+
+    # ---------------- stable (conv_id, turn_idx) ordering of the hot conv
+    def hot_conversation(sf_dir: str):
+        ds = read_transcripts(sf_dir)
+        import pyarrow as pa
+
+        def pick(b: pa.Table) -> pa.Table:
+            m = pa.compute.equal(b.column("conv_id"), "conv-000000")
+            return b.filter(m).select(["conv_id", "turn_idx", "role", "text"])
+
+        out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
     return {
         "route_counts": route_counts,
+        "conv_stats": conv_stats,
+        "hot_conversation": hot_conversation,
         "routed_rows_tool": routed_rows_tool,
         "flowcounter_minute": flowcounter_minute,
         "parse_toolcalls": parse_toolcalls,
@@ -345,6 +395,20 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'tool_sink', (SELECT count(*) FROM t WHERE role = 'tool')
             ) ORDER BY sink
+        """,
+        "conv_stats": f"""
+            WITH t AS ({t})
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   max(turn_idx)::BIGINT AS max_turn,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts
+            FROM t GROUP BY conv_id ORDER BY conv_id
+        """,
+        "hot_conversation": f"""
+            WITH t AS ({t})
+            SELECT conv_id, turn_idx, role, text FROM t
+            WHERE conv_id = 'conv-000000' ORDER BY conv_id, turn_idx
         """,
         "routed_rows_tool": f"""
             WITH t AS ({t})

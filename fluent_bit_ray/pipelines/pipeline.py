@@ -45,14 +45,30 @@ class _ChainFn:
     streaming pass with zero recomputation.
     """
 
-    def __init__(self, specs: list[dict], reentrant_hops: int = 0):
+    def __init__(self, specs: list[dict], reentrant_hops: int = 0,
+                 collect_metrics: bool = False):
         self.stages = [build_stage(s) if isinstance(s, dict) else s
                        for s in specs]
         self.reentrant_hops = reentrant_hops
+        self.collect_metrics = collect_metrics
+        self._metrics_actor = None
 
     def _apply(self, batch: pa.Table) -> pa.Table:
+        if not self.collect_metrics:
+            for st in self.stages:
+                batch = st(batch)
+            return batch
+        deltas = []
         for st in self.stages:
+            rin = batch.num_rows
             batch = st(batch)
+            deltas.append((getattr(st, "stage_type", type(st).__name__),
+                           rin, batch.num_rows))
+        if deltas:
+            if self._metrics_actor is None:
+                from ..state.metrics import get_metrics_actor
+                self._metrics_actor = get_metrics_actor()
+            self._metrics_actor.add.remote(deltas)  # fire-and-forget
         return batch
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -87,13 +103,15 @@ class Pipeline:
                  tag_prefix: str = "transcript",
                  max_hops: int = 4,
                  batch_size: int | None = 16384,
-                 concurrency: int | None = None):
+                 concurrency: int | None = None,
+                 collect_metrics: bool = False):
         self.stage_specs = stages or []
         self.router = Router(sinks or [("all", "*")])
         self.tag_prefix = tag_prefix
         self.max_hops = max_hops
         self.batch_size = batch_size
         self.concurrency = concurrency
+        self.collect_metrics = collect_metrics
 
     # ------------------------------------------------------------------
     def _built_stages(self) -> list[Stage]:
@@ -131,7 +149,8 @@ class Pipeline:
                 kw = {}
                 if self.concurrency:
                     kw["concurrency"] = self.concurrency
-                fn = _ChainFn(seg, reentrant_hops=reentrant_hops)
+                fn = _ChainFn(seg, reentrant_hops=reentrant_hops,
+                              collect_metrics=self.collect_metrics)
                 ds = ds.map_batches(fn, batch_format="pyarrow",
                                     batch_size=self.batch_size, **kw)
         return ds

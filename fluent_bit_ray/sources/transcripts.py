@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION = 4
+GEN_VERSION = 5
 BASE_EPOCH = 1448403340  # fixed ts used by the reference's test data generator
 ROWS_PER_SF = 6_000_000  # sf0.001 -> 6k rows, sf0.01 -> 60k, sf0.1 -> 600k
 CACHE_ROOT = "/tmp/graft_transcripts"
@@ -201,7 +201,7 @@ def gen_transcripts(n_rows: int, seed: int = 42) -> pa.Table:
     })
 
 
-SHARD_ROWS = 25_000  # one parquet file per ~25k turns → parallel reads
+SHARD_ROWS = 100_000  # shard size balances parallel reads vs per-file metadata cost
 
 
 def transcripts_path(sf_dir: str) -> str:

@@ -114,11 +114,14 @@ class LineageRunner:
                 t0 = time.perf_counter()
                 ds = rd.read_parquet(wave_files)
                 rows_in = ds.count()
+                self.pipeline.collect_metrics = True
                 routed = self.pipeline.run(rd.read_parquet(wave_files))
                 counts = write_routed_sinks(routed, self.outdir, wave=wid)
+                from .metrics import drain_metrics
                 m = {"wave": wid, "input_files": wave_files,
                      "rows_in": rows_in,
                      "sink_counts": counts,
+                     "stage_metrics": drain_metrics(),
                      "wall_sec": round(time.perf_counter() - t0, 3),
                      "engine": "fluent_bit_ray"}
                 tmp = os.path.join(self.lineage_dir, f".wave-{wid}.tmp")

@@ -68,3 +68,13 @@ def test_manifest_contents(tmp_path):
     assert set(m) >= {"wave", "input_files", "rows_in", "sink_counts",
                       "wall_sec", "engine"}
     assert m["rows_in"] > 0 and m["wall_sec"] >= 0
+
+
+def test_stage_metrics_in_manifest(tmp_path):
+    runner, out = fresh_runner(tmp_path, wave_files=10)
+    runner.run(input_files())
+    m = json.load(open(sorted(glob.glob(f"{out}/_lineage/wave-*.json"))[0]))
+    sm = m["stage_metrics"]
+    assert "parser" in sm
+    assert sm["parser"]["rows_in"] == m["rows_in"]
+    assert sm["parser"]["rows_out"] == m["rows_in"]  # parser never drops
