@@ -257,6 +257,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["q", "vec_id", "cos_r4"]]
         return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
 
+    # -- ua_enrich: browser counts over apache rows (regex-table lookup)
+    def ua_browser_counts(sf_dir: str):
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=True)
+        import pyarrow as pa
+
+        def partial(b: pa.Table) -> pa.Table:
+            m = pa.compute.equal(b.column("parsed_by"), "apache")
+            b = b.filter(m)
+            df = pd.DataFrame({"browser": b.column("ua_browser").to_pylist()})
+            g = df.groupby("browser", sort=False).size().reset_index(name="n")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Sum
+        agg = (routed.ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("browser").aggregate(Sum("n", alias_name="n")))
+        out = agg.to_pandas()
+        out["n"] = out["n"].astype("int64")
+        return out.sort_values("browser").reset_index(drop=True)
+
     # ---------------- multiline join (tail multiline semantics)
     FIRSTLINE = r"^(\d|\{|CALL )"
 
@@ -366,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_pairs": docs_minhash_pairs,
         "emb_dup_pairs": emb_dup_pairs,
         "ann_topk": ann_topk,
+        "ua_browser_counts": ua_browser_counts,
         "multiline_segments": multiline_segments,
         "sp_count_window": sp_count_window,
         "throttle_kept": throttle_kept,
@@ -519,6 +539,22 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN embeddings e)
             SELECT q, vec_id, round(cos, 4) AS cos_r4 FROM scored
             WHERE rk <= 10 ORDER BY q, vec_id
+        """,
+        "ua_browser_counts": f"""
+            WITH t AS ({t}),
+            apache AS (
+              SELECT regexp_extract(text, '"([^"]*)"$', 1) AS agent
+              FROM t
+              WHERE regexp_matches(text, '^[0-9.]+ - '))
+            SELECT CASE
+                     WHEN regexp_matches(agent, 'Firefox/(\\d+)') THEN 'Firefox'
+                     WHEN regexp_matches(agent, 'Chrome/(\\d+)') THEN 'Chrome'
+                     WHEN regexp_matches(agent, 'curl/([\\d.]+)') THEN 'curl'
+                     WHEN regexp_matches(agent, 'python-requests/([\\d.]+)') THEN 'requests'
+                     ELSE 'Unknown'
+                   END AS browser,
+                   count(*)::BIGINT AS n
+            FROM apache GROUP BY 1 ORDER BY browser
         """,
         "multiline_segments": f"""
             WITH t AS ({t}),

@@ -57,8 +57,8 @@ _AGG_RE = re.compile(r"^(AVG|SUM|COUNT|MIN|MAX)\s*\(\s*(\*|[\w.]+)\s*\)"
 _FC_RE = re.compile(r"^(FORECAST|FORECAST_R)\s*\(\s*([\w.()]+)\s*,\s*([\w.]+)"
                     r"\s*,\s*([\d.]+)\s*(?:,\s*([\d.]+)\s*)?\)"
                     r"(?:\s+AS\s+(\w+))?$", re.IGNORECASE)
-_KEY_RE = re.compile(r"^([\w.]+|RECORD_TAG\(\)|RECORD_TIME\(\))"
-                     r"(?:\s+AS\s+(\w+))?$", re.IGNORECASE)
+_KEY_RE = re.compile(r"^([\w.]+|RECORD_TAG\(\)|RECORD_TIME\(\)|NOW\(\)"
+                     r"|UNIX_TIMESTAMP\(\))(?:\s+AS\s+(\w+))?$", re.IGNORECASE)
 
 
 class SPQuery:
@@ -236,8 +236,19 @@ def _parse_cond(s: str):
 
 
 # ------------------------------------------------------------ execution
-def _resolve_key(b: pa.Table, key: str, decoded=None):
-    """Column values for a record key (fixed → promoted → fields)."""
+def _resolve_key(b: pa.Table, key: str, decoded=None, now=None):
+    """Column values for a record key (fixed → promoted → fields).
+
+    NOW()/UNIX_TIMESTAMP() (reference flb_sp_func_time.c:96) take the
+    injected deterministic ``now`` epoch-seconds value — the reference
+    uses wall clock, which would break reproducibility here.
+    """
+    ku = key.upper()
+    if ku == "NOW()":
+        ts = pd.Timestamp(int(now or 0), unit="s")
+        return pd.Series([ts.strftime("%Y-%m-%d %H:%M:%S")] * b.num_rows)
+    if ku == "UNIX_TIMESTAMP()":
+        return pd.Series([int(now or 0)] * b.num_rows)
     if key == "RECORD_TAG()":
         key = TAG_COL
     if key == "RECORD_TIME()":
@@ -295,7 +306,7 @@ def _eval_cond(node, b: pa.Table, decoded=None) -> np.ndarray:
 
 
 def sp_execute(ds, sql: str, streams: dict | None = None,
-               ts_col: str = "ts"):
+               ts_col: str = "ts", now: float | None = None):
     """Execute an SP query over a tagged Dataset.
 
     Returns a Dataset (non-aggregate) or a sorted pandas frame
@@ -330,7 +341,7 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
                 return b
             cols, names = [], []
             for s in sel:
-                v = _resolve_key(b, s["key"])
+                v = _resolve_key(b, s["key"], now=now)
                 cols.append(pa.array(v))
                 names.append(s["alias"])
             return pa.table(dict(zip(names, cols)))

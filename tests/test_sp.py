@@ -145,3 +145,10 @@ def test_forecast_linear():
     res3 = sp_execute(ds, "SELECT FORECAST_R(p_x, p_y, 103, 20) AS r "
                       "FROM TAG:'*'")
     assert res3["r"].iloc[0] == pytest.approx(20.0)
+
+
+def test_now_and_unix_timestamp():
+    out = sp_execute(mk_ds(5), "SELECT NOW() AS now, UNIX_TIMESTAMP() AS ut, "
+                     "role FROM TAG:'*'", now=1448403340).to_pandas()
+    assert (out["now"] == "2015-11-24 22:15:40").all()
+    assert (out["ut"] == 1448403340).all()
