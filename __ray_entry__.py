@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fc = flowcounter(routed.ds, unit="minute")
         fc["n_records"] = fc["n_records"].astype("int64")
         fc["n_bytes"] = fc["n_bytes"].astype("int64")
+        fc["bucket_ts"] = fc["bucket_ts"].astype("datetime64[us]")
         return fc
 
     # -- parse: tool-call extraction from turn text (grep+regex parse)
@@ -159,7 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                .aggregate(Sum("n", alias_name="n"),
                           Sum("dur_ms", alias_name="dur_ms")))
         out = agg.to_pandas()
-        out["window_start"] = pd.to_datetime(out["w"], unit="s")
+        out["window_start"] = pd.to_datetime(out["w"], unit="s").astype("datetime64[us]")
         out = out[["role", "window_start", "n", "dur_ms"]]
         out["n"] = out["n"].astype("int64")
         out["dur_ms"] = out["dur_ms"].astype("int64")
@@ -189,7 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                .aggregate(Sum("n", alias_name="n"),
                           Sum("value_c", alias_name="value_c")))
         out = agg.to_pandas()
-        out["minute_ts"] = pd.to_datetime(out["w"], unit="s")
+        out["minute_ts"] = pd.to_datetime(out["w"], unit="s").astype("datetime64[us]")
         out = out[["event_type", "minute_ts", "n", "value_c"]]
         out["n"] = out["n"].astype("int64")
         out["value_c"] = out["value_c"].astype("int64")
@@ -297,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          "WHERE p_code = 200 WINDOW TUMBLING (60 SECOND) "
                          "GROUP BY role")
         res["n"] = res["n"].astype("int64")
+        res["window_start"] = res["window_start"].astype("datetime64[us]")
         return res.sort_values(["role", "window_start"]).reset_index(drop=True)
 
     # ---------------- throttle / throttle_size (event-time determinized)
@@ -349,8 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = agg.to_pandas()
         out["n_turns"] = out["n_turns"].astype("int64")
         out["max_turn"] = out["max_turn"].astype("int64")
-        out["first_ts"] = pd.to_datetime(out["first_ts"])
-        out["last_ts"] = pd.to_datetime(out["last_ts"])
+        out["first_ts"] = pd.to_datetime(out["first_ts"]).astype("datetime64[us]")
+        out["last_ts"] = pd.to_datetime(out["last_ts"]).astype("datetime64[us]")
         return out.sort_values("conv_id").reset_index(drop=True)
 
     # ---------------- stable (conv_id, turn_idx) ordering of the hot conv

@@ -246,9 +246,9 @@ def ensure_transcripts(sf_dir: str) -> str:
 def read_transcripts(sf_dir: str, columns: list[str] | None = None):
     """Ray Dataset over the (cached) synthetic transcript shards.
 
-    Block count adapts to the cluster: ~3 blocks per CPU (bounded by
-    row count) — enough parallel units to keep every core busy, few
-    enough that per-task scheduling overhead stays negligible.
+    Block count adapts to the cluster: ~1.5 blocks per CPU (bounded
+    by row count) — measured sweet spot between per-task dispatch
+    overhead and straggler tolerance on this host.
     """
     import ray
     import ray.data as rd
@@ -259,6 +259,6 @@ def read_transcripts(sf_dir: str, columns: list[str] | None = None):
     except Exception:
         ncpu = 8
     rows = n_rows_for_sf(sf_from_dir(sf_dir))
-    blocks = max(1, min(rows // 8192, ncpu * 3))
+    blocks = max(1, min(rows // 8192, ncpu + ncpu // 2))
     return rd.read_parquet(path, columns=columns,
                            override_num_blocks=blocks)
