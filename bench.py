@@ -82,7 +82,7 @@ def run_bench() -> None:
     def bench_flowcounter():
         routed = build_flagship(with_rewrite=False, with_enrich=False,
                                 emit_fields=False).run(read_transcripts(sf_dir))
-        return flowcounter(routed.ds, unit="minute")
+        return flowcounter(routed.ds, unit="minute", combine="driver")
 
     timed("flowcounter", bench_flowcounter)
 

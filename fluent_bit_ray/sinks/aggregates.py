@@ -32,11 +32,17 @@ def counter_total(ds) -> int:
 
 
 def flowcounter(ds, unit: str = "minute", ts_col: str = "ts",
-                size_col: str = "text"):
+                size_col: str = "text", combine: str = "shuffle"):
     """Per-(tag, bucket) counts and bytes → small sorted pandas frame.
 
     Columns: tag, bucket_ts (timestamp at bucket start), n_records,
     n_bytes.
+
+    ``combine``: "shuffle" (default) finishes with a Ray groupby over
+    the per-block partials — correct at any scale. "driver" sums the
+    partials in pandas on the driver: faster when partial rows
+    (≈ unique (tag, bucket) per block × blocks) comfortably fit driver
+    memory; use only when tags × time-range is known-small.
     """
     width = _UNIT_SECONDS[unit]
 
@@ -57,12 +63,18 @@ def flowcounter(ds, unit: str = "minute", ts_col: str = "ts",
                .reset_index())
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby(["tag", "bucket"])
-             .aggregate(Sum("n_records", alias_name="n_records"),
-                        Sum("n_bytes", alias_name="n_bytes")))
-    out = agg.to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    if combine == "driver":
+        out = (parts.to_pandas()
+               .groupby(["tag", "bucket"], sort=False)
+               .agg(n_records=("n_records", "sum"),
+                    n_bytes=("n_bytes", "sum")).reset_index())
+    else:
+        from ray.data.aggregate import Sum
+        agg = (parts.groupby(["tag", "bucket"])
+               .aggregate(Sum("n_records", alias_name="n_records"),
+                          Sum("n_bytes", alias_name="n_bytes")))
+        out = agg.to_pandas()
     out["bucket_ts"] = pd.to_datetime(out["bucket"], unit="s")
     out = out[["tag", "bucket_ts", "n_records", "n_bytes"]]
     return out.sort_values(["tag", "bucket_ts"]).reset_index(drop=True)
