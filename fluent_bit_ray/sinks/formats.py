@@ -68,6 +68,18 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
             row[FIELDS_COL] = fields_loads(cols[FIELDS_COL][i]) \
                 if FIELDS_COL in cols else {}
             out.append(translate(template, row))
+    elif fmt == "plot":
+        # out_plot: "epoch value" pairs for gnuplot (reference
+        # plugins/out_plot) — value key defaults to the first numeric
+        value_key = csv_columns[0] if csv_columns else None
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            v = m.get(value_key) if value_key else next(
+                (x for x in m.values() if isinstance(x, (int, float))
+                 and not isinstance(x, bool)), "")
+            t = ts[i]
+            epoch = int(t.timestamp()) if hasattr(t, "timestamp") else ""
+            out.append(f"{epoch} {v}")
     elif fmt == "es_bulk":
         for i in range(n):
             m = _row_map(b, i, cols)
