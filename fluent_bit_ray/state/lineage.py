@@ -38,14 +38,22 @@ def _wave_id(files: list[str]) -> str:
     return h
 
 
-def write_routed_sinks(routed, outdir: str, wave: str = "w0") -> dict:
-    """Single-pass multiplexed write; returns per-sink row counts."""
+def write_routed_sinks(routed, outdir: str, wave: str = "w0",
+                       formats: dict[str, str] | None = None) -> dict:
+    """Single-pass multiplexed write; returns per-sink row counts.
+
+    ``formats`` maps sink name → "parquet" (default) or an out_file
+    format ("json" / "csv" / "ltsv" / "es_bulk" / "plot" / "template")
+    written as text parts via the format functions.
+    """
     router = routed.router
     names = router.sink_names()
+    formats = formats or {}
     for nm in names:
         os.makedirs(os.path.join(outdir, nm, f"wave={wave}"), exist_ok=True)
 
     def write_batch(b: pa.Table) -> pa.Table:
+        from ..sinks.formats import format_batch
         counts = []
         for nm in names:
             m = router.sink_mask(b.column(ROUTES_COL), nm)
@@ -57,10 +65,15 @@ def write_routed_sinks(routed, outdir: str, wave: str = "w0") -> dict:
                 (nm + str(sub.num_rows)
                  + str(sub.column(0).slice(0, 4).to_pylist())).encode()
             ).hexdigest()[:16]
-            path = os.path.join(outdir, nm, f"wave={wave}",
-                                f"part-{key}.parquet")
-            tmp = path + ".tmp"
-            pq.write_table(sub, tmp)
+            fmt = formats.get(nm, "parquet")
+            base = os.path.join(outdir, nm, f"wave={wave}", f"part-{key}")
+            if fmt == "parquet":
+                tmp, path = base + ".parquet.tmp", base + ".parquet"
+                pq.write_table(sub, tmp)
+            else:
+                tmp, path = base + ".txt.tmp", base + ".txt"
+                with open(tmp, "w") as fh:
+                    fh.write("\n".join(format_batch(sub, fmt=fmt)) + "\n")
             os.replace(tmp, path)  # atomic per part file
         return pa.table({"sink": pa.array(names),
                          "n": pa.array(counts, type=pa.int64())})
