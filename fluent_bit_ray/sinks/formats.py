@@ -37,7 +37,8 @@ def _row_map(b: pa.Table, i: int, cols: dict) -> dict:
 
 def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
                  csv_columns: list[str] | None = None,
-                 es_index_prefix: str = "logstash") -> list[str]:
+                 es_index_prefix: str = "logstash",
+                 es_generate_id: bool = False) -> list[str]:
     cols = {c: b.column(c).to_pylist() for c in b.column_names}
     n = b.num_rows
     ts = cols.get("ts", [None] * n)
@@ -86,10 +87,17 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
             t = ts[i]
             day = (str(t)[:10].replace("-", ".")
                    if t is not None else "0000.00.00")
-            out.append(json.dumps({"index": {
-                "_index": f"{es_index_prefix}-{day}", "_type": "_doc"}}))
             m["@timestamp"] = str(t)
-            out.append(json.dumps(m, separators=(",", ":"), default=str))
+            src = json.dumps(m, separators=(",", ":"), default=str)
+            action: dict = {"_index": f"{es_index_prefix}-{day}",
+                            "_type": "_doc"}
+            if es_generate_id:
+                # Generate_ID: murmur3(serialized record, seed 42) →
+                # stable _id (reference es.c:488-489)
+                from .murmur3 import murmur3_id
+                action["_id"] = murmur3_id(src.encode("utf-8"))
+            out.append(json.dumps({"index": action}))
+            out.append(src)
     else:
         raise ValueError(f"unknown format {fmt!r}")
     return out

@@ -1,1 +1,1 @@
-from .engine import sp_execute, sp_parse  # noqa: F401
+from .engine import sp_execute, sp_parse, sp_snapshot  # noqa: F401

@@ -41,6 +41,14 @@ from ..tags import match_mask
 _UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
           "hour": 3600, "hours": 3600}
 
+_SNAP_RE = re.compile(
+    r"^\s*(?P<op>CREATE|FLUSH)\s+SNAPSHOT\s+(?P<name>\w+)\s+AS\s+"
+    r"SELECT\s+\*\s+FROM\s+"
+    r"(?:STREAM:(?P<from_stream>\w+)|TAG:'(?P<from_tag>[^']*)')"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
 _SQL_RE = re.compile(
     r"^\s*(?:CREATE\s+STREAM\s+(?P<stream>\w+)\s+AS\s+)?"
     r"SELECT\s+(?P<select>.+?)\s+FROM\s+"
@@ -303,6 +311,57 @@ def _eval_cond(node, b: pa.Table, decoded=None) -> np.ndarray:
         else:
             r = s >= lit
     return r.fillna(False).to_numpy(dtype=bool)
+
+
+def sp_snapshot(ds, sql: str, snapshots: dict,
+                streams: dict | None = None, ts_col: str = "ts"):
+    """SNAPSHOT create/flush (reference flb_sp_snapshot.c, grammar
+    sql.y:123-141), batch-determinized:
+
+    - ``CREATE SNAPSHOT name AS SELECT * FROM source [LIMIT n]``
+      buffers the source rows (last n by event time when LIMIT given —
+      the reference buffers a bounded window of recent records) into
+      ``snapshots[name]``;
+    - ``FLUSH SNAPSHOT name AS SELECT * FROM source [WHERE cond]``
+      returns the buffered rows (WHERE-filtered) and clears the buffer.
+    """
+    m = _SNAP_RE.match(sql)
+    if not m:
+        raise ValueError(f"cannot parse snapshot query: {sql!r}")
+    op = m.group("op").upper()
+    name = m.group("name")
+    if op == "CREATE":
+        src = ds
+        if m.group("from_stream"):
+            src = (streams or {})[m.group("from_stream")]
+        elif m.group("from_tag"):
+            pat = m.group("from_tag")
+
+            def tag_filter(b: pa.Table) -> pa.Table:
+                if b.num_rows == 0 or TAG_COL not in b.column_names:
+                    return b
+                return b.filter(pa.array(match_mask(b.column(TAG_COL), pat)))
+
+            src = src.map_batches(tag_filter, batch_format="pyarrow")
+        if m.group("limit"):
+            n = int(m.group("limit"))
+            src = src.sort(ts_col, descending=True).limit(n)
+        snapshots[name] = src.materialize()
+        return snapshots[name]
+    # FLUSH
+    buf = snapshots.pop(name, None)
+    if buf is None:
+        raise ValueError(f"no snapshot named {name!r}")
+    if m.group("where"):
+        cond = _parse_cond(m.group("where"))
+
+        def cond_filter(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            return b.filter(pa.array(_eval_cond(cond, b)))
+
+        buf = buf.map_batches(cond_filter, batch_format="pyarrow")
+    return buf
 
 
 def sp_execute(ds, sql: str, streams: dict | None = None,

@@ -65,3 +65,24 @@ def test_write_sink(tmp_path):
     total = sum(len(open(tmp_path / "out" / f).read().strip().splitlines())
                 for f in files)
     assert total == 2
+
+
+def test_murmur3_reference_vectors():
+    # public test vectors for MurmurHash3 x64_128
+    from fluent_bit_ray.sinks.murmur3 import murmur3_x64_128
+    h1, h2 = murmur3_x64_128(b"", seed=0)
+    assert (h1, h2) == (0, 0)
+    # known x64_128 vector (h1/h2 big-endian rendering): "hello", seed 0
+    h1, h2 = murmur3_x64_128(b"hello", seed=0)
+    assert f"{h1:016x}{h2:016x}" == "cbd8a7b341bd9b025b1e906a48ae1d19"
+
+
+def test_es_bulk_generate_id():
+    lines = format_batch(sample_batch(), fmt="es_bulk", es_generate_id=True)
+    a1 = json.loads(lines[0])["index"]
+    a2 = json.loads(lines[2])["index"]
+    assert len(a1["_id"]) == 32 and a1["_id"] != a2["_id"]
+    # deterministic: same record → same id
+    again = json.loads(format_batch(sample_batch(), fmt="es_bulk",
+                                    es_generate_id=True)[0])["index"]
+    assert again["_id"] == a1["_id"]

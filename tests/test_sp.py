@@ -152,3 +152,22 @@ def test_now_and_unix_timestamp():
                      "role FROM TAG:'*'", now=1448403340).to_pandas()
     assert (out["now"] == "2015-11-24 22:15:40").all()
     assert (out["ut"] == 1448403340).all()
+
+
+def test_snapshot_create_and_flush():
+    from fluent_bit_ray.sp import sp_snapshot
+    snaps = {}
+    ds = mk_ds(100)
+    created = sp_snapshot(ds, "CREATE SNAPSHOT recent AS SELECT * FROM "
+                          "TAG:'transcript.*' LIMIT 10", snaps)
+    assert created.count() == 10
+    # LIMIT keeps the LAST 10 rows by event time
+    mx = max(r["ts"] for r in created.take_all())
+    assert mx == max(r["ts"] for r in ds.take_all())
+    flushed = sp_snapshot(None, "FLUSH SNAPSHOT recent AS SELECT * FROM "
+                          "TAG:'*' WHERE p_code = 200", snaps)
+    assert all(r["p_code"] == 200 for r in flushed.take_all())
+    assert "recent" not in snaps
+    with pytest.raises(ValueError):
+        sp_snapshot(None, "FLUSH SNAPSHOT recent AS SELECT * FROM TAG:'*'",
+                    snaps)
