@@ -146,13 +146,19 @@ class Pipeline:
             if kind == "wide":
                 ds = seg[0].apply(ds)
             else:
-                kw = {}
+                ctor = dict(specs=seg, reentrant_hops=reentrant_hops,
+                            collect_metrics=self.collect_metrics)
                 if self.concurrency:
-                    kw["concurrency"] = self.concurrency
-                fn = _ChainFn(seg, reentrant_hops=reentrant_hops,
-                              collect_metrics=self.collect_metrics)
-                ds = ds.map_batches(fn, batch_format="pyarrow",
-                                    batch_size=self.batch_size, **kw)
+                    # actor-pool chain: stages built once per actor
+                    ds = ds.map_batches(_ChainFn,
+                                        fn_constructor_kwargs=ctor,
+                                        concurrency=self.concurrency,
+                                        batch_format="pyarrow",
+                                        batch_size=self.batch_size)
+                else:
+                    ds = ds.map_batches(_ChainFn(**ctor),
+                                        batch_format="pyarrow",
+                                        batch_size=self.batch_size)
         return ds
 
     def _has_rewrite_tag(self) -> bool:

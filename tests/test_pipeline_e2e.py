@@ -136,3 +136,16 @@ def test_enrich_in_pipeline(transcripts_df):
     assert (pdf["category"] != "Unknown").all()
     ua = pdf[pdf["parsed_by"] == "apache"]["ua_browser"]
     assert (ua != "Unknown").all()
+
+
+def test_actor_pool_chain(transcripts_df):
+    # concurrency= uses a map_batches actor pool (stages built per actor)
+    routed = build_flagship(with_rewrite=False, with_enrich=True,
+                            batch_size=2048).run(
+        rd.read_parquet(ensure_transcripts(SF)))
+    expect = routed.sink_counts()
+    from fluent_bit_ray.pipelines.flagship import build_flagship as bf
+    p = bf(with_rewrite=False, with_enrich=True, batch_size=2048)
+    p.concurrency = 2
+    routed2 = p.run(rd.read_parquet(ensure_transcripts(SF)))
+    assert routed2.sink_counts() == expect
