@@ -7,4 +7,4 @@ from .dedup import (  # noqa: F401
     simhash_ds,
     simhash_dup_pairs,
 )
-from .annsearch import brute_force_topk, lsh_topk  # noqa: F401
+from .annsearch import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401

@@ -145,3 +145,15 @@ def test_multimodal_plumbing():
         FrameSampleStage, batch_format="pyarrow", concurrency=2,
         batch_size=16).to_pandas()
     assert (frames["frame_idx"] % 8 == 0).all()
+
+
+def test_ivf_topk_recall():
+    from fluent_bit_ray.dataops import ivf_topk
+    rs = np.random.RandomState(2)
+    mat = rs.randn(400, 16)
+    q = mat[:3] + 0.01 * rs.randn(3, 16)  # queries near known rows
+    out = ivf_topk(embeddings_ds(mat), q, k=5, n_centroids=8, n_probe=3)
+    # the planted nearest neighbor must be recalled at rank 1
+    for qi in range(3):
+        top1 = out[(out["q"] == qi) & (out["rank"] == 1)]["vec_id"].iloc[0]
+        assert top1 == qi
