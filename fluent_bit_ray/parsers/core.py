@@ -249,15 +249,15 @@ class RegexParser(Parser):
                     if t:
                         cols[g] = [typecast(v, t) if v else v
                                    for v in cols[g]]
-            skip_empty = self.skip_empty
+            nm = tuple(names)
+            if self.skip_empty:
+                # zero-length captures skipped (flb_parser_regex.c:183-200)
+                hits = [{k: v for k, v in zip(nm, r) if v != ""}
+                        for r in zip(*cols)]
+            else:
+                hits = [dict(zip(nm, r)) for r in zip(*cols)]
             for j, i in enumerate(hit_idx):
-                m = {}
-                for g, nm in enumerate(names):
-                    v = cols[g][j]
-                    if v == "" and skip_empty:
-                        continue  # zero-length capture skipped (flb_parser_regex.c:183-200)
-                    m[nm] = v
-                out[i] = m
+                out[i] = hits[j]
             return out
         if isinstance(values, pa.Array):
             values = values.to_pylist()

@@ -135,7 +135,7 @@ class ParserStage(Stage):
             m = maps[j]
             if m is None:
                 continue  # miss → record untouched
-            if self.reserve_data:
+            if self.reserve_data and fcol[i]:
                 orig = fields_loads(fcol[i])
                 if (not src_is_fixed and not self.preserve_key
                         and self.key_name in orig):
@@ -145,7 +145,7 @@ class ParserStage(Stage):
                     if kk not in out:
                         out[kk] = vv
             else:
-                out = m
+                out = m  # no prior fields → parsed map is the map
             fcol[i] = fields_dumps(out)
         return replace_column(batch, FIELDS_COL,
                               pa.array(fcol, type=pa.large_string()))
