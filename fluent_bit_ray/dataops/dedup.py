@@ -258,6 +258,51 @@ def simhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
     return pairs.sort_values(["key_a", "key_b"]).reset_index(drop=True)
 
 
+# ------------------------------------------------- duplicate clusters
+def dup_clusters(pairs: pd.DataFrame, key_a: str = "key_a",
+                 key_b: str = "key_b") -> pd.DataFrame:
+    """Connected components over near-dup pairs → (key, cluster_id).
+
+    cluster_id = min key in the component. The pair set is the OUTPUT
+    of an LSH stage and is assumed ≪ corpus (driver union-find); for
+    pair sets too large for one node, run min-label propagation as a
+    few rounds of groupby instead (see NOTES_r1).
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs[key_a], pairs[key_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    keys = sorted(set(pairs[key_a]) | set(pairs[key_b]))
+    return pd.DataFrame({"key": keys,
+                         "cluster_id": [find(k) for k in keys]})
+
+
+def dedup_keep_list(ds, pairs: pd.DataFrame, key: str = "doc_id"):
+    """Keys to KEEP after near-dup removal: every key not in a cluster,
+    plus each cluster's representative (min key). Returns a sorted
+    pandas frame [key]. The non-pair side streams (anti-join by
+    broadcast drop-set)."""
+    clusters = dup_clusters(pairs)
+    drop = set(clusters.loc[clusters["key"] != clusters["cluster_id"], "key"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[~df[key].isin(drop)][[key]]
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.sort_values(key).reset_index(drop=True)
+
+
 # --------------------------------------------------------- embeddings
 def embedding_dup_pairs(ds, key: str = "vec_id", col: str = "embedding",
                         threshold: float = 0.95, method: str = "exact",

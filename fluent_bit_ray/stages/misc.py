@@ -86,6 +86,14 @@ class ExpectStage(Stage):
 
 @register("py_udf")
 class PyUdfStage(Stage):
+    """Lua-filter analogue (reference plugins/filter_lua/lua.c:411-545).
+
+    ``fn(tag, ts, record) -> (code, record)`` or ``(code, ts, record)``:
+    code -1 drop; 0 keep untouched; 1 replace record (and, with the
+    3-tuple form, replace the event time — lua code 2 'keep time' is
+    the 2-tuple form of code 1).
+    """
+
     def __init__(self, fn, **kw):
         super().__init__(**kw)
         self.fn = fn
@@ -99,8 +107,15 @@ class PyUdfStage(Stage):
               if "ts" in batch.column_names else [None] * batch.num_rows)
         keep = np.ones(batch.num_rows, dtype=bool)
         out_idx, out_dicts = [], []
+        new_ts: dict[int, object] = {}
         for i, d in zip(idx, dicts):
-            code, rec = self.fn(tags[i], ts[i], d)
+            ret = self.fn(tags[i], ts[i], d)
+            if len(ret) == 3:
+                code, t2, rec = ret
+                if code == 1 and t2 is not None:
+                    new_ts[i] = t2
+            else:
+                code, rec = ret
             if code == -1:
                 keep[i] = False
             elif code == 1:
@@ -108,6 +123,13 @@ class PyUdfStage(Stage):
                 out_dicts.append(rec)
         if out_idx:
             batch = scatter_fields(batch, np.array(out_idx), out_dicts)
+        if new_ts:
+            col = "event_ts" if "event_ts" in batch.column_names else "ts"
+            vals = batch.column(col).to_pylist()
+            for i, t2 in new_ts.items():
+                vals[i] = t2
+            batch = replace_column(batch, "event_ts",
+                                   pa.array(vals, type=pa.timestamp("ns")))
         if not keep.all():
             batch = batch.filter(pa.array(keep))
         return batch

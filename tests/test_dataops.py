@@ -157,3 +157,14 @@ def test_ivf_topk_recall():
     for qi in range(3):
         top1 = out[(out["q"] == qi) & (out["rank"] == 1)]["vec_id"].iloc[0]
         assert top1 == qi
+
+
+def test_dup_clusters_and_keep_list():
+    from fluent_bit_ray.dataops.dedup import dedup_keep_list, dup_clusters
+    pairs = pd.DataFrame({"key_a": [1, 2, 7], "key_b": [2, 3, 8]})
+    cl = dup_clusters(pairs)
+    got = dict(zip(cl["key"], cl["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    ds = docs_ds(["a"] * 10)  # keys 0..9
+    keep = dedup_keep_list(ds, pairs)["doc_id"].tolist()
+    assert keep == [0, 1, 4, 5, 6, 7, 9]  # drop 2,3 (→1) and 8 (→7)

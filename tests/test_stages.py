@@ -243,3 +243,19 @@ def test_ua_and_geo_enrich():
     out = geo(ua(b))
     assert out.column("ua_browser").to_pylist() == ["Firefox", "curl", "Unknown"]
     assert out.column("geo_city").to_pylist() == ["Amsterdam", "Unknown", "Unknown"]
+
+
+def test_py_udf_ts_replacement():
+    import pyarrow as pa
+    b = mk_batch([{"text": "a", "ts": 1_000_000_000, "fields": {"n": 1}}])
+    b = b.set_column(b.column_names.index("ts"), "ts",
+                     b.column("ts").cast(pa.timestamp("ns")))
+
+    def fn(tag, ts, rec):
+        rec["seen"] = True
+        return 1, 5_000_000_000, rec  # replace record AND event time
+
+    st = build_stage({"type": "py_udf", "fn": fn})
+    out = st(b)
+    assert fields_loads(out.column("fields").to_pylist()[0])["seen"] is True
+    assert out.column("event_ts").to_pylist()[0].timestamp() == 5.0
