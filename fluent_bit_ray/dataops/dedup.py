@@ -119,19 +119,40 @@ class _MinhashBands:
         return pd.DataFrame({"band": out_band, "bh": out_bh, self.key: out_key})
 
 
-def _bucket_pairs(ds_banded, key: str, max_bucket: int = 200):
-    """groupby(band, bh) → unordered candidate key pairs (deduped)."""
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        ks = sorted(g[key].tolist())
-        if len(ks) < 2:
-            return pd.DataFrame({"key_a": [], "key_b": []})
-        if len(ks) > max_bucket:  # hot-bucket cap (skew guard)
-            ks = ks[:max_bucket]
-        a, b = zip(*itertools.combinations(ks, 2))
-        return pd.DataFrame({"key_a": a, "key_b": b})
+def _bucket_pairs(ds_banded, key: str, max_bucket: int = 64,
+                  partitions: int = 64):
+    """(band, bh) buckets → unordered candidate key pairs (deduped).
 
-    cand = (ds_banded.groupby(["band", "bh"])
-            .map_groups(pairs_of, batch_format="pandas"))
+    Buckets are hashed into ``partitions`` coarse groups so the
+    shuffle produces FEW large groups (a map_groups per million tiny
+    buckets is pathological); pairing then runs per bucket inside
+    each partition with a hot-bucket cap (LSH skew guard — identical
+    texts should be exact-deduped BEFORE minhash, see
+    minhash_dup_pairs docstring).
+    """
+    def add_hb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hb"] = ((df["band"].astype("int64") * 1000003
+                     + df["bh"].astype("int64")) % partitions)
+        return df
+
+    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        rows_a: list = []
+        rows_b: list = []
+        for _, grp in g.groupby(["band", "bh"], sort=False):
+            if len(grp) < 2:
+                continue
+            ks = sorted(grp[key].tolist())
+            if len(ks) > max_bucket:
+                ks = ks[:max_bucket]
+            for a, b in itertools.combinations(ks, 2):
+                rows_a.append(a)
+                rows_b.append(b)
+        return pd.DataFrame({"key_a": rows_a, "key_b": rows_b})
+
+    cand = (ds_banded.map_batches(add_hb, batch_format="pandas")
+            .groupby("hb")
+            .map_groups(pairs_of_partition, batch_format="pandas"))
     # dedupe pairs produced by multiple bands
     from ray.data.aggregate import Count
     return (cand.groupby(["key_a", "key_b"])
@@ -147,6 +168,11 @@ def minhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
     Returns a small pandas frame (key_a, key_b, jaccard) sorted.
     Verification fetches only texts of candidate keys (semi-join by
     broadcast key set) — assumes candidates ≪ corpus.
+
+    Run ``exact_dedup`` FIRST on corpora with many byte-identical
+    texts: every bucket of m identical docs otherwise yields m²/2
+    candidate pairs (the hot-bucket cap truncates, but dropping exact
+    dups up front is both faster and lossless).
     """
     banded = ds.map_batches(
         _MinhashBands, fn_constructor_kwargs=dict(

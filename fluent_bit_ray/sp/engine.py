@@ -269,6 +269,18 @@ def _resolve_key(b: pa.Table, key: str, decoded=None, now=None):
         if decoded is None:
             decoded = [fields_loads(v)
                        for v in b.column(FIELDS_COL).to_pylist()]
+        if "." in key:  # subkey path a.b.c into the nested record map
+            parts = key.split(".")
+
+            def walk(d):
+                for p in parts:
+                    if isinstance(d, dict):
+                        d = d.get(p)
+                    else:
+                        return None
+                return d
+
+            return pd.Series([walk(d) for d in decoded])
         return pd.Series([d.get(key) for d in decoded])
     return pd.Series([None] * b.num_rows)
 

@@ -171,3 +171,19 @@ def test_snapshot_create_and_flush():
     with pytest.raises(ValueError):
         sp_snapshot(None, "FLUSH SNAPSHOT recent AS SELECT * FROM TAG:'*'",
                     snaps)
+
+
+def test_subkey_select_and_where():
+    # reference SP select_subkeys: dotted path into the nested record map
+    from fluent_bit_ray.record import fields_dumps
+    t = pa.table({
+        "tag": pa.array(["a.b"] * 3),
+        "fields": pa.array([fields_dumps({"log": {"nested": True, "seq": i}})
+                            for i in range(3)], type=pa.large_string()),
+        "ts": pa.array(pd.to_datetime([0, 1, 2], unit="s"),
+                       type=pa.timestamp("ns")),
+    })
+    ds = rd.from_arrow(t)
+    out = sp_execute(ds, "SELECT log.seq AS s FROM TAG:'*' "
+                     "WHERE log.seq >= 1").to_pandas()
+    assert sorted(out["s"].tolist()) == [1, 2]
