@@ -209,6 +209,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _embs(sf_dir: str):
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
+    def dedup_exact_transcripts(sf_dir: str):
+        """Exact dedup over the 60k-row transcript text column:
+        representative = min (conv_id:turn_idx) key per distinct text."""
+        from ray.data.aggregate import Min
+
+        def keyed(df: pd.DataFrame) -> pd.DataFrame:
+            import hashlib
+            return pd.DataFrame({
+                "h": df["text"].map(
+                    lambda t: hashlib.md5(t.encode()).hexdigest()),
+                "rep": df["conv_id"] + ":" + df["turn_idx"].astype(str),
+            })
+
+        agg = (read_transcripts(sf_dir)
+               .map_batches(keyed, batch_format="pandas")
+               .groupby("h").aggregate(Min("rep", alias_name="rep")))
+        out = agg.to_pandas()[["rep"]]
+        return out.sort_values("rep").reset_index(drop=True)
+
     def dedup_exact_docs(sf_dir: str):
         out = exact_dedup(_docs(sf_dir)).to_pandas()
         out["doc_id"] = out["doc_id"].astype("int64")
@@ -378,6 +397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_tool_categories": enrich_tool_categories,
         "sp_window_tumbling": sp_window_tumbling,
         "events_flowcounter": events_flowcounter,
+        "dedup_exact_transcripts": dedup_exact_transcripts,
         "dedup_exact_docs": dedup_exact_docs,
         "doc_token_counts": doc_token_counts,
         "doc_quality": doc_quality,
@@ -496,6 +516,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n,
                    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_c
             FROM events GROUP BY 1, 2 ORDER BY event_type, minute_ts
+        """,
+        "dedup_exact_transcripts": f"""
+            WITH t AS ({t})
+            SELECT min(conv_id || ':' || turn_idx::VARCHAR) AS rep
+            FROM t GROUP BY text ORDER BY rep
         """,
         "dedup_exact_docs": """
             SELECT min(doc_id)::BIGINT AS doc_id FROM documents
