@@ -17,7 +17,11 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-SF_ORACLE_DIR = "/root/testdata/sf0.01"  # driver correctness scale
+import os as _os
+
+# the driver compares at sf0.01; GRAFT_ORACLE_SF_DIR lets local runs
+# exercise the same oracles at other scales (tools/check_correctness.py)
+SF_ORACLE_DIR = _os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 # ----------------------------------------------------------------- entry

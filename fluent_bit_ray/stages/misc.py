@@ -135,6 +135,68 @@ class PyUdfStage(Stage):
         return batch
 
 
+@register("url_normalize")
+class UrlNormalizeStage(Stage):
+    """apm_url_normalizer semantics (reference
+    plugins/filter_apm_url_normalize/filter_url_normalize.c:112-210):
+    collapse variable URL path segments to placeholders so URLs
+    aggregate by route template (e.g. /api/v1/users/123 →
+    /api/v1/users/:id). Vectorized Arrow regex over a top-level
+    column; writes ``<col>_norm``."""
+
+    def __init__(self, column: str = "p_path", out_column: str | None = None,
+                 **kw):
+        super().__init__(**kw)
+        self.column = column
+        self.out_column = out_column or f"{column}_norm"
+
+    def transform(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:
+        import pyarrow.compute as pc
+        if self.column not in batch.column_names:
+            return batch
+        col = batch.column(self.column).cast(pa.string())
+        # RE2 has no lookahead: match the trailing separator and keep it
+        # via \1; run twice so consecutive numeric segments both collapse
+        norm = col
+        for _ in range(2):
+            norm = pc.replace_substring_regex(norm, pattern=r"/\d+(/|$)",
+                                              replacement=r"/:id\1")
+            norm = pc.replace_substring_regex(
+                norm, pattern=r"/[0-9a-fA-F]{8}-[0-9a-fA-F-]{27}(/|$)",
+                replacement=r"/:uuid\1")
+        if not mask.all():
+            norm = pc.if_else(pa.array(mask), norm, col)
+        return replace_column(batch, self.out_column, norm)
+
+
+@register("message_format")
+class MessageFormatStage(Stage):
+    """apm_message_formatter semantics (reference
+    plugins/filter_apm_message_formatter): rewrite a message string by
+    template over the record (``$key`` / ``$TAG`` refs); writes
+    ``out_key`` into the fields map."""
+
+    def __init__(self, template: str, out_key: str = "formatted", **kw):
+        super().__init__(**kw)
+        self.template = template
+        self.out_key = out_key
+
+    def transform(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:
+        from ..record import translate
+        idx = np.nonzero(mask)[0]
+        dicts = decode_fields_subset(batch, idx)
+        cols = {c: batch.column(c).to_pylist() for c in batch.column_names
+                if c != "fields"}
+        out = []
+        for j, i in enumerate(idx):
+            row = {c: cols[c][i] for c in cols}
+            row["fields"] = dicts[j]
+            d = dicts[j]
+            d[self.out_key] = translate(self.template, row)
+            out.append(d)
+        return scatter_fields(batch, idx, out)
+
+
 @register("stdout")
 class StdoutStage(Stage):
     """Pass-through debug print (plugins/filter_stdout)."""

@@ -259,3 +259,47 @@ def test_py_udf_ts_replacement():
     out = st(b)
     assert fields_loads(out.column("fields").to_pylist()[0])["seen"] is True
     assert out.column("event_ts").to_pylist()[0].timestamp() == 5.0
+
+
+def test_url_normalize():
+    b = mk_batch([{"p_path": "/api/v1/users/123/orders/456"},
+                  {"p_path": "/health"},
+                  {"p_path": "/items/деталь/9"}])
+    st = build_stage({"type": "url_normalize", "column": "p_path"})
+    out = st(b).column("p_path_norm").to_pylist()
+    assert out == ["/api/v1/users/:id/orders/:id", "/health",
+                   "/items/деталь/:id"]
+
+
+def test_message_format():
+    b = mk_batch([{"text": "x", "tag": "a.b",
+                   "fields": {"level": "warn", "msg": "disk full"}}])
+    st = build_stage({"type": "message_format",
+                      "template": "[$TAG[1]] $level: $msg"})
+    f = fields_of(st(b))[0]
+    assert f["formatted"] == "[b] warn: disk full"
+
+
+def test_wide_plus_rewrite_global_loop():
+    # throttle (wide) + rewrite_tag → the pipeline's global re-entry path
+    import pandas as pd
+    import ray.data as rd
+    from fluent_bit_ray.pipelines.pipeline import Pipeline
+    n = 30
+    t = pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(n)]),
+        "turn_idx": pa.array(list(range(n)), type=pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array((["keep me"] * 15 + ["retag me"] * 15)),
+        "tool": pa.array([""] * n),
+        "ts": pa.array([1448403340_000000000 + i * 10**9 for i in range(n)],
+                       type=pa.timestamp("ns")),
+    })
+    p = Pipeline(stages=[
+        {"type": "throttle", "rate": 1000, "interval_s": 60},  # wide, no-op
+        {"type": "rewrite_tag", "match": "transcript.*",
+         "rules": [("$text", "retag", "alert.x", True)]},
+    ], sinks=[("all", "*"), ("alerts", "alert.*")], max_hops=2)
+    counts = p.run(rd.from_arrow(t)).sink_counts()
+    assert counts["alerts"] == 15
+    assert counts["all"] == n + 15
