@@ -200,6 +200,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["value_c"] = out["value_c"].astype("int64")
         return out.sort_values(["event_type", "minute_ts"]).reset_index(drop=True)
 
+    # -- modify: rename msg→message through the chain, oracle-checked
+    def modify_rename_msg(sf_dir: str):
+        from fluent_bit_ray.pipelines.pipeline import Pipeline
+        from fluent_bit_ray.record import fields_loads
+        import pyarrow as pa
+
+        p = Pipeline(stages=[
+            {"type": "parser", "key_name": "text",
+             "parsers": [{"name": "json", "format": "json"},
+                         {"name": "logfmt", "format": "logfmt"},
+                         {"name": "ltsv", "format": "ltsv"}]},
+            {"type": "modify",
+             "conditions": [("key_exists", "msg")],
+             "rules": [("rename", "msg", "message")]},
+        ], sinks=[("all", "*")])
+        routed = p.run(read_transcripts(sf_dir))
+
+        def project(b: pa.Table) -> pa.Table:
+            msgs = [fields_loads(v).get("message")
+                    for v in b.column("fields").to_pylist()]
+            out = b.select(["conv_id", "turn_idx"]) \
+                .append_column("message", pa.array(msgs, type=pa.string()))
+            return out.filter(pa.compute.is_valid(out.column("message")))
+
+        out = routed.ds.map_batches(project, batch_format="pyarrow").to_pandas()
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    # -- nest + decoder + SP subkey: nested log.seq via the whole chain
+    def nested_log_seq(sf_dir: str):
+        from fluent_bit_ray.pipelines.pipeline import Pipeline
+        from fluent_bit_ray.sp import sp_execute
+
+        p = Pipeline(stages=[
+            {"type": "parser", "key_name": "text",
+             "parsers": [{"name": "json", "format": "json",
+                          "decoders": [("decode_field", "log", "json")]}]},
+            {"type": "nest", "operation": "nest", "wildcard": ["log"],
+             "nest_under": "meta"},
+        ], sinks=[("all", "*")])
+        routed = p.run(read_transcripts(sf_dir))
+        out = sp_execute(routed.ds,
+                         "SELECT conv_id, turn_idx, meta.log.seq AS seq "
+                         "FROM TAG:'transcript.*' WHERE meta.log.seq >= 0") \
+            .to_pandas()
+        out["seq"] = out["seq"].astype("int64")
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
     # ---------------- training-data ops over documents / embeddings
     from fluent_bit_ray.dataops import (brute_force_topk, embedding_dup_pairs,
                                         exact_dedup, fingerprint_ds,
@@ -401,6 +449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_tool_categories": enrich_tool_categories,
         "sp_window_tumbling": sp_window_tumbling,
         "events_flowcounter": events_flowcounter,
+        "modify_rename_msg": modify_rename_msg,
+        "nested_log_seq": nested_log_seq,
         "dedup_exact_transcripts": dedup_exact_transcripts,
         "dedup_exact_docs": dedup_exact_docs,
         "doc_token_counts": doc_token_counts,
@@ -520,6 +570,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n,
                    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_c
             FROM events GROUP BY 1, 2 ORDER BY event_type, minute_ts
+        """,
+        "modify_rename_msg": f"""
+            WITH t AS ({t})
+            SELECT conv_id, turn_idx,
+                   CASE
+                     WHEN text LIKE '{{%' THEN json_extract_string(text, '$.msg')
+                     WHEN regexp_matches(text, 'msg="') THEN regexp_extract(text, 'msg="([^"]*)"', 1)
+                     WHEN contains(text, chr(9)) THEN regexp_extract(text, 'msg:([^\t]*)', 1)
+                   END AS message
+            FROM t
+            WHERE (text LIKE '{{%' AND json_extract_string(text, '$.msg') IS NOT NULL)
+               OR regexp_matches(text, 'msg="')
+               OR (contains(text, chr(9)) AND regexp_matches(text, 'msg:'))
+            ORDER BY conv_id, turn_idx
+        """,
+        "nested_log_seq": f"""
+            WITH t AS ({t})
+            SELECT conv_id, turn_idx,
+                   CAST(json_extract_string(json_extract_string(text, '$.log'),
+                        '$.seq') AS BIGINT) AS seq
+            FROM t
+            WHERE text LIKE '{{%'
+              AND json_extract_string(text, '$.log') IS NOT NULL
+            ORDER BY conv_id, turn_idx
         """,
         "dedup_exact_transcripts": f"""
             WITH t AS ({t})
