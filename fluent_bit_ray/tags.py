@@ -50,7 +50,9 @@ def match_mask(tags, pattern: str, is_regex: bool = False) -> np.ndarray:
         arr = tags.combine_chunks() if isinstance(tags, pa.ChunkedArray) else tags
         uniq = pc.unique(arr).to_pylist()
         ok = {u for u in uniq if u is not None and tag_match(u, pattern, is_regex)}
-        return pc.is_in(arr, value_set=pa.array(list(ok) or [""],
+        if not ok:
+            return np.zeros(len(arr), dtype=bool)
+        return pc.is_in(arr, value_set=pa.array(list(ok),
                                                 type=pa.string())).to_numpy(
             zero_copy_only=False)
     tags = np.asarray(tags, dtype=object)
