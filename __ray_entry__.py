@@ -248,6 +248,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["turn_idx"] = out["turn_idx"].astype("int32")
         return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
+    # -- session windows over the events log (gap = 30 min per user)
+    def event_sessions(sf_dir: str):
+        from fluent_bit_ray.sp.sessions import sessionize
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "event_id"])
+        out = sessionize(ds, key="user_id", ts_col="ts", gap_s=1800,
+                         tie_col="event_id").to_pandas()
+        out["user_id"] = out["user_id"].astype("int64")
+        out["session_start"] = out["session_start"].astype("datetime64[us]")
+        out["session_end"] = out["session_end"].astype("datetime64[us]")
+        out = out[["user_id", "session_idx", "session_start", "session_end",
+                   "n_events"]]
+        return out.sort_values(["user_id", "session_idx"]) \
+            .reset_index(drop=True)
+
     # ---------------- training-data ops over documents / embeddings
     from fluent_bit_ray.dataops import (brute_force_topk, embedding_dup_pairs,
                                         exact_dedup, fingerprint_ds,
@@ -449,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_tool_categories": enrich_tool_categories,
         "sp_window_tumbling": sp_window_tumbling,
         "events_flowcounter": events_flowcounter,
+        "event_sessions": event_sessions,
         "modify_rename_msg": modify_rename_msg,
         "nested_log_seq": nested_log_seq,
         "dedup_exact_transcripts": dedup_exact_transcripts,
@@ -570,6 +586,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n,
                    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_c
             FROM events GROUP BY 1, 2 ORDER BY event_type, minute_ts
+        """,
+        "event_sessions": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s2 AS (
+              SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sess
+              FROM s)
+            SELECT user_id, sess::BIGINT AS session_idx,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*)::BIGINT AS n_events
+            FROM s2 GROUP BY user_id, sess
+            ORDER BY user_id, session_idx
         """,
         "modify_rename_msg": f"""
             WITH t AS ({t})

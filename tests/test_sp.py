@@ -187,3 +187,25 @@ def test_subkey_select_and_where():
     out = sp_execute(ds, "SELECT log.seq AS s FROM TAG:'*' "
                      "WHERE log.seq >= 1").to_pandas()
     assert sorted(out["s"].tolist()) == [1, 2]
+
+
+def test_sessionize():
+    from fluent_bit_ray.sp.sessions import sessionize
+    base = 1_448_403_340
+    rows = [  # user 1: two sessions (gap 3600 > 1800); user 2: one
+        (1, base), (1, base + 60), (1, base + 120),
+        (1, base + 120 + 3600), (1, base + 120 + 3660),
+        (2, base), (2, base + 1700),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[1] for r in rows], unit="s"),
+                       type=pa.timestamp("ns")),
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+    })
+    out = sessionize(rd.from_arrow(t), gap_s=1800,
+                     tie_col="event_id").to_pandas() \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    assert out["n_events"].tolist() == [3, 2, 2]
+    assert out["session_idx"].tolist() == [0, 1, 0]
+    assert out.loc[1, "session_start"].timestamp() == base + 120 + 3600
