@@ -227,16 +227,19 @@ class _CondParser:
         val = self.eat()
         if val is None:
             raise ValueError("expected literal")
-        if val.startswith("'"):
-            lit = val[1:-1]
-        else:
-            try:
-                lit = int(val)
-            except ValueError:
-                lit = float(val)
         if op == "<>":
             op = "!="
-        return ("cmp", op, key, lit)
+        if val.startswith("'"):
+            return ("cmp", op, key, val[1:-1])
+        try:
+            return ("cmp", op, key, int(val))
+        except ValueError:
+            pass
+        try:
+            return ("cmp", op, key, float(val))
+        except ValueError:
+            # unquoted non-numeric token → a second record key
+            return ("cmpkey", op, key, val)
 
 
 def _parse_cond(s: str):
@@ -294,6 +297,22 @@ def _coerce_pair(series: pd.Series, lit):
         (None if v is None else str(v))), lit
 
 
+def _cmp_series(a: pd.Series, c, op: str):
+    if op == "=":
+        r = a == c
+    elif op == "!=":
+        r = a != c
+    elif op == "<":
+        r = a < c
+    elif op == "<=":
+        r = a <= c
+    elif op == ">":
+        r = a > c
+    else:
+        r = a >= c
+    return r.fillna(False).to_numpy(dtype=bool)
+
+
 def _eval_cond(node, b: pa.Table, decoded=None) -> np.ndarray:
     kind = node[0]
     if kind == "and":
@@ -306,6 +325,20 @@ def _eval_cond(node, b: pa.Table, decoded=None) -> np.ndarray:
         return _resolve_key(b, node[1], decoded).isna().to_numpy()
     if kind == "notnull":
         return _resolve_key(b, node[1], decoded).notna().to_numpy()
+    if kind == "cmpkey":
+        _, op, ka, kb = node
+        sa = _resolve_key(b, ka, decoded)
+        sb = _resolve_key(b, kb, decoded)
+        # numeric comparison when both coerce; else string compare
+        na = pd.to_numeric(sa, errors="coerce")
+        nb = pd.to_numeric(sb, errors="coerce")
+        both_num = na.notna() & nb.notna()
+        with np.errstate(invalid="ignore"):
+            num_r = _cmp_series(na, nb, op)
+            str_r = _cmp_series(sa.astype(str), sb.astype(str), op)
+        r = np.where(both_num.to_numpy(), num_r, str_r)
+        valid = (sa.notna() & sb.notna()).to_numpy()
+        return r & valid
     _, op, key, lit = node
     s = _resolve_key(b, key, decoded)
     s, lit = _coerce_pair(s, lit)

@@ -209,3 +209,18 @@ def test_sessionize():
     assert out["n_events"].tolist() == [3, 2, 2]
     assert out["session_idx"].tolist() == [0, 1, 0]
     assert out.loc[1, "session_start"].timestamp() == base + 120 + 3600
+
+
+def test_key_vs_key_comparison():
+    t = pa.table({
+        "tag": pa.array(["x.y"] * 4),
+        "p_a": pa.array([1, 5, 3, None], type=pa.int64()),
+        "p_b": pa.array([2, 4, 3, 7], type=pa.int64()),
+        "ts": pa.array(pd.to_datetime([0, 1, 2, 3], unit="s"),
+                       type=pa.timestamp("ns")),
+    })
+    ds = rd.from_arrow(t)
+    out = sp_execute(ds, "SELECT p_a FROM TAG:'*' WHERE p_a > p_b").to_pandas()
+    assert out["p_a"].tolist() == [5]
+    out2 = sp_execute(ds, "SELECT p_a FROM TAG:'*' WHERE p_a = p_b").to_pandas()
+    assert out2["p_a"].tolist() == [3]
