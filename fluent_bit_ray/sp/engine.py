@@ -231,6 +231,8 @@ class _CondParser:
             op = "!="
         if val.startswith("'"):
             return ("cmp", op, key, val[1:-1])
+        if val.upper() in ("TRUE", "FALSE"):
+            return ("cmp", op, key, val.upper() == "TRUE")
         try:
             return ("cmp", op, key, int(val))
         except ValueError:
@@ -341,6 +343,9 @@ def _eval_cond(node, b: pa.Table, decoded=None) -> np.ndarray:
         return r & valid
     _, op, key, lit = node
     s = _resolve_key(b, key, decoded)
+    if isinstance(lit, bool):  # boolean literal: raw equality semantics
+        r = (s == lit) if op == "=" else (s != lit)
+        return r.fillna(False).to_numpy(dtype=bool)
     s, lit = _coerce_pair(s, lit)
     with np.errstate(invalid="ignore"):
         if op == "=":

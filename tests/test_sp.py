@@ -224,3 +224,18 @@ def test_key_vs_key_comparison():
     assert out["p_a"].tolist() == [5]
     out2 = sp_execute(ds, "SELECT p_a FROM TAG:'*' WHERE p_a = p_b").to_pandas()
     assert out2["p_a"].tolist() == [3]
+
+
+def test_bool_literal_condition():
+    from fluent_bit_ray.record import fields_dumps
+    t = pa.table({
+        "tag": pa.array(["x.y"] * 3),
+        "fields": pa.array([fields_dumps({"flag": True}),
+                            fields_dumps({"flag": False}),
+                            fields_dumps({})], type=pa.large_string()),
+        "ts": pa.array(pd.to_datetime([0, 1, 2], unit="s"),
+                       type=pa.timestamp("ns")),
+    })
+    out = sp_execute(rd.from_arrow(t),
+                     "SELECT flag FROM TAG:'*' WHERE flag = true").to_pandas()
+    assert out["flag"].tolist() == [True]
