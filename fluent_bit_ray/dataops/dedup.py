@@ -34,7 +34,6 @@ import zlib
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
 

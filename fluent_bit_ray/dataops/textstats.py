@@ -14,7 +14,6 @@ import re
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 _STOP_EN = {"the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
             "for", "on", "with", "as", "at", "by", "this", "be", "are"}

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..record import FIELDS_COL, TAG_COL, fields_loads
+from ..record import TAG_COL
 from .base import (Stage, decode_fields_subset, register, replace_column,
                    scatter_fields)
 

@@ -26,8 +26,8 @@ import numpy as np
 import pyarrow as pa
 
 from ..parsers import build_parser
-from ..record import FIELDS_COL, FIXED_COLUMNS, fields_dumps, fields_loads
-from .base import Stage, ensure_column, register, replace_column
+from ..record import FIELDS_COL, fields_dumps, fields_loads
+from .base import Stage, register, replace_column
 
 _PROMOTE_TYPES = {"int64": pa.int64(), "float64": pa.float64(),
                   "string": pa.string(), "bool": pa.bool_()}
