@@ -225,6 +225,103 @@ class RegexParser(Parser):
         except pa.ArrowInvalid:
             self._arrow_ok = False
         self._arrow_pattern = py_pat
+        # vector fast path (fields JSON built with Arrow kernels, no
+        # per-row dicts): only safe when semantics are fully covered
+        self._vector_ok = (self._arrow_ok and not self.decoders
+                           and self.skip_empty
+                           and all(t in ("integer", "int")
+                                   for t in self.types.values()))
+
+    # -- vector fast path ---------------------------------------------
+    @staticmethod
+    def _quote_escape(col: pa.Array) -> pa.Array:
+        e = pc.replace_substring(col, pattern="\\", replacement="\\\\")
+        e = pc.replace_substring(e, pattern='"', replacement='\\"')
+        return pc.binary_join_element_wise(pa.scalar('"'), e, pa.scalar('"'),
+                                           pa.scalar(""))
+
+    def vector_parse(self, arr: pa.Array, promote_keys=()):
+        """Arrow-native parse: returns None when ineligible, else
+        ``(hit_mask, json_strs, times, promoted)`` where hit_mask is a
+        bool numpy over ``arr``; json_strs/times/promoted align to the
+        matched subset. Semantics identical to the dict path (empty
+        captures skipped, integer typecast, time key consumed) — the
+        fields map is serialized directly to JSON with compute kernels,
+        with no Python objects for non-promoted captures.
+        """
+        if not self._vector_ok:
+            return None
+        st = pc.extract_regex(arr, pattern=self._arrow_pattern)
+        valid = pc.is_valid(st)
+        hit_mask = valid.to_numpy(zero_copy_only=False)
+        if not hit_mask.any():
+            return hit_mask, [], np.empty(0, dtype="datetime64[ns]"), {}
+        matched_src = arr.filter(valid)
+        # rows with control chars need full JSON escaping → fallback
+        ctrl = pc.match_substring_regex(matched_src,
+                                        pattern="[\\x00-\\x1f]")
+        if pc.any(ctrl).as_py():
+            return None
+        sub = st.filter(valid)
+        names = [f.name for f in st.type]
+        n_hit = len(matched_src)
+
+        pieces = []
+        time_col = None
+        for g, name in enumerate(names):
+            col = sub.field(g)
+            if name == self.time_key:
+                time_col = col
+                if not self.time_keep:
+                    continue  # consumed from the map
+            if self.types.get(name) in ("integer", "int"):
+                digits = pc.match_substring_regex(col, pattern=r"^\d{1,18}$")
+                safe = pc.if_else(digits, col, pa.scalar("0"))
+                as_int = pc.cast(pc.cast(safe, pa.int64()), pa.string())
+                val = pc.if_else(digits, as_int, self._quote_escape(col))
+            else:
+                val = self._quote_escape(col)
+            piece = pc.if_else(
+                pc.equal(col, ""), pa.scalar(""),
+                pc.binary_join_element_wise(pa.scalar(f',"{name}":'), val,
+                                            pa.scalar("")))
+            pieces.append(piece)
+        if pieces:
+            concat = pc.binary_join_element_wise(*pieces, pa.scalar("")) \
+                if len(pieces) > 1 else pieces[0]
+            stripped = pc.replace_substring(concat, pattern=",",
+                                            replacement="",
+                                            max_replacements=1)
+            json_col = pc.binary_join_element_wise(
+                pa.scalar("{"), stripped, pa.scalar("}"), pa.scalar(""))
+            json_strs = json_col.to_pylist()
+        else:
+            json_strs = ["{}"] * n_hit
+
+        times = np.full(n_hit, np.datetime64("NaT"), dtype="datetime64[ns]")
+        if time_col is not None:
+            raw = time_col.to_pylist()
+            present = [i for i, v in enumerate(raw) if v]
+            if present:
+                vals = [raw[i] for i in present]
+                parsed = (parse_time_column(vals, self.time_format)
+                          if self.time_format else parse_epoch_column(vals))
+                for j, i in enumerate(present):
+                    times[i] = parsed[j]
+
+        promoted = {}
+        for key in promote_keys:
+            if key not in names:
+                continue
+            if key == self.time_key and not self.time_keep:
+                continue
+            t = self.types.get(key)
+            raw = sub.field(names.index(key)).to_pylist()
+            if t:
+                promoted[key] = [typecast(v, t) if v else None for v in raw]
+            else:
+                promoted[key] = [v if v != "" else None for v in raw]
+        return hit_mask, json_strs, times, promoted
 
     def _parse_values(self, values) -> list[dict | None]:
         if self._arrow_ok:

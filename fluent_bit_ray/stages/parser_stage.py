@@ -73,6 +73,9 @@ class ParserStage(Stage):
 
         k = len(idx)
         maps: list[dict | None] = [None] * k
+        jsons: list[str | None] = [None] * k  # vector-path fields JSON
+        vec_promoted: dict[str, list] = {key: [None] * k
+                                         for key in self.promote}
         hit_name = [""] * k
         times = np.full(k, np.datetime64("NaT"), dtype="datetime64[ns]")
         remaining = pa.compute.is_valid(src_arr).to_numpy(zero_copy_only=False).copy()
@@ -80,7 +83,25 @@ class ParserStage(Stage):
             if not remaining.any():
                 break
             sub = np.nonzero(remaining)[0]
-            sub_maps, sub_times = p.parse_column(src_arr.take(pa.array(sub)))
+            sub_arr = src_arr.take(pa.array(sub))
+            vec = (p.vector_parse(sub_arr, promote_keys=tuple(self.promote))
+                   if self.emit_fields and hasattr(p, "vector_parse")
+                   else None)
+            if vec is not None:
+                hit_mask, json_strs, sub_times, promoted = vec
+                hits = sub[hit_mask]
+                for j, i in enumerate(hits):
+                    jsons[i] = json_strs[j]
+                    hit_name[i] = p.name
+                    times[i] = sub_times[j]
+                for key, vals in promoted.items():
+                    dst = vec_promoted[key]
+                    for j, i in enumerate(hits):
+                        if vals[j] is not None:
+                            dst[i] = vals[j]
+                remaining[sub] = remaining[sub] & ~hit_mask
+                continue
+            sub_maps, sub_times = p.parse_column(sub_arr)
             for j, i in enumerate(sub):
                 if sub_maps[j] is not None:
                     maps[i] = sub_maps[j]
@@ -115,6 +136,12 @@ class ParserStage(Stage):
                     v = m.get(key, _MISS)
                     if v is not _MISS:
                         pcols[key][i] = v
+            for key in pkeys:  # overlay vector-path promoted values
+                vp = vec_promoted[key]
+                col = pcols[key]
+                for j, i in enumerate(idx):
+                    if vp[j] is not None:
+                        col[i] = vp[j]
             for key, typ_name in self.promote.items():
                 typ = _PROMOTE_TYPES[typ_name]
                 col = pcols[key]
@@ -133,8 +160,13 @@ class ParserStage(Stage):
                 if FIELDS_COL in batch.column_names else [""] * n)
         for j, i in enumerate(idx):
             m = maps[j]
-            if m is None:
+            if m is None and jsons[j] is None:
                 continue  # miss → record untouched
+            if jsons[j] is not None:
+                if not (self.reserve_data and fcol[i]):
+                    fcol[i] = jsons[j]  # vector path: JSON already built
+                    continue
+                m = fields_loads(jsons[j])  # rare: merge with prior fields
             if self.reserve_data and fcol[i]:
                 orig = fields_loads(fcol[i])
                 if (not src_is_fixed and not self.preserve_key

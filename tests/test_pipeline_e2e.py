@@ -149,3 +149,51 @@ def test_actor_pool_chain(transcripts_df):
     p.concurrency = 2
     routed2 = p.run(rd.read_parquet(ensure_transcripts(SF)))
     assert routed2.sink_counts() == expect
+
+
+def test_vector_fields_parity(transcripts_df):
+    """The Arrow-native fields-JSON fast path must be semantically
+    identical to the per-row dict path over the full synthetic mix."""
+    import pyarrow.parquet as pq
+    from fluent_bit_ray.stages import build_stage
+    from fluent_bit_ray.pipelines.flagship import PARSER_SPECS, PROMOTE
+
+    t = pq.read_table(ensure_transcripts(SF))
+
+    def run(vector: bool):
+        st = build_stage({"type": "parser", "key_name": "text",
+                          "parsers": PARSER_SPECS, "promote": PROMOTE})
+        if not vector:
+            for p in st.parsers:
+                p._vector_ok = False
+        return st(t)
+
+    a, b = run(True), run(False)
+    assert a.column("parsed_by").to_pylist() == b.column("parsed_by").to_pylist()
+    fa = [fields_loads(v) for v in a.column("fields").to_pylist()]
+    fb = [fields_loads(v) for v in b.column("fields").to_pylist()]
+    assert fa == fb
+    for key in PROMOTE:
+        assert a.column(f"p_{key}").to_pylist() == \
+            b.column(f"p_{key}").to_pylist(), key
+    assert a.column("event_ts").to_pylist() == b.column("event_ts").to_pylist()
+
+
+def test_vector_fields_parity_nasty():
+    from tests.test_robustness import nasty_table
+    from fluent_bit_ray.stages import build_stage
+    from fluent_bit_ray.pipelines.flagship import PARSER_SPECS, PROMOTE
+    t = nasty_table()
+
+    def run(vector: bool):
+        st = build_stage({"type": "parser", "key_name": "text",
+                          "parsers": PARSER_SPECS, "promote": PROMOTE})
+        if not vector:
+            for p in st.parsers:
+                p._vector_ok = False
+        return st(t)
+
+    a, b = run(True), run(False)
+    fa = [fields_loads(v) for v in a.column("fields").to_pylist()]
+    fb = [fields_loads(v) for v in b.column("fields").to_pylist()]
+    assert fa == fb
