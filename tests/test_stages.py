@@ -303,3 +303,11 @@ def test_wide_plus_rewrite_global_loop():
     counts = p.run(rd.from_arrow(t)).sink_counts()
     assert counts["alerts"] == 15
     assert counts["all"] == n + 15
+
+
+def test_stdout_stage(capsys):
+    b = mk_batch([{"text": "hello"}, {"text": "world"}])
+    st = build_stage({"type": "stdout", "limit": 1})
+    out = st(b)
+    assert out.num_rows == 2  # pass-through
+    assert "hello" in capsys.readouterr().out
