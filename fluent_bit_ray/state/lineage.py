@@ -104,6 +104,13 @@ class LineageRunner:
                 out[m["wave"]] = m
         return out
 
+    def _purge_wave_outputs(self, wid: str) -> None:
+        import shutil
+        for nm in self.pipeline.router.sink_names():
+            d = os.path.join(self.outdir, nm, f"wave={wid}")
+            if os.path.isdir(d):
+                shutil.rmtree(d, ignore_errors=True)
+
     def _waves(self, files: list[str]) -> list[list[str]]:
         files = sorted(files)
         return [files[i:i + self.wave_files]
@@ -125,6 +132,10 @@ class LineageRunner:
                 m = done[wid]
             else:
                 t0 = time.perf_counter()
+                # purge any partial output of this (uncommitted) wave: a
+                # crashed run may have written parts under different
+                # batch boundaries than the rerun will produce
+                self._purge_wave_outputs(wid)
                 ds = rd.read_parquet(wave_files)
                 rows_in = ds.count()
                 self.pipeline.collect_metrics = True

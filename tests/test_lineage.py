@@ -78,3 +78,26 @@ def test_stage_metrics_in_manifest(tmp_path):
     assert "parser" in sm
     assert sm["parser"]["rows_in"] == m["rows_in"]
     assert sm["parser"]["rows_out"] == m["rows_in"]  # parser never drops
+
+
+def test_partial_wave_outputs_purged_before_rerun(tmp_path):
+    """A crashed wave may leave partial part-files with batch boundaries
+    that a rerun won't reproduce; the runner must purge them so on-disk
+    row totals stay exact."""
+    runner, out = fresh_runner(tmp_path, wave_files=3)
+    files = input_files()
+    s1 = runner.run(files)
+    expect = s1["sink_counts"]
+    # simulate a crash: drop a manifest AND plant a bogus orphan part
+    manifests = sorted(glob.glob(f"{out}/_lineage/wave-*.json"))
+    m = json.load(open(manifests[0]))
+    os.unlink(manifests[0])
+    orphan = f"{out}/all/wave={m['wave']}/part-deadbeefdeadbeef.parquet"
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+    pqw.write_table(pa.table({"x": pa.array([1, 2, 3])}), orphan)
+    runner.run(files)
+    for sink, n in expect.items():
+        got = sum(pq.read_metadata(f).num_rows for f in
+                  glob.glob(f"{out}/{sink}/wave=*/part-*.parquet"))
+        assert got == n, sink
