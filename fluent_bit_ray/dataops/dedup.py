@@ -218,65 +218,109 @@ def ngram_jaccard_pairs(ds, key: str = "doc_id", text_col: str = "text",
 
 
 # ----------------------------------------------------------- simhash
+_SHIFTS64 = np.arange(64, dtype=np.uint64)
+
+
+def _word_signvec(w: str) -> np.ndarray:
+    """±1 bit-sign vector of one word's 64-bit md5 prefix."""
+    h = np.uint64(int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8],
+                                 "little"))
+    bits = (h >> _SHIFTS64) & np.uint64(1)
+    return np.where(bits == 1, 1, -1).astype(np.int32)
+
+
 def simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for w in text.split():
-        d = hashlib.md5(w.encode("utf-8")).digest()[:8]
-        h = np.uint64(int.from_bytes(d, "little"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= (1 << i)
-    return out
+    """Reference definition (kept for tests; the batch path below is
+    identical but caches per-word vectors across rows)."""
+    words = text.split()
+    if not words:
+        return 0
+    acc = np.sum([_word_signvec(w) for w in words], axis=0)
+    return int(((acc > 0).astype(np.uint64) << _SHIFTS64).sum())
+
+
+class _SimhashBatch:
+    """Actor-pool stage: text → simhash64, with a per-actor word→±1-vec
+    cache (the vocabulary is ≪ the token stream, so each distinct word
+    is md5-hashed once per actor, not once per occurrence)."""
+
+    def __init__(self, key: str, text_col: str):
+        self.key = key
+        self.text_col = text_col
+        self.cache: dict[str, np.ndarray] = {}
+
+    def _vec(self, w: str) -> np.ndarray:
+        v = self.cache.get(w)
+        if v is None:
+            v = _word_signvec(w)
+            self.cache[w] = v
+        return v
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(len(df), dtype=np.uint64)
+        for r, t in enumerate(df[self.text_col].astype(str)):
+            words = t.split()
+            if not words:
+                continue
+            acc = np.sum([self._vec(w) for w in words], axis=0)
+            out[r] = ((acc > 0).astype(np.uint64) << _SHIFTS64).sum()
+        return pd.DataFrame({self.key: df[self.key],
+                             "simhash": out.astype("int64")})
 
 
 def simhash_ds(ds, key: str = "doc_id", text_col: str = "text"):
-    def add(df: pd.DataFrame) -> pd.DataFrame:
-        sh = df[text_col].astype(str).map(simhash64)
-        return pd.DataFrame({key: df[key],
-                             "simhash": sh.astype("uint64").astype("int64")})
-    return ds.map_batches(add, batch_format="pandas")
+    return ds.map_batches(
+        _SimhashBatch, fn_constructor_kwargs=dict(key=key, text_col=text_col),
+        batch_format="pandas", concurrency=(1, 8))
 
 
 def simhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
-                      max_hamming: int = 3) -> pd.DataFrame:
+                      max_hamming: int = 3, partitions: int = 64,
+                      max_bucket: int = 4096) -> pd.DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
     Blocking: split 64 bits into (max_hamming+1) bands — any pair
     within the radius shares at least one exact band (pigeonhole).
+    Buckets are hashed into ``partitions`` coarse groups (same shape
+    as ``_bucket_pairs``) so the shuffle produces FEW large groups
+    instead of millions of near-singleton ``(band, bv)`` buckets.
     """
     nb = max_hamming + 1
     width = 64 // nb
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out_b, out_v, out_k, out_s = [], [], [], []
-        for k, s in zip(df[key], df["simhash"]):
-            u = int(s) & ((1 << 64) - 1)
-            for bi in range(nb):
-                out_b.append(bi)
-                out_v.append((u >> (bi * width)) & ((1 << width) - 1))
-                out_k.append(k)
-                out_s.append(s)
-        return pd.DataFrame({"band": out_b, "bv": out_v, key: out_k,
-                             "simhash": out_s})
+        s = df["simhash"].to_numpy().astype(np.uint64)
+        k = df[key].to_numpy()
+        n = len(df)
+        bands = np.repeat(np.arange(nb, dtype=np.int64), n)
+        keys_r = np.tile(k, nb)
+        sims_r = np.tile(s, nb)
+        bv = np.concatenate([
+            ((s >> np.uint64(bi * width)) & np.uint64((1 << width) - 1))
+            .astype(np.int64) for bi in range(nb)])
+        hb = (bands * 1000003 + bv) % partitions
+        return pd.DataFrame({"band": bands, "bv": bv, "hb": hb,
+                             key: keys_r, "simhash": sims_r.astype("int64")})
 
     sh = simhash_ds(ds, key=key, text_col=text_col)
     banded = sh.map_batches(band_rows, batch_format="pandas")
 
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        recs = sorted(zip(g[key], g["simhash"]))
-        for (ka, sa), (kb, sb) in itertools.combinations(recs, 2):
-            ham = bin((int(sa) ^ int(sb)) & ((1 << 64) - 1)).count("1")
-            if ham <= max_hamming:
-                rows.append((ka, kb, ham))
+        for _, grp in g.groupby(["band", "bv"], sort=False):
+            if len(grp) < 2:
+                continue
+            recs = sorted(zip(grp[key], grp["simhash"]))
+            if len(recs) > max_bucket:  # hot-bucket cap (skew guard)
+                recs = recs[:max_bucket]
+            for (ka, sa), (kb, sb) in itertools.combinations(recs, 2):
+                ham = bin((int(sa) ^ int(sb)) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    rows.append((ka, kb, ham))
         return pd.DataFrame(rows, columns=["key_a", "key_b", "hamming"])
 
-    pairs = (banded.groupby(["band", "bv"])
-             .map_groups(pairs_of, batch_format="pandas")).to_pandas()
+    pairs = (banded.groupby("hb")
+             .map_groups(pairs_of_partition, batch_format="pandas")).to_pandas()
     if len(pairs) == 0:
         return pd.DataFrame({"key_a": [], "key_b": [], "hamming": []})
     pairs = pairs.drop_duplicates(["key_a", "key_b"])
@@ -329,46 +373,92 @@ def dedup_keep_list(ds, pairs: pd.DataFrame, key: str = "doc_id"):
 
 
 # --------------------------------------------------------- embeddings
+def _lsh_bucket_batch(df: pd.DataFrame, key: str, col: str,
+                      n_planes: int, seed: int,
+                      partitions: int) -> pd.DataFrame:
+    """Per-batch: normalize vectors, random-hyperplane bucket id.
+
+    The plane matrix is regenerated deterministically from ``seed`` in
+    every task (dim×n_planes floats — cheaper to recompute than to
+    broadcast). Output carries the normalized vector so same-bucket
+    scoring happens AFTER the shuffle, on the workers — the corpus
+    never touches the driver.
+    """
+    mat = np.stack(df[col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    planes = np.random.RandomState(seed).randn(mat.shape[1], n_planes)
+    sig = (mat @ planes > 0).astype(np.uint64)
+    bucket = (sig << np.arange(n_planes, dtype=np.uint64)).sum(axis=1) \
+        .astype(np.int64)
+    return pd.DataFrame({
+        "bucket": bucket,
+        "hb": bucket % partitions,
+        key: df[key],
+        "_nvec": list(mat.astype(np.float32)),
+    })
+
+
+def _lsh_pairs_of_partition(g: pd.DataFrame, key: str, threshold: float,
+                            max_bucket: int) -> pd.DataFrame:
+    """Score same-bucket pairs inside one coarse partition (worker-side)."""
+    rows_a, rows_b, rows_c = [], [], []
+    for _, grp in g.groupby("bucket", sort=False):
+        if len(grp) < 2:
+            continue
+        if len(grp) > max_bucket:  # hot-bucket cap (LSH skew guard)
+            grp = grp.sort_values(key).head(max_bucket)
+        ks = grp[key].to_numpy()
+        sub = np.stack(grp["_nvec"].to_numpy()).astype(np.float64)
+        cos = sub @ sub.T
+        ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+        for i2, j2 in zip(ii, jj):
+            a, b = sorted((ks[i2], ks[j2]))
+            rows_a.append(a)
+            rows_b.append(b)
+            rows_c.append(round(float(cos[i2, j2]), 6))
+    return pd.DataFrame({"key_a": rows_a, "key_b": rows_b, "cosine": rows_c})
+
+
 def embedding_dup_pairs(ds, key: str = "vec_id", col: str = "embedding",
                         threshold: float = 0.95, method: str = "exact",
-                        n_planes: int = 12, seed: int = 11) -> pd.DataFrame:
+                        n_planes: int = 12, seed: int = 11,
+                        partitions: int = 64,
+                        max_bucket: int = 4096) -> pd.DataFrame:
     """Cosine near-dup pairs over an embedding column.
 
+    method="lsh" (the arbitrarily-large-corpus path): random-hyperplane
+    bucketing runs inside ``map_batches`` (deterministic planes per
+    task), same-bucket scoring runs worker-side inside a
+    coarse-partitioned ``groupby(bucket % partitions)`` — the driver
+    only ever sees the (small) pair list. Approximate: only same-bucket
+    pairs are scored; identical vectors always share a bucket.
+
     method="exact": every batch is scored against the full normalized
-    matrix broadcast once via ray.put (exact; matrix must fit a
-    worker — fine to ~1M×256d). method="lsh": random-hyperplane
-    bucketing, pairs scored within buckets only (approximate; the
-    arbitrarily-large-corpus path).
+    matrix broadcast once via ray.put (exact, oracle-matchable; matrix
+    must fit a worker — fine to ~1M×256d, use "lsh" beyond).
     """
     import ray
 
+    if method == "lsh":
+        banded = ds.map_batches(
+            lambda df: _lsh_bucket_batch(df, key=key, col=col,
+                                         n_planes=n_planes, seed=seed,
+                                         partitions=partitions),
+            batch_format="pandas")
+        pairs = (banded.groupby("hb")
+                 .map_groups(lambda g: _lsh_pairs_of_partition(
+                     g, key=key, threshold=threshold, max_bucket=max_bucket),
+                     batch_format="pandas")).to_pandas()
+        if len(pairs) == 0:
+            return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
+        return (pairs.drop_duplicates(["key_a", "key_b"])
+                     .sort_values(["key_a", "key_b"]).reset_index(drop=True))
+
+    # exact: broadcast matrix once, blocked matmul per batch
     mat_df = ds.select_columns([key, col]).to_pandas()
     keys = mat_df[key].to_numpy()
     mat = np.stack(mat_df[col].to_numpy()).astype(np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-
-    if method == "lsh":
-        rs = np.random.RandomState(seed)
-        planes = rs.randn(mat.shape[1], n_planes)
-        sig = (mat @ planes > 0).astype(np.uint32)
-        bucket = (sig * (1 << np.arange(n_planes, dtype=np.uint32))).sum(axis=1)
-        order = np.argsort(bucket, kind="stable")
-        rows = []
-        for _, grp in itertools.groupby(order, key=lambda i: bucket[i]):
-            idxs = list(grp)
-            if len(idxs) < 2:
-                continue
-            sub = mat[idxs]
-            cos = sub @ sub.T
-            ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
-            for i2, j2 in zip(ii, jj):
-                a, b = sorted((keys[idxs[i2]], keys[idxs[j2]]))
-                rows.append((a, b, round(float(cos[i2, j2]), 6)))
-        out = pd.DataFrame(rows, columns=["key_a", "key_b", "cosine"])
-        return (out.drop_duplicates(["key_a", "key_b"])
-                   .sort_values(["key_a", "key_b"]).reset_index(drop=True))
-
-    # exact: broadcast matrix once, blocked matmul per batch
     ref = ray.put((keys, mat))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:

@@ -159,6 +159,42 @@ def test_ivf_topk_recall():
         assert top1 == qi
 
 
+def test_embedding_lsh_is_distributed(monkeypatch):
+    """The lsh path must never materialize the embedding column on the
+    driver: to_pandas is allowed only on the final (small) pair frame."""
+    import ray.data
+
+    seen_schemas = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **kw):
+        seen_schemas.append(set(self.schema().names))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    rs = np.random.RandomState(3)
+    base = rs.randn(40, 16)
+    mat = np.vstack([base, base[:5]])  # rows 40..44 duplicate rows 0..4
+    out = embedding_dup_pairs(embeddings_ds(mat), threshold=0.999,
+                              method="lsh")
+    pairs = set(zip(out["key_a"], out["key_b"]))
+    for i in range(5):  # identical vectors share every sign bit → found
+        assert (i, 40 + i) in pairs
+    assert seen_schemas, "to_pandas never called?"
+    for names in seen_schemas:
+        assert "embedding" not in names and "_nvec" not in names, \
+            f"driver materialized vectors: {names}"
+
+
+def test_simhash_batch_matches_reference_definition():
+    from fluent_bit_ray.dataops.dedup import _SimhashBatch
+    texts = [BASE, BASE.replace("dog", "cat"), "", "one two two three"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = _SimhashBatch(key="doc_id", text_col="text")(df)
+    expect = [np.uint64(simhash64(t)).astype("int64") for t in texts]
+    assert out["simhash"].tolist() == [int(e) for e in expect]
+
+
 def test_dup_clusters_and_keep_list():
     from fluent_bit_ray.dataops.dedup import dedup_keep_list, dup_clusters
     pairs = pd.DataFrame({"key_a": [1, 2, 7], "key_b": [2, 3, 8]})
