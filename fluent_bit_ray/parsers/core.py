@@ -39,6 +39,7 @@ try:  # orjson: ~5× stdlib on the JSON-parser hot path
 except ImportError:  # pragma: no cover
     _orjson = None
 
+from ..record import fields_dumps as fields_dumps_obj
 from .timeparse import parse_epoch_column, parse_time_column
 
 _NAT = np.datetime64("NaT")
@@ -378,6 +379,64 @@ class RegexParser(Parser):
 class JsonParser(Parser):
     fmt = "json"
 
+    def vector_parse(self, arr, promote_keys=()):
+        """Single-pass parse: orjson loads → typecast → dumps, emitting
+        the fields JSON and promoted values directly (the stage skips
+        its per-row dict merge entirely). Decoder rules need the dict
+        pipeline → ineligible.
+        """
+        if self.decoders:
+            return None
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        values = arr.to_pylist() if isinstance(arr, pa.Array) else list(arr)
+        n = len(values)
+        loads = _orjson.loads if _orjson is not None else json.loads
+        hit_mask = np.zeros(n, dtype=bool)
+        json_strs: list[str] = []
+        raw_times: list[str | None] = []
+        promoted = {k: [] for k in promote_keys}
+        types = self.types
+        tk, tkeep = self.time_key, self.time_keep
+        for i, v in enumerate(values):
+            if v is None:
+                continue
+            s = v.lstrip() if isinstance(v, str) else ""
+            if not s.startswith("{"):
+                continue
+            try:
+                obj = loads(v)
+            except ValueError:
+                continue
+            if not isinstance(obj, dict):
+                continue
+            hit_mask[i] = True
+            if types:
+                for k, t in types.items():
+                    if k in obj:
+                        obj[k] = typecast(obj[k], t)
+            if tk is not None and tk in obj:
+                tv = obj[tk]
+                raw_times.append(tv if isinstance(tv, str) else str(tv))
+                if not tkeep:
+                    del obj[tk]
+            elif tk is not None:
+                raw_times.append(None)
+            json_strs.append(fields_dumps_obj(obj))
+            for k in promote_keys:
+                promoted[k].append(obj.get(k))
+        n_hit = len(json_strs)
+        times = np.full(n_hit, _NAT, dtype="datetime64[ns]")
+        if tk is not None and n_hit:
+            present = [j for j, rv in enumerate(raw_times) if rv]
+            if present:
+                vals = [raw_times[j] for j in present]
+                parsed = (parse_time_column(vals, self.time_format)
+                          if self.time_format else parse_epoch_column(vals))
+                for j2, j in enumerate(present):
+                    times[j] = parsed[j2]
+        return hit_mask, json_strs, times, promoted
+
     def _parse_values(self, values: list) -> list[dict | None]:
         out = []
         loads = _orjson.loads if _orjson is not None else json.loads
@@ -398,8 +457,148 @@ class JsonParser(Parser):
         return out
 
 
-class LtsvParser(Parser):
+class _KvVectorMixin:
+    """Arrow-kernel fast path shared by ltsv/logfmt.
+
+    Token-level RE2 rewrites turn a whole batch of ``k=v`` / ``k:v``
+    lines into fields-JSON strings with zero per-row Python. Rows
+    outside the provably-safe grammar — quotes/backslashes in values,
+    control chars, duplicate promoted keys, or typed-field values the
+    dict path would typecast but the canonical-number unquoter would
+    not (``007``, ``+5``, ``1e3``, ``1_0``, bare ints for float
+    fields) — fall back to the per-row dict path, so the two paths are
+    semantically identical by construction (cross-checked by a
+    hypothesis test in tests/test_parsers.py). Over-guarding only
+    costs speed, never correctness.
+    """
+
+    _INT_CANON = r"-?(?:0|[1-9]\d*)"
+    _FLOAT_CANON = r"-?(?:0|[1-9]\d*)\.\d+"
+
+    def _init_vector(self):
+        self._vector_ok = (not self.decoders and not self.time_key
+                           and all(t in ("integer", "int", "float")
+                                   for t in self.types.values()))
+        pats = []
+        for f, t in self.types.items():
+            fe = re.escape(f)
+            # typed field with a quoted value → dict path
+            pats.append(self._bound + fe + self._eq + '"')
+            if t in ("integer", "int"):
+                bad = r"(?:[+]|-?(?:0\d|\d[\d_]*_))"
+            else:
+                # float()-parseable but non-canonical (or int-looking —
+                # dict path yields 5.0, raw unquote would yield 5)
+                bad = (r"(?:[+]|-?(?:[nNiI.]|0\d|\d[\d_]*[_eE]"
+                       r"|\d+" + self._end +
+                       r"|\d+\.(?:[eE]|" + self._end_inner + r")"
+                       r"|\d+\.\d+[eE]))")
+            pats.append(self._bound + fe + self._eq + bad)
+        self._guard_patterns = pats
+
+    def _dup_guard(self, k: str) -> str:
+        ke = re.escape(k)
+        return (self._bound + ke + self._eq + ".*" + self._sep_re
+                + ke + self._eq)
+
+    def vector_parse(self, arr, promote_keys=()):
+        if not self._vector_ok:
+            return None
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not isinstance(arr, pa.Array):
+            arr = pa.array(list(arr), type=pa.string())
+        n = len(arr)
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        elig = pc.fill_null(
+            pc.match_substring_regex(arr, pattern=self._elig_pattern), False) \
+            .to_numpy(zero_copy_only=False).copy()
+        guard_keys = set(promote_keys) | set(self.types)
+        guards = self._guard_patterns + [self._dup_guard(k)
+                                         for k in sorted(guard_keys)]
+        for gp in guards:
+            g = pc.fill_null(pc.match_substring_regex(arr, pattern=gp), False)
+            elig &= ~g.to_numpy(zero_copy_only=False)
+
+        hit_mask = np.zeros(n, dtype=bool)
+        out_json = np.full(n, None, dtype=object)
+        out_prom = {k: np.full(n, None, dtype=object) for k in promote_keys}
+
+        if elig.any():
+            eidx = np.nonzero(elig)[0]
+            sub = arr.take(pa.array(eidx))
+            body = pc.replace_substring_regex(
+                sub, pattern=self._build_pattern,
+                replacement=self._build_repl)
+            body = pc.replace_substring_regex(body, pattern=r",$",
+                                              replacement="")
+            js = pc.binary_join_element_wise(
+                pa.scalar("{"), body, pa.scalar("}"), pa.scalar(""))
+            for f, t in self.types.items():
+                fe = re.escape(f)
+                canon = (self._INT_CANON if t in ("integer", "int")
+                         else self._FLOAT_CANON)
+                js = pc.replace_substring_regex(
+                    js, pattern=f'"{fe}":"({canon})"',
+                    replacement=f'"{f}":\\1')
+            out_json[eidx] = js.to_pylist()
+            hit_mask[elig] = True  # grammar guarantees ≥1 kv pair
+            for k in promote_keys:
+                vals = self._extract_promote(sub, k)
+                t = self.types.get(k)
+                if t:
+                    vals = [typecast(v, t) if v else None for v in vals]
+                else:
+                    vals = [v if v else None for v in vals]
+                out_prom[k][eidx] = np.fromiter(vals, dtype=object,
+                                                count=len(vals))
+
+        rest = valid & ~elig
+        if rest.any():
+            ridx = np.nonzero(rest)[0]
+            maps = self._parse_values(arr.take(pa.array(ridx)).to_pylist())
+            for j, m in enumerate(maps):
+                if m is None:
+                    continue
+                i = ridx[j]
+                hit_mask[i] = True
+                for k2, t in self.types.items():
+                    if k2 in m:
+                        m[k2] = typecast(m[k2], t)
+                out_json[i] = fields_dumps_obj(m)
+                for k in promote_keys:
+                    v = m.get(k)
+                    if v is not None and v != "":
+                        out_prom[k][i] = v
+
+        json_strs = out_json[hit_mask].tolist()
+        times = np.full(len(json_strs), _NAT, dtype="datetime64[ns]")
+        promoted = {k: out_prom[k][hit_mask].tolist() for k in promote_keys}
+        return hit_mask, json_strs, times, promoted
+
+
+class LtsvParser(_KvVectorMixin, Parser):
     fmt = "ltsv"
+
+    _bound = r"(?:^|\t)"
+    _eq = ":"
+    _sep_re = r"\t"
+    _end = r"(?:\t|$)"
+    _end_inner = r"\t|$"
+    _elig_pattern = (r'^[^\t:"\\\x00-\x1f]+:[^\t:"\\\x00-\x1f]*'
+                     r'(?:\t[^\t:"\\\x00-\x1f]+:[^\t:"\\\x00-\x1f]*)*$')
+    _build_pattern = r"([^\t:]+):([^\t]*)(?:\t|$)"
+    _build_repl = r'"\1":"\2",'
+
+    def __init__(self, name: str, **kw):
+        super().__init__(name, **kw)
+        self._init_vector()
+
+    def _extract_promote(self, sub: pa.Array, k: str) -> list:
+        st = pc.extract_regex(
+            sub, pattern=self._bound + re.escape(k) + r":(?P<v>[^\t]*)")
+        return pc.if_else(pc.is_valid(st), pc.struct_field(st, "v"),
+                          pa.scalar(None, type=pa.string())).to_pylist()
 
     def _parse_values(self, values: list) -> list[dict | None]:
         out = []
@@ -421,8 +620,36 @@ class LtsvParser(Parser):
 _LOGFMT_TOKEN = re.compile(r'([\w.\-/@]+)=("(?:[^"\\]|\\.)*"|\S*)')
 
 
-class LogfmtParser(Parser):
+class LogfmtParser(_KvVectorMixin, Parser):
     fmt = "logfmt"
+
+    _bound = r"(?:^| )"
+    _eq = "="
+    _sep_re = r" "
+    _end = r"(?: |$)"
+    _end_inner = r" |$"
+    _QVAL = r'"[^"\\=\x00-\x1f]*"'
+    _UVAL = r'[^"\s\\=\x00-\x1f]*'
+    _elig_pattern = (r'^[\w.\-/@]+=(?:' + _QVAL + '|' + _UVAL + r')'
+                     r'(?: [\w.\-/@]+=(?:' + _QVAL + '|' + _UVAL + r'))*$')
+    _build_pattern = r'([\w.\-/@]+)=(?:"([^"\\=]*)"|([^"\s\\=]*))(?: |$)'
+    _build_repl = r'"\1":"\2\3",'
+
+    def __init__(self, name: str, **kw):
+        super().__init__(name, **kw)
+        self._init_vector()
+
+    def _extract_promote(self, sub: pa.Array, k: str) -> list:
+        ke = re.escape(k)
+        q = pc.extract_regex(
+            sub, pattern=self._bound + ke + r'="(?P<v>[^"\\=]*)"')
+        u = pc.extract_regex(
+            sub, pattern=self._bound + ke + r'=(?P<v>[^"\s\\=]*)')
+        qv = pc.if_else(pc.is_valid(q), pc.struct_field(q, "v"),
+                        pa.scalar(None, type=pa.string()))
+        uv = pc.if_else(pc.is_valid(u), pc.struct_field(u, "v"),
+                        pa.scalar(None, type=pa.string()))
+        return pc.if_else(pc.is_valid(qv), qv, uv).to_pylist()
 
     def _parse_values(self, values: list) -> list[dict | None]:
         out = []

@@ -72,11 +72,11 @@ class ParserStage(Stage):
                                type=pa.string())
 
         k = len(idx)
-        maps: list[dict | None] = [None] * k
-        jsons: list[str | None] = [None] * k  # vector-path fields JSON
-        vec_promoted: dict[str, list] = {key: [None] * k
-                                         for key in self.promote}
-        hit_name = [""] * k
+        maps = np.full(k, None, dtype=object)    # dict-path parsed maps
+        jsons = np.full(k, None, dtype=object)   # vector-path fields JSON
+        vec_promoted = {key: np.full(k, None, dtype=object)
+                        for key in self.promote}
+        hit_name = np.full(k, "", dtype=object)
         times = np.full(k, np.datetime64("NaT"), dtype="datetime64[ns]")
         remaining = pa.compute.is_valid(src_arr).to_numpy(zero_copy_only=False).copy()
         for p in self.parsers:
@@ -90,58 +90,66 @@ class ParserStage(Stage):
             if vec is not None:
                 hit_mask, json_strs, sub_times, promoted = vec
                 hits = sub[hit_mask]
-                for j, i in enumerate(hits):
-                    jsons[i] = json_strs[j]
-                    hit_name[i] = p.name
-                    times[i] = sub_times[j]
-                for key, vals in promoted.items():
-                    dst = vec_promoted[key]
-                    for j, i in enumerate(hits):
-                        if vals[j] is not None:
-                            dst[i] = vals[j]
+                if len(hits):
+                    jsons[hits] = np.fromiter(json_strs, dtype=object,
+                                              count=len(hits))
+                    hit_name[hits] = p.name
+                    times[hits] = sub_times
+                    for key, vals in promoted.items():
+                        va = np.fromiter(vals, dtype=object, count=len(hits))
+                        m2 = va != None  # noqa: E711 — elementwise on object
+                        vec_promoted[key][hits[m2]] = va[m2]
                 remaining[sub] = remaining[sub] & ~hit_mask
                 continue
             sub_maps, sub_times = p.parse_column(sub_arr)
-            for j, i in enumerate(sub):
-                if sub_maps[j] is not None:
-                    maps[i] = sub_maps[j]
-                    hit_name[i] = p.name
-                    times[i] = sub_times[j]
-                    remaining[i] = False
+            ma = np.fromiter(sub_maps, dtype=object, count=len(sub))
+            mhit = ma != None  # noqa: E711
+            hits = sub[mhit]
+            if len(hits):
+                maps[hits] = ma[mhit]
+                hit_name[hits] = p.name
+                times[hits] = sub_times[mhit]
+                remaining[hits] = False
 
         # event_ts: parsed time, else prior event_ts, else ts
         batch = self._merge_event_ts(batch, idx, times)
 
         # parsed_by column
-        pb = (batch.column("parsed_by").to_pylist()
-              if "parsed_by" in batch.column_names else [""] * n)
-        for j, i in enumerate(idx):
-            if hit_name[j]:
-                pb[i] = hit_name[j]
+        if "parsed_by" in batch.column_names:
+            pb = np.fromiter(batch.column("parsed_by").to_pylist(),
+                             dtype=object, count=n)
+        else:
+            pb = np.full(n, "", dtype=object)
+        named = hit_name != ""
+        pb[idx[named]] = hit_name[named]
         batch = replace_column(batch, "parsed_by", pa.array(pb, type=pa.string()))
 
-        # promoted typed columns (vectorized downstream fast path);
-        # single pass over parsed maps for all promoted keys
+        has_map = maps != None  # noqa: E711
+        # promoted typed columns (vectorized downstream fast path)
         if self.promote:
             _MISS = object()
-            pcols = {key: (batch.column(f"p_{key}").to_pylist()
-                           if f"p_{key}" in batch.column_names else [None] * n)
-                     for key in self.promote}
+            pcols = {}
+            for key in self.promote:
+                if f"p_{key}" in batch.column_names:
+                    pcols[key] = np.fromiter(
+                        batch.column(f"p_{key}").to_pylist(),
+                        dtype=object, count=n)
+                else:
+                    pcols[key] = np.full(n, None, dtype=object)
             pkeys = list(self.promote)
-            for j, i in enumerate(idx):
-                m = maps[j]
-                if m is None:
-                    continue
-                for key in pkeys:
-                    v = m.get(key, _MISS)
-                    if v is not _MISS:
-                        pcols[key][i] = v
-            for key in pkeys:  # overlay vector-path promoted values
+            if has_map.any():  # dict-path rows: one pass over maps
+                mrows = np.nonzero(has_map)[0]
+                for j in mrows:
+                    m = maps[j]
+                    i = idx[j]
+                    for key in pkeys:
+                        v = m.get(key, _MISS)
+                        if v is not _MISS:
+                            pcols[key][i] = v
+            for key in pkeys:  # vector-path promoted values
                 vp = vec_promoted[key]
-                col = pcols[key]
-                for j, i in enumerate(idx):
-                    if vp[j] is not None:
-                        col[i] = vp[j]
+                m2 = vp != None  # noqa: E711
+                pcols[key][idx[m2]] = vp[m2]
             for key, typ_name in self.promote.items():
                 typ = _PROMOTE_TYPES[typ_name]
                 col = pcols[key]
@@ -155,16 +163,25 @@ class ParserStage(Stage):
         if not self.emit_fields:
             return batch
 
-        # merge parsed map into the fields column
-        fcol = (batch.column(FIELDS_COL).to_pylist()
-                if FIELDS_COL in batch.column_names else [""] * n)
-        for j, i in enumerate(idx):
+        # merge parsed output into the fields column. Vector-path rows
+        # with no prior fields (the common case) are a bulk numpy
+        # assignment; only rows needing a real merge loop in Python.
+        if FIELDS_COL in batch.column_names:
+            fcol = np.fromiter(batch.column(FIELDS_COL).to_pylist(),
+                               dtype=object, count=n)
+        else:
+            fcol = np.full(n, "", dtype=object)
+        jmask = jsons != None  # noqa: E711
+        prior = np.fromiter((bool(v) for v in fcol[idx]), dtype=bool, count=k)
+        easy = (jmask & ~prior) if self.reserve_data else jmask
+        fcol[idx[easy]] = jsons[easy]
+        slow = np.nonzero((jmask & ~easy) | has_map)[0]
+        for j in slow:
+            i = idx[j]
             m = maps[j]
-            if m is None and jsons[j] is None:
-                continue  # miss → record untouched
             if jsons[j] is not None:
                 if not (self.reserve_data and fcol[i]):
-                    fcol[i] = jsons[j]  # vector path: JSON already built
+                    fcol[i] = jsons[j]
                     continue
                 m = fields_loads(jsons[j])  # rare: merge with prior fields
             if self.reserve_data and fcol[i]:
@@ -191,9 +208,8 @@ class ParserStage(Stage):
                 .to_numpy(dtype="datetime64[ns]", copy=True)
         else:
             ev = np.full(batch.num_rows, np.datetime64("NaT"), dtype="datetime64[ns]")
-        for j, i in enumerate(idx):
-            if not np.isnat(times[j]):
-                ev[i] = times[j]
+        hit_t = ~np.isnat(times)
+        ev[idx[hit_t]] = times[hit_t]
         return replace_column(batch, "event_ts",
                               pa.array(ev, type=pa.timestamp("ns")))
 

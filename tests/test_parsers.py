@@ -97,3 +97,120 @@ def test_yearless_time():
 def test_fractional_seconds():
     out = parse_time_column(["2020-01-02 03:04:05.123"], "%Y-%m-%d %H:%M:%S.%L")
     assert out[0] == np.datetime64("2020-01-02T03:04:05.123000000")
+
+
+# ---------------- vector (Arrow-kernel) vs dict path equivalence
+def _dict_path_fields(parser, values, promote_keys=()):
+    """Reference result computed through the per-row dict path."""
+    import pyarrow as pa
+    from fluent_bit_ray.record import fields_dumps, fields_loads
+    maps, _ = parser.parse_column(pa.array(values, type=pa.string()))
+    fields = [fields_loads(fields_dumps(m)) if m is not None else None
+              for m in maps]
+    prom = [{k: (m.get(k) if m is not None else None) for k in promote_keys}
+            for m in maps]
+    return fields, prom
+
+
+def _vector_path_fields(parser, values, promote_keys=()):
+    import pyarrow as pa
+    from fluent_bit_ray.record import fields_loads
+    vec = parser.vector_parse(pa.array(values, type=pa.string()),
+                              promote_keys=promote_keys)
+    assert vec is not None
+    hit_mask, json_strs, _, promoted = vec
+    fields = [None] * len(values)
+    prom = [{k: None for k in promote_keys} for _ in values]
+    j = 0
+    for i, hit in enumerate(hit_mask):
+        if hit:
+            fields[i] = fields_loads(json_strs[j])
+            for k in promote_keys:
+                prom[i][k] = promoted[k][j]
+            j += 1
+    return fields, prom
+
+
+LOGFMT_CASES = [
+    'level=info msg="tool call 7" tool=bash dur=0.473 code=200',
+    "level=error code=500 dur=0.999",
+    "a=1 b= c=x",
+    'q="hello world" n=42',
+    "junk before k=v",                 # junk → fallback path
+    "code=007 dur=0.5",                # leading zero → fallback (int("007")=7)
+    "code=+5",                         # plus sign → fallback
+    "dur=5",                           # int-looking float → fallback (5.0)
+    "dur=1e3",                         # exponent → fallback
+    "dur=1_0.5 code=1_0",              # underscores → fallback
+    "code=200 extra=v code=404",       # dup typed key → fallback, last wins
+    'msg="a=b c" x=1',                 # '=' inside quoted value → fallback
+    "no equals sign here",             # miss
+    "k=v\tweird",                      # tab → fallback
+    "",                                # miss
+]
+
+
+def test_logfmt_vector_matches_dict_path():
+    p = build_parser({"name": "l", "format": "logfmt",
+                      "types": {"code": "integer", "dur": "float"}})
+    dv, dp = _dict_path_fields(p, LOGFMT_CASES, ("code", "dur", "msg"))
+    vv, vp = _vector_path_fields(p, LOGFMT_CASES, ("code", "dur", "msg"))
+    for i, case in enumerate(LOGFMT_CASES):
+        assert vv[i] == dv[i], f"fields mismatch on {case!r}: {vv[i]} != {dv[i]}"
+
+
+LTSV_CASES = [
+    "level:info\tcode:200\tmsg:ok 3\tdur:0.473",
+    "level:error\tcode:500\tdur:0.001",
+    "a:\tb:x",
+    "code:007\tdur:0.5",               # leading zero → fallback
+    "dur:5\tcode:1",                   # int-looking float → fallback
+    "k:v:w",                           # colon in value → fallback, k='v:w'... first-colon split
+    "noseparator",                     # miss
+    "code:200\tcode:404",              # dup key → fallback, last wins
+    "",                                # miss
+]
+
+
+def test_ltsv_vector_matches_dict_path():
+    p = build_parser({"name": "t", "format": "ltsv",
+                      "types": {"code": "integer", "dur": "float"}})
+    dv, _ = _dict_path_fields(p, LTSV_CASES, ("code",))
+    vv, _ = _vector_path_fields(p, LTSV_CASES, ("code",))
+    for i, case in enumerate(LTSV_CASES):
+        assert vv[i] == dv[i], f"fields mismatch on {case!r}: {vv[i]} != {dv[i]}"
+
+
+def test_json_vector_matches_dict_path():
+    cases = ['{"a": 1, "b": "x", "code": 200, "dur": 0.5}',
+             '{"nested": {"k": [1, 2]}}',
+             "not json", "", '["array"]', '{"dup": 1, "dup": 2}']
+    p = build_parser({"name": "j", "format": "json",
+                      "types": {"code": "integer", "dur": "float"}})
+    dv, _ = _dict_path_fields(p, cases)
+    vv, _ = _vector_path_fields(p, cases)
+    assert vv == dv
+
+
+def test_kv_vector_hypothesis_equivalence():
+    """Property test: on arbitrary printable-ish lines the vector path
+    (kernel + guarded fallback) must agree with the dict path."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    key = st.text(alphabet="abzAZ09._-/@", min_size=1, max_size=6)
+    uval = st.text(alphabet="abz09._-+:{}\"'\\=e", max_size=8)
+    token = st.tuples(key, uval).map(lambda t: f"{t[0]}={t[1]}")
+    line = st.lists(token, max_size=5).map(" ".join)
+
+    p = build_parser({"name": "h", "format": "logfmt",
+                      "types": {"code": "integer", "dur": "float"}})
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(line, min_size=1, max_size=8))
+    def check(lines):
+        dv, _ = _dict_path_fields(p, lines, ("code",))
+        vv, _ = _vector_path_fields(p, lines, ("code",))
+        assert vv == dv
+
+    check()
