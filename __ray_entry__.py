@@ -387,6 +387,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res["window_start"] = res["window_start"].astype("datetime64[us]")
         return res.sort_values(["role", "window_start"]).reset_index(drop=True)
 
+    # ---------------- SP arithmetic expressions (SELECT/WHERE arith)
+    def sp_arith(sf_dir: str):
+        from fluent_bit_ray.sp import sp_execute
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=False)
+        res = sp_execute(
+            routed.ds,
+            "SELECT role, COUNT(*) AS n, SUM(code * 2 + turn_idx) AS load_i "
+            "FROM TAG:'transcript.*' "
+            "WHERE code * 2 < 900 AND dur * 2 > 1 GROUP BY role")
+        res["n"] = res["n"].astype("int64")
+        # per-row values are exact ints (code·2 + turn_idx) → float sum
+        # is exact well below 2^53; cast restores the BIGINT the oracle
+        # computes
+        res["load_i"] = res["load_i"].round().astype("int64")
+        return res.sort_values("role").reset_index(drop=True)
+
     # ---------------- throttle / throttle_size (event-time determinized)
     def throttle_kept(sf_dir: str):
         from fluent_bit_ray.stages import build_stage
@@ -480,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ua_browser_counts": ua_browser_counts,
         "multiline_segments": multiline_segments,
         "sp_count_window": sp_count_window,
+        "sp_arith": sp_arith,
         "throttle_kept": throttle_kept,
         "throttle_size_kept": throttle_size_kept,
     }
@@ -735,6 +752,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM parsed WHERE code = 200
             GROUP BY 1, 2 ORDER BY role, window_start
+        """,
+        "sp_arith": f"""
+            WITH t AS ({t}),
+            parsed AS (
+              SELECT role, turn_idx,
+                CASE
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.code') AS BIGINT)
+                  WHEN text LIKE 'CALL %' THEN NULL
+                  WHEN regexp_matches(text, 'code=') THEN TRY_CAST(regexp_extract(text, 'code=(\\d+)', 1) AS BIGINT)
+                  WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'code:(\\d+)', 1) AS BIGINT)
+                  WHEN regexp_matches(text, '^[0-9.]+ - ') THEN TRY_CAST(regexp_extract(text, '" (\\d+) ', 1) AS BIGINT)
+                END AS code,
+                CASE
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.dur') AS DOUBLE)
+                  WHEN regexp_matches(text, 'dur=') THEN TRY_CAST(regexp_extract(text, 'dur=([0-9.]+)', 1) AS DOUBLE)
+                  WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'dur:([0-9.]+)', 1) AS DOUBLE)
+                END AS dur
+              FROM t)
+            SELECT role, count(*)::BIGINT AS n,
+                   sum(code * 2 + turn_idx)::BIGINT AS load_i
+            FROM parsed WHERE code * 2 < 900 AND dur * 2 > 1.0
+            GROUP BY role ORDER BY role
         """,
         "throttle_kept": f"""
             WITH t AS ({t})

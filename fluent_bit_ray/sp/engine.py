@@ -62,6 +62,10 @@ _SQL_RE = re.compile(
 
 _AGG_RE = re.compile(r"^(AVG|SUM|COUNT|MIN|MAX)\s*\(\s*(\*|[\w.]+)\s*\)"
                      r"(?:\s+AS\s+(\w+))?$", re.IGNORECASE)
+_AGG_EXPR_RE = re.compile(r"^(AVG|SUM|COUNT|MIN|MAX)\s*\((.+)\)"
+                          r"(?:\s+AS\s+(\w+))?$", re.IGNORECASE | re.DOTALL)
+_EXPR_ITEM_RE = re.compile(r"^(?P<expr>.+?)(?:\s+AS\s+(?P<alias>\w+))?$",
+                           re.IGNORECASE | re.DOTALL)
 _FC_RE = re.compile(r"^(FORECAST|FORECAST_R)\s*\(\s*([\w.()]+)\s*,\s*([\w.]+)"
                     r"\s*,\s*([\d.]+)\s*(?:,\s*([\d.]+)\s*)?\)"
                     r"(?:\s+AS\s+(\w+))?$", re.IGNORECASE)
@@ -103,6 +107,17 @@ def sp_parse(sql: str) -> SPQuery:
             q.select.append({"kind": "agg", "fn": fn, "key": key,
                              "alias": alias or f"{fn}({key})"})
             continue
+        am = _AGG_EXPR_RE.match(part)
+        if am:
+            # aggregate over an arithmetic expression, e.g.
+            # SUM(code * 2 + turn_idx) — reference sql.y expression
+            # grammar, eval flb_sp.c:1112-1223
+            fn, inner, alias = am.group(1).upper(), am.group(2), am.group(3)
+            tree = parse_expression(inner)
+            q.select.append({"kind": "agg", "fn": fn, "key": inner.strip(),
+                             "expr": tree,
+                             "alias": alias or f"{fn}({inner.strip()})"})
+            continue
         fm = _FC_RE.match(part)
         if fm:
             fn = fm.group(1).upper()
@@ -118,6 +133,17 @@ def sp_parse(sql: str) -> SPQuery:
             q.select.append({"kind": "key", "key": km.group(1),
                              "alias": km.group(2) or km.group(1)})
             continue
+        em = _EXPR_ITEM_RE.match(part)
+        if em:
+            try:
+                tree = parse_expression(em.group("expr"))
+            except ValueError:
+                tree = None
+            if tree is not None and _has_arith(tree):
+                q.select.append({"kind": "expr", "expr": tree,
+                                 "alias": em.group("alias")
+                                 or em.group("expr").strip()})
+                continue
         raise ValueError(f"cannot parse select item {part!r}")
     if m.group("where"):
         q.where = _parse_cond(m.group("where"))
@@ -154,7 +180,15 @@ def _split_commas(s: str) -> list[str]:
 # ----------------------------------------------------------- conditions
 _TOKEN = re.compile(
     r"\s*(\(|\)|AND\b|OR\b|NOT\b|IS\s+NOT\s+NULL|IS\s+NULL|"
-    r">=|<=|!=|<>|=|<|>|'(?:[^'\\]|\\.)*'|[\w.]+)", re.IGNORECASE)
+    r">=|<=|!=|<>|=|<|>|[+\-*/%]|'(?:[^'\\]|\\.)*'|[\w.]+)", re.IGNORECASE)
+
+_CMP_OPS = (">=", "<=", "!=", "<>", "=", "<", ">")
+_ARITH_OPS = ("+", "-", "*", "/", "%")
+
+
+def _has_arith(tree) -> bool:
+    return isinstance(tree, tuple) and (
+        tree[0] == "arith" or any(_has_arith(t) for t in tree[1:]))
 
 
 def _tokenize(s: str) -> list[str]:
@@ -210,42 +244,136 @@ class _CondParser:
     def parse_atom(self):
         t = self.peek()
         if t == "(":
+            # ambiguity: "(a > 1) AND ..." (parenthesized condition) vs
+            # "(a + 1) > 2" (parenthesized arithmetic) — try the
+            # condition parse, backtrack if what follows says otherwise
+            save = self.i
+            try:
+                self.eat()
+                node = self.parse_or()
+                if self.eat() != ")":
+                    raise ValueError("expected )")
+                if self.peek() not in _CMP_OPS + _ARITH_OPS:
+                    return node
+            except ValueError:
+                pass
+            self.i = save
+        left = self.parse_expr()
+        nxt = self.peek()
+        if left[0] == "key":
+            if nxt and re.match(r"IS\s+NOT\s+NULL", nxt, re.I):
+                self.eat()
+                return ("notnull", left[1])
+            if nxt and re.match(r"IS\s+NULL", nxt, re.I):
+                self.eat()
+                return ("isnull", left[1])
+        op = self.eat()
+        if op not in _CMP_OPS:
+            raise ValueError(f"expected comparison operator, got {op!r}")
+        if op == "<>":
+            op = "!="
+        right = self.parse_expr()
+        # plain shapes keep the round-1 node types (string/bool literal
+        # and key-vs-key semantics); arithmetic on either side compares
+        # numerically (reference reduce_expression numeric coercion,
+        # flb_sp.c:283,:892)
+        if left[0] == "key" and right[0] == "lit":
+            return ("cmp", op, left[1], right[1])
+        if left[0] == "lit" and right[0] == "key":
+            flip = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+            return ("cmp", flip.get(op, op), right[1], left[1])
+        if left[0] == "key" and right[0] == "key":
+            return ("cmpkey", op, left[1], right[1])
+        return ("cmpexpr", op, left, right)
+
+    # -- arithmetic expressions (reference sql.y expression grammar) --
+    def parse_expr(self):
+        node = self.parse_term()
+        while self.peek() in ("+", "-"):
+            node = ("arith", self.eat(), node, self.parse_term())
+        return node
+
+    def parse_term(self):
+        node = self.parse_factor()
+        while self.peek() in ("*", "/", "%"):
+            node = ("arith", self.eat(), node, self.parse_factor())
+        return node
+
+    def parse_factor(self):
+        t = self.peek()
+        if t == "(":
             self.eat()
-            node = self.parse_or()
+            node = self.parse_expr()
             if self.eat() != ")":
                 raise ValueError("expected )")
             return node
-        key = self.eat()
-        nxt = self.peek()
-        if nxt and re.match(r"IS\s+NOT\s+NULL", nxt, re.I):
+        if t == "-":
             self.eat()
-            return ("notnull", key)
-        if nxt and re.match(r"IS\s+NULL", nxt, re.I):
-            self.eat()
-            return ("isnull", key)
-        op = self.eat()
-        val = self.eat()
-        if val is None:
-            raise ValueError("expected literal")
-        if op == "<>":
-            op = "!="
-        if val.startswith("'"):
-            return ("cmp", op, key, val[1:-1])
-        if val.upper() in ("TRUE", "FALSE"):
-            return ("cmp", op, key, val.upper() == "TRUE")
+            return ("arith", "neg", self.parse_factor(), None)
+        tok = self.eat()
+        if tok is None:
+            raise ValueError("unexpected end of expression")
+        if tok.startswith("'"):
+            return ("lit", tok[1:-1])
+        if tok.upper() in ("TRUE", "FALSE"):
+            return ("lit", tok.upper() == "TRUE")
         try:
-            return ("cmp", op, key, int(val))
+            return ("lit", int(tok))
         except ValueError:
             pass
         try:
-            return ("cmp", op, key, float(val))
+            return ("lit", float(tok))
         except ValueError:
-            # unquoted non-numeric token → a second record key
-            return ("cmpkey", op, key, val)
+            return ("key", tok)
 
 
 def _parse_cond(s: str):
     return _CondParser(_tokenize(s)).parse()
+
+
+def parse_expression(s: str):
+    """Parse a standalone arithmetic expression (select-item use)."""
+    p = _CondParser(_tokenize(s))
+    node = p.parse_expr()
+    if p.peek() is not None:
+        raise ValueError(f"trailing tokens in expression: {p.toks[p.i:]}")
+    return node
+
+
+def _eval_expr(node, b: pa.Table, decoded=None):
+    """Evaluate an expression tree → pd.Series (float) or scalar.
+
+    Record keys coerce to numeric (NaN on miss) per the reference's
+    numeric coercion (flb_sp.c:283); arithmetic propagates NaN.
+    """
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "key":
+        return pd.to_numeric(_resolve_key(b, node[1], decoded),
+                             errors="coerce")
+    op = node[1]
+    left = _eval_expr(node[2], b, decoded)
+    if op == "neg":
+        return -left
+    right = _eval_expr(node[3], b, decoded)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if op == "+":
+            return left + right
+        if op == "-":
+            return left - right
+        if op == "*":
+            return left * right
+        if op == "/":
+            return left / right
+        return left % right
+
+
+def _expr_series(node, b: pa.Table, decoded=None) -> pd.Series:
+    v = _eval_expr(node, b, decoded)
+    if not isinstance(v, pd.Series):
+        v = pd.Series(np.full(b.num_rows, float(v)))
+    return v
 
 
 # ------------------------------------------------------------ execution
@@ -327,6 +455,14 @@ def _eval_cond(node, b: pa.Table, decoded=None) -> np.ndarray:
         return _resolve_key(b, node[1], decoded).isna().to_numpy()
     if kind == "notnull":
         return _resolve_key(b, node[1], decoded).notna().to_numpy()
+    if kind == "cmpexpr":
+        _, op, lt, rt = node
+        sa = _expr_series(lt, b, decoded)
+        sb = _expr_series(rt, b, decoded)
+        with np.errstate(invalid="ignore"):
+            r = _cmp_series(sa, sb, op)
+        valid = (sa.notna() & sb.notna()).to_numpy()
+        return r & valid
     if kind == "cmpkey":
         _, op, ka, kb = node
         sa = _resolve_key(b, ka, decoded)
@@ -450,7 +586,10 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
                 return b
             cols, names = [], []
             for s in sel:
-                v = _resolve_key(b, s["key"], now=now)
+                if s["kind"] == "expr":
+                    v = _expr_series(s["expr"], b)
+                else:
+                    v = _resolve_key(b, s["key"], now=now)
                 cols.append(pa.array(v))
                 names.append(s["alias"])
             return pa.table(dict(zip(names, cols)))
@@ -509,8 +648,11 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
                 data[f"_v{i}"] = np.ones(b.num_rows)
                 data[f"_n{i}"] = np.ones(b.num_rows)
             else:
-                vals = pd.to_numeric(_resolve_key(b, a["key"]),
-                                     errors="coerce")
+                if "expr" in a:
+                    vals = _expr_series(a["expr"], b)
+                else:
+                    vals = pd.to_numeric(_resolve_key(b, a["key"]),
+                                         errors="coerce")
                 data[f"_v{i}"] = vals.to_numpy(dtype=float)
                 data[f"_n{i}"] = vals.notna().to_numpy(dtype=float)
         df = pd.DataFrame(data)

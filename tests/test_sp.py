@@ -239,3 +239,56 @@ def test_bool_literal_condition():
     out = sp_execute(rd.from_arrow(t),
                      "SELECT flag FROM TAG:'*' WHERE flag = true").to_pandas()
     assert out["flag"].tolist() == [True]
+
+
+def test_arith_select_expression():
+    ds = mk_ds(30)
+    out = sp_execute(ds, "SELECT role, code * 2 + 1 AS c2 "
+                         "FROM TAG:'transcript.*'").to_pandas()
+    assert len(out) == 30
+    assert set(out["c2"]) == {401.0, 1001.0}
+
+
+def test_arith_where_expression():
+    ds = mk_ds(30)
+    # dur * 10 > 5  → dur in {0.6..0.9}
+    out = sp_execute(ds, "SELECT role FROM TAG:'transcript.*' "
+                         "WHERE dur * 10 > 5").to_pandas()
+    expect = sum(1 for i in range(30) if (i % 10) / 10.0 * 10 > 5)
+    assert len(out) == expect
+    # parenthesized arithmetic on the left + arithmetic on the right
+    out2 = sp_execute(ds, "SELECT role FROM TAG:'transcript.*' "
+                          "WHERE (code + 100) * 2 = 600 + 0").to_pandas()
+    assert len(out2) == sum(1 for i in range(30) if i % 3 == 0)
+
+
+def test_arith_aggregate_expression():
+    ds = mk_ds(60)
+    res = sp_execute(ds, "SELECT role, SUM(code * 2 + dur) AS load "
+                         "FROM TAG:'transcript.*' GROUP BY role")
+    ref = pd.DataFrame({
+        "role": ["user" if i % 2 else "tool" for i in range(60)],
+        "v": [(200 if i % 3 == 0 else 500) * 2 + (i % 10) / 10.0
+              for i in range(60)]})
+    expect = ref.groupby("role")["v"].sum()
+    got = dict(zip(res["role"], res["load"]))
+    for r in ("user", "tool"):
+        assert got[r] == pytest.approx(expect[r])
+
+
+def test_arith_unary_minus_and_division():
+    ds = mk_ds(10)
+    out = sp_execute(ds, "SELECT code / -2 AS h FROM TAG:'transcript.*' "
+                         "WHERE code = 200").to_pandas()
+    assert set(out["h"]) == {-100.0}
+
+
+def test_parenthesized_condition_still_parses():
+    ds = mk_ds(30)
+    out = sp_execute(ds, "SELECT role FROM TAG:'transcript.*' "
+                         "WHERE (code = 200 AND dur > 0.1) OR role = 'user'") \
+        .to_pandas()
+    expect = sum(1 for i in range(30)
+                 if ((200 if i % 3 == 0 else 500) == 200
+                     and (i % 10) / 10.0 > 0.1) or (i % 2 == 1))
+    assert len(out) == expect
