@@ -235,7 +235,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         p = Pipeline(stages=[
             {"type": "parser", "key_name": "text",
              "parsers": [{"name": "json", "format": "json",
-                          "decoders": [("decode_field", "log", "json")]}]},
+                          # docker-log style do_next chain: unescape,
+                          # then parse as JSON (decoder.c:480-484)
+                          "decoders": [
+                              ("decode_field_as", "log", "escaped", "do_next"),
+                              ("decode_field_as", "log", "json")]}]},
             {"type": "nest", "operation": "nest", "wildcard": ["log"],
              "nest_under": "meta"},
         ], sinks=[("all", "*")])
@@ -375,6 +379,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["conv_id", "first_turn", "n_parts", "text"]]
         return out.sort_values(["conv_id", "first_turn"]).reset_index(drop=True)
 
+    def multiline_segments_gap(sf_dir: str):
+        """Multiline with the event-time flush-timeout rule: rows whose
+        turn_idx % 7 == 3 arrive 10 s late (synthetic quiet period);
+        a gap > 5 s closes the open buffer (tail_multiline.c Flush_MS
+        analogue), so the late row starts a fresh segment / is solo."""
+        import pyarrow as pa
+
+        from fluent_bit_ray.stages import build_stage
+
+        def inflate(b: pa.Table) -> pa.Table:
+            ts = b.column("ts").cast(pa.timestamp("ns")).cast(pa.int64()) \
+                .to_numpy()
+            ti = b.column("turn_idx").to_numpy(zero_copy_only=False) \
+                .astype("int64")
+            ts2 = ts + np.where(ti % 7 == 3, 10_000_000_000, 0)
+            return b.append_column(
+                "ts2", pa.array(ts2).cast(pa.timestamp("ns")))
+
+        ds = read_transcripts(sf_dir).map_batches(inflate,
+                                                  batch_format="pyarrow")
+        st = build_stage({"type": "multiline", "firstline": FIRSTLINE,
+                          "flush_gap_s": 5, "ts_col": "ts2"})
+        out = st.apply(ds).to_pandas()
+        out["first_turn"] = out["first_turn"].astype("int64")
+        out["n_parts"] = out["n_parts"].astype("int64")
+        out = out[["conv_id", "first_turn", "n_parts", "text"]]
+        return out.sort_values(["conv_id", "first_turn"]).reset_index(drop=True)
+
     # ---------------- SP SQL subset (tumbling count per role)
     def sp_count_window(sf_dir: str):
         from fluent_bit_ray.sp import sp_execute
@@ -495,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann_topk,
         "ua_browser_counts": ua_browser_counts,
         "multiline_segments": multiline_segments,
+        "multiline_segments_gap": multiline_segments_gap,
         "sp_count_window": sp_count_window,
         "sp_arith": sp_arith,
         "throttle_kept": throttle_kept,
@@ -734,6 +767,40 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(text, chr(10) ORDER BY turn_idx) AS text
             FROM segs
             GROUP BY conv_id, run, solo
+            ORDER BY conv_id, first_turn
+        """,
+        "multiline_segments_gap": f"""
+            WITH t AS ({t}),
+            w AS (
+              SELECT conv_id, turn_idx, text,
+                     ts + CASE WHEN turn_idx % 7 = 3
+                          THEN INTERVAL 10 SECOND ELSE INTERVAL 0 SECOND END
+                       AS ts2,
+                     regexp_matches(text, '^(\\d|\\{{|CALL )') AS is_first
+              FROM t),
+            s AS (
+              SELECT *,
+                     CASE WHEN epoch(ts2 - lag(ts2) OVER
+                          (PARTITION BY conv_id ORDER BY turn_idx)) > 5
+                          THEN 1 ELSE 0 END AS gapbrk
+              FROM w),
+            runs AS (
+              SELECT *,
+                     sum(CASE WHEN is_first OR gapbrk = 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS run
+              FROM s),
+            runs2 AS (
+              SELECT *,
+                     first_value(is_first) OVER
+                       (PARTITION BY conv_id, run ORDER BY turn_idx) AS rf
+              FROM runs)
+            SELECT conv_id,
+                   min(turn_idx)::BIGINT AS first_turn,
+                   count(*)::BIGINT AS n_parts,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS text
+            FROM runs2
+            GROUP BY conv_id, run, CASE WHEN rf THEN NULL ELSE turn_idx END
             ORDER BY conv_id, first_turn
         """,
         "sp_count_window": f"""

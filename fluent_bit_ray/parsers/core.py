@@ -98,38 +98,105 @@ def _unescape(s: str, utf8: bool = False) -> str:
     return "".join(out)
 
 
-def apply_decoders(fields: dict, decoders: list[tuple[str, str, str]]) -> dict:
+def _decode_backend(backend: str, data):
+    """One decoder backend run → (ok, value, is_object).
+
+    Mirrors reference src/flb_parser_decoder.c: json must yield exactly
+    one OBJECT (decoder.c:62-70); escaped/escaped_utf8/mysql_quoted are
+    string rewrites that always succeed.
+    """
+    if backend == "json":
+        try:
+            obj = json.loads(data)
+        except (ValueError, TypeError):
+            return False, None, False
+        if not isinstance(obj, dict):
+            return False, None, False
+        return True, obj, True
+    if backend == "escaped":
+        return True, _unescape(data), False
+    if backend == "escaped_utf8":
+        return True, _unescape(data, utf8=True), False
+    if backend == "mysql_quoted":
+        v = data
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in ("'", '"'):
+            v = v[1:-1]
+        return True, v.replace("''", "'").replace("\\'", "'"), False
+    raise ValueError(f"unknown decoder backend {backend!r}")
+
+
+def apply_decoders(fields: dict, decoders: list[tuple]) -> dict:
     """Apply an ordered decoder ruleset to a parsed map.
 
-    Each rule is (action, field, backend):
-    - action "decode_field": parse the field's string as <backend> and
-      *replace the value with the decoded structure* (json backend) —
-      if decode fails the value is left untouched;
-    - action "decode_field_as": rewrite the field's string in place
-      (escaped / escaped_utf8 / mysql_quoted backends).
+    Rules are (action, field, backend[, rule_action]) mirroring the
+    reference's ``Decode_Field`` / ``Decode_Field_As`` with optional
+    ``try_next`` / ``do_next`` composition
+    (src/flb_parser_decoder.c:380-485 rule loop, :674-727 config):
+
+    - "decode_field_as": replace the field's value in place with the
+      decoded result (string or object);
+    - "decode_field": merge the decoded OBJECT's keys into the record
+      as extra keys appended at the end (merge_record_and_extra_keys);
+      a string result is not allowed as extra keys (decoder.c:509-511)
+      — the original value stays;
+    - on backend FAILURE: try_next/do_next → continue with the next
+      rule, no action → stop (decoder.c:441-448);
+    - on SUCCESS: do_next → keep applying rules (the working value for
+      later rules is the decode_field_as result), else stop
+      (decoder.c:480-484);
+    - a decode_field rule with do_next is skipped once a decode_field
+      already succeeded (decoder.c:408-412); once a decode_field_as
+      produced an OBJECT, later rules skip (decoder.c:414-416).
     """
-    for action, field, backend in decoders:
+    by_field: dict[str, list] = {}
+    for rule in decoders:
+        action, field, backend = rule[0], rule[1], rule[2]
+        rule_action = rule[3] if len(rule) > 3 else ""
+        by_field.setdefault(field, []).append((action, backend, rule_action))
+
+    extra: dict = {}
+    for field, rules in by_field.items():
         if field not in fields:
             continue
         val = fields[field]
         if not isinstance(val, str):
             continue
-        if backend == "json":
-            try:
-                decoded = json.loads(val)
-            except (ValueError, TypeError):
+        data = val                  # working value (updated by _as rules)
+        data_is_obj = False
+        is_decoded = False          # a decode_field produced extra keys
+        is_decoded_as = False
+        out_obj = None              # the extra-keys object
+        for action, backend, rule_action in rules:
+            if action == "decode_field" and rule_action == "do_next" \
+                    and is_decoded:
                 continue
-            if action == "decode_field" and isinstance(decoded, (dict, list)):
-                fields[field] = decoded
-        elif backend == "escaped":
-            fields[field] = _unescape(val)
-        elif backend == "escaped_utf8":
-            fields[field] = _unescape(val, utf8=True)
-        elif backend == "mysql_quoted":
-            v = val
-            if len(v) >= 2 and v[0] == v[-1] and v[0] in ("'", '"'):
-                v = v[1:-1]
-            fields[field] = v.replace("''", "'").replace("\\'", "'")
+            if is_decoded_as and data_is_obj:
+                continue
+            ok, decoded, is_obj = _decode_backend(backend, data)
+            if not ok:
+                if rule_action in ("try_next", "do_next"):
+                    continue
+                break
+            if action == "decode_field_as":
+                data = decoded
+                data_is_obj = is_obj
+                is_decoded_as = True
+            else:  # decode_field
+                is_decoded = True
+                if is_obj:
+                    out_obj = decoded
+                # string result → "string type is not allowed" for
+                # extra keys; nothing merged
+            if rule_action == "do_next":
+                continue
+            break
+        if is_decoded_as:
+            fields[field] = data
+        if out_obj is not None:
+            extra.update(out_obj)
+    if extra:
+        for k, v in extra.items():  # appended at the record's end
+            fields[k] = v
     return fields
 
 

@@ -172,6 +172,140 @@ class GeoipEnrichStage(Stage):
         return batch
 
 
+# default mirrors the kube tag shape <prefix><pod>_<namespace>_<container>
+# (reference plugins/filter_kubernetes/kube_regex.h tag capture)
+KUBE_TAG_REGEX = (r"(?P<pod_name>[a-z0-9][-a-z0-9.]*)_"
+                  r"(?P<namespace>[^_]+)_(?P<container>.+)$")
+
+
+@register("kubernetes_enrich")
+class KubernetesEnrichStage(Stage):
+    """kubernetes filter semantics (reference plugins/filter_kubernetes):
+
+    - tag → pod/namespace/container parse (kube_meta.c tag regex via
+      ``Kube_Tag_Prefix``; kubernetes.c:446-466 meta fetch);
+    - metadata lookup keyed on "namespace:pod" with a **TTL cache**:
+      the reference caches API-server results in an flb_hash with
+      time-based eviction (src/flb_hash.c:42-172, entry->created_at
+      check); here the actor reloads the dimension source when it is
+      older than ``ttl_s`` — a changing dimension table is picked up
+      after at most TTL seconds, per actor;
+    - ``merge_log``: parse the record's ``log`` field as JSON and splat
+      its keys into the fields map; ``keep_log`` keeps/drops the
+      original (kubernetes.c:239-268 merge_log_handler).
+
+    ``loader`` is a callable returning ``{"ns:pod": {field: value}}``
+    (the API-server stand-in); ``dim_path`` reads that mapping from a
+    JSON file instead (tests rewrite the file mid-run).
+    """
+
+    def __init__(self, loader=None, dim_path: str | None = None,
+                 ttl_s: float = 60.0, tag_regex: str = KUBE_TAG_REGEX,
+                 merge_log: bool = False, keep_log: bool = True,
+                 prefix: str = "kube_", **kw):
+        super().__init__(**kw)
+        import time as _time
+        self._time = _time
+        if loader is None:
+            if dim_path is None:
+                raise ValueError("need loader or dim_path")
+
+            def loader():
+                import json as _json
+                with open(dim_path) as fh:
+                    return _json.load(fh)
+        self.loader = loader
+        self.ttl_s = ttl_s
+        self.tag_regex = tag_regex
+        self.merge_log = merge_log
+        self.keep_log = keep_log
+        self.prefix = prefix
+        self.meta = loader()  # once per actor; refreshed on TTL expiry
+        self.loaded_at = self._time.monotonic()
+        self.add_fields = sorted({f for v in self.meta.values() for f in v})
+
+    def _maybe_reload(self):
+        if self._time.monotonic() - self.loaded_at > self.ttl_s:
+            self.meta = self.loader()
+            self.loaded_at = self._time.monotonic()
+            self.add_fields = sorted({f for v in self.meta.values()
+                                      for f in v})
+
+    def transform(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:
+        from ..record import TAG_COL
+        self._maybe_reload()
+        if TAG_COL not in batch.column_names:
+            return batch
+        col = batch.column(TAG_COL)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # one regex pass per UNIQUE tag, fan out via take
+        dic = pc.dictionary_encode(col)
+        uniq = dic.dictionary
+        st = pc.extract_regex(uniq, pattern=self.tag_regex)
+        ok = pc.is_valid(st)
+        all_masked = bool(mask.all())
+        keepers = None if all_masked else pa.array(mask)
+
+        def emit(name, lut):
+            vals = lut.take(dic.indices)
+            if keepers is not None:
+                vals = pc.if_else(keepers, vals,
+                                  pa.scalar(None, type=pa.string()))
+            return replace_column(batch, self.prefix + name, vals)
+
+        parts = {}
+        for name in ("pod_name", "namespace", "container"):
+            vals = pc.if_else(ok, pc.struct_field(st, name),
+                              pa.scalar(None, type=pa.string()))
+            parts[name] = vals
+            batch = emit(name, vals)
+        ns = parts["namespace"].to_pylist()
+        pod = parts["pod_name"].to_pylist()
+        for f in self.add_fields:
+            lut = pa.array(
+                [self.meta.get(f"{n}:{p}", {}).get(f) if n is not None
+                 else None for n, p in zip(ns, pod)], type=pa.string())
+            batch = emit(f, lut)
+        if self.merge_log:
+            batch = self._merge_log(batch, mask)
+        return batch
+
+    def _merge_log(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:
+        import json as _json
+
+        from .base import decode_fields_subset, scatter_fields
+        from ..record import FIELDS_COL
+        if FIELDS_COL not in batch.column_names:
+            return batch
+        has_log = pc.match_substring(
+            batch.column(FIELDS_COL).combine_chunks(), '"log"')
+        m = pc.fill_null(has_log, False).to_numpy(zero_copy_only=False) & mask
+        if not m.any():
+            return batch
+        idx = np.nonzero(m)[0]
+        dicts = decode_fields_subset(batch, idx)
+        changed_idx, changed = [], []
+        for i, d in zip(idx, dicts):
+            v = d.get("log")
+            if not isinstance(v, str) or not v.lstrip().startswith("{"):
+                continue
+            try:
+                obj = _json.loads(v)
+            except ValueError:
+                continue
+            if not isinstance(obj, dict):
+                continue
+            if not self.keep_log:
+                del d["log"]
+            d.update(obj)
+            changed_idx.append(i)
+            changed.append(d)
+        if changed_idx:
+            batch = scatter_fields(batch, np.array(changed_idx), changed)
+        return batch
+
+
 @register("const_enrich")
 class ConstEnrichStage(Stage):
     """aws-filter style: append constant metadata columns."""

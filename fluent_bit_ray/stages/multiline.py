@@ -30,26 +30,44 @@ class MultilineStage(Stage):
 
     def __init__(self, firstline: str, key: str = "conv_id",
                  order_col: str = "turn_idx", text_col: str = "text",
-                 joiner: str = "\n", **kw):
+                 joiner: str = "\n", flush_gap_s: float | None = None,
+                 ts_col: str = "ts", **kw):
+        """``flush_gap_s`` is the event-time analogue of the reference's
+        ``Flush_MS`` timeout (tail_multiline.c:56-75): an event-time gap
+        > flush_gap_s between consecutive rows CLOSES the open buffer,
+        so a continuation line arriving after the gap has no open
+        buffer and is emitted as-is — exactly what the processing-time
+        timeout does to a quiet stream. None = no timeout (round-1
+        behavior: only the group boundary flushes)."""
         super().__init__(**kw)
         self.firstline = firstline
         self.key = key
         self.order_col = order_col
         self.text_col = text_col
         self.joiner = joiner
+        self.flush_gap_s = flush_gap_s
+        self.ts_col = ts_col
 
     def apply(self, ds):
         rx = re.compile(self.firstline)
         key, order_col, text_col = self.key, self.order_col, self.text_col
         joiner = self.joiner
+        gap_s, ts_col = self.flush_gap_s, self.ts_col
 
         def join_group(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(order_col, kind="mergesort")
             texts = g[text_col].astype(str).tolist()
             orders = g[order_col].tolist()
+            if gap_s is not None:
+                deltas = pd.to_datetime(g[ts_col]).diff().dt.total_seconds()
+                gap_brk = (deltas > gap_s).fillna(False).tolist()
+            else:
+                gap_brk = [False] * len(texts)
             segs: list[tuple[int, list[str]]] = []
             open_buf = None
-            for t, o in zip(texts, orders):
+            for t, o, brk in zip(texts, orders, gap_brk):
+                if brk:
+                    open_buf = None  # timeout flush closes the buffer
                 if rx.search(t):
                     open_buf = [t]
                     segs.append((o, open_buf))

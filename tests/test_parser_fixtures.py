@@ -66,7 +66,7 @@ def test_merge_log_keep_log():
 def test_decoder_chain_on_escaped_log():
     # filter-parser + decoder composition: nested escaped JSON in 'log'
     p = build_parser({"name": "j", "format": "json",
-                      "decoders": [("decode_field", "log", "json")]})
+                      "decoders": [("decode_field_as", "log", "json")]})
     maps, _ = p.parse_column(
         ['{"log": "{\\"inner\\": true, \\"n\\": 3}", "k": "v"}'])
     assert maps[0] == {"log": {"inner": True, "n": 3}, "k": "v"}

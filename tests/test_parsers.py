@@ -81,12 +81,77 @@ def test_typecast():
 
 def test_decoders():
     f = {"log": '{"inner": 1}', "esc": 'a\\nb', "q": "'it''s'"}
-    apply_decoders(f, [("decode_field", "log", "json"),
+    apply_decoders(f, [("decode_field_as", "log", "json"),
                        ("decode_field_as", "esc", "escaped"),
                        ("decode_field_as", "q", "mysql_quoted")])
     assert f["log"] == {"inner": 1}
     assert f["esc"] == "a\nb"
     assert f["q"] == "it's"
+
+
+def test_decode_field_merges_extra_keys():
+    # Decode_Field json: decoded OBJECT keys appended to the record,
+    # original value retained (reference flb_parser_decoder.c:487-516,
+    # merge_record_and_extra_keys)
+    f = {"log": '{"a": 1, "b": "x"}', "other": "y"}
+    apply_decoders(f, [("decode_field", "log", "json")])
+    assert f["log"] == '{"a": 1, "b": "x"}'      # original value kept
+    assert list(f) == ["log", "other", "a", "b"]  # extras at the END
+    assert f["a"] == 1 and f["b"] == "x"
+    # string result is not allowed as extra keys → no-op
+    f2 = {"s": "abc"}
+    apply_decoders(f2, [("decode_field", "s", "escaped")])
+    assert f2 == {"s": "abc"}
+
+
+def test_decoder_do_next_chain():
+    # the canonical docker-log chain: unescape, then parse as JSON
+    # (Decode_Field_As escaped log do_next; Decode_Field_As json log)
+    f = {"log": '{\\"seq\\": 5}'}
+    apply_decoders(f, [("decode_field_as", "log", "escaped", "do_next"),
+                       ("decode_field_as", "log", "json")])
+    assert f["log"] == {"seq": 5}
+    # non-JSON content: first rule still unescapes, second fails, value
+    # stays the unescaped STRING (json failure with no action → stop)
+    f2 = {"log": 'plain \\"text\\"'}
+    apply_decoders(f2, [("decode_field_as", "log", "escaped", "do_next"),
+                        ("decode_field_as", "log", "json")])
+    assert f2["log"] == 'plain "text"'
+
+
+def test_decoder_try_next_fallback():
+    # try_next: when the first backend FAILS, try the next rule
+    # (reference decoder.c:441-448)
+    f = {"log": "not json at all"}
+    apply_decoders(f, [("decode_field_as", "log", "json", "try_next"),
+                       ("decode_field_as", "log", "mysql_quoted")])
+    assert f["log"] == "not json at all"  # mysql_quoted is identity here
+    # first rule succeeds with no action → later rules NOT applied
+    f2 = {"log": '{"a": 1}'}
+    apply_decoders(f2, [("decode_field_as", "log", "json", "try_next"),
+                        ("decode_field_as", "log", "escaped")])
+    assert f2["log"] == {"a": 1}
+
+
+def test_decoder_skips_after_object():
+    # once decode_field_as produced an OBJECT, later rules skip
+    # (reference decoder.c:414-416)
+    f = {"log": '{"a": 1}'}
+    apply_decoders(f, [("decode_field_as", "log", "json", "do_next"),
+                       ("decode_field_as", "log", "escaped", "do_next"),
+                       ("decode_field", "log", "json", "do_next")])
+    assert f["log"] == {"a": 1}
+    assert "a" not in f or f.get("a") == 1  # no extra-merge ran on the object
+
+
+def test_decode_field_do_next_skips_after_decoded():
+    # a decode_field(do_next) rule is skipped once one already
+    # succeeded (reference decoder.c:408-412)
+    f = {"log": '{"a": 1}'}
+    apply_decoders(f, [("decode_field", "log", "json", "do_next"),
+                       ("decode_field", "log", "json", "do_next")])
+    assert f["a"] == 1
+    assert list(f).count("a") == 1
 
 
 def test_yearless_time():

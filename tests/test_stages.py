@@ -311,3 +311,76 @@ def test_stdout_stage(capsys):
     out = st(b)
     assert out.num_rows == 2  # pass-through
     assert "hello" in capsys.readouterr().out
+
+
+def test_kubernetes_enrich_ttl_and_merge_log(tmp_path):
+    import time
+
+    dim = tmp_path / "kube.json"
+    dim.write_text(json.dumps({"default:pod-a": {"app": "v1", "node": "n1"}}))
+    st = build_stage({"type": "kubernetes_enrich", "dim_path": str(dim),
+                      "ttl_s": 0.2, "merge_log": True, "keep_log": False})
+    b = mk_batch([
+        {"tag": "pod-a_default_main",
+         "fields": {"log": '{"seq": 7}', "x": 1}},
+        {"tag": "other", "fields": {}},
+    ])
+    out = st(b)
+    assert out.column("kube_pod_name").to_pylist() == ["pod-a", None]
+    assert out.column("kube_namespace").to_pylist() == ["default", None]
+    assert out.column("kube_container").to_pylist() == ["main", None]
+    assert out.column("kube_app").to_pylist() == ["v1", None]
+    f0 = fields_loads(out.column("fields").to_pylist()[0])
+    assert f0["seq"] == 7 and "log" not in f0 and f0["x"] == 1
+
+    # dimension changes are invisible before the TTL, visible after —
+    # the flb_hash TTL-eviction semantic (src/flb_hash.c:42-172)
+    dim.write_text(json.dumps({"default:pod-a": {"app": "v2", "node": "n1"}}))
+    assert st(b).column("kube_app").to_pylist()[0] == "v1"
+    time.sleep(0.25)
+    assert st(b).column("kube_app").to_pylist()[0] == "v2"
+
+
+def test_kubernetes_merge_log_keeps_log_by_default(tmp_path):
+    dim = tmp_path / "kube.json"
+    dim.write_text(json.dumps({}))
+    st = build_stage({"type": "kubernetes_enrich", "dim_path": str(dim),
+                      "merge_log": True})
+    b = mk_batch([{"tag": "p_ns_c", "fields": {"log": '{"a": 2}'}}])
+    f0 = fields_loads(st(b).column("fields").to_pylist()[0])
+    assert f0["log"] == '{"a": 2}' and f0["a"] == 2
+    # non-JSON log stays untouched
+    b2 = mk_batch([{"tag": "p_ns_c", "fields": {"log": "plain"}}])
+    f2 = fields_loads(st(b2).column("fields").to_pylist()[0])
+    assert f2 == {"log": "plain"}
+
+
+def test_multiline_flush_gap():
+    import pandas as pd
+    import ray.data as rd
+
+    # conv layout: firstline at t=0, continuations at 1s, 2s, then a
+    # 100s quiet period → continuation after the gap is SOLO; a new
+    # firstline later starts a fresh segment
+    rows = [
+        ("c1", 0, "1 start", 0),
+        ("c1", 1, "cont a", 1),
+        ("c1", 2, "cont b", 2),
+        ("c1", 3, "cont after gap", 102),   # gap > 5 → buffer closed
+        ("c1", 4, "another cont", 103),     # still no open buffer
+        ("c1", 5, "2 new start", 104),
+        ("c1", 6, "cont c", 105),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "text", "sec"]).assign(
+        ts=lambda d: pd.to_datetime(d["sec"], unit="s")))
+    st = build_stage({"type": "multiline", "firstline": r"^\d",
+                      "flush_gap_s": 5})
+    out = st.apply(ds).to_pandas().sort_values("first_turn")
+    assert out["first_turn"].tolist() == [0, 3, 4, 5]
+    assert out["n_parts"].tolist() == [3, 1, 1, 2]
+    assert out["text"].tolist()[0] == "1 start\ncont a\ncont b"
+    # without the gap rule the whole run folds into one segment
+    st2 = build_stage({"type": "multiline", "firstline": r"^\d"})
+    out2 = st2.apply(ds).to_pandas().sort_values("first_turn")
+    assert out2["n_parts"].tolist() == [5, 2]
