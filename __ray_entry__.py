@@ -859,7 +859,35 @@ def oracle_sql() -> dict[str, str]:
               ROWS UNBOUNDED PRECEDING) <= 2000
             ORDER BY conv_id, turn_idx
         """,
-        # doc_langid / doc_fingerprint / doc_simhash / docs_minhash_pairs:
-        # non-SQL-expressible (heuristic / rolling-hash / sketch ops) —
+        # langid: the stopword-vote heuristic IS SQL-expressible — the
+        # sets and the first-wins tie-break mirror
+        # fluent_bit_ray/dataops/textstats.py langid_batch exactly
+        "doc_langid": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-zà-ÿä-ü]+') AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                len(list_filter(ws, x -> x IN ('the','a','an','and','of','to',
+                    'in','is','it','that','for','on','with','as','at','by',
+                    'this','be','are'))) AS en,
+                len(list_filter(ws, x -> x IN ('der','die','das','und','ist',
+                    'nicht','mit','ein','zu'))) AS de,
+                len(list_filter(ws, x -> x IN ('le','la','les','et','est',
+                    'pas','pour','dans','une'))) AS fr,
+                len(list_filter(ws, x -> x IN ('el','los','las','y','es','no',
+                    'para','en','una'))) AS es
+              FROM w)
+            SELECT doc_id,
+                   CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+                        WHEN en = greatest(en, de, fr, es) THEN 'en'
+                        WHEN de = greatest(en, de, fr, es) THEN 'de'
+                        WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM c ORDER BY doc_id
+        """,
+        # doc_fingerprint / doc_simhash / docs_minhash_pairs:
+        # non-SQL-expressible (rolling-hash / sketch ops) —
         # intentionally omitted → driver records rows-only checks.
     }

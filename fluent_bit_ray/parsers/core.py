@@ -452,7 +452,7 @@ class JsonParser(Parser):
         its per-row dict merge entirely). Decoder rules need the dict
         pipeline → ineligible.
         """
-        if self.decoders:
+        if self.decoders or not getattr(self, "_vector_ok", True):
             return None
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()

@@ -18,12 +18,112 @@ from __future__ import annotations
 
 import json
 import os
+import struct
 
 import pyarrow as pa
 
 from ..record import FIELDS_COL, fields_loads, translate
 
+try:  # orjson: same fast path the parsers use, for the write side
+    import orjson as _orjson
+except ImportError:  # pragma: no cover
+    _orjson = None
+
 _ENVELOPE = ("conv_id", "turn_idx", "role", "text", "tool")
+
+
+def _dumps(obj) -> str:
+    if _orjson is not None:
+        try:
+            return _orjson.dumps(obj).decode()
+        except TypeError:
+            pass
+    return json.dumps(obj, separators=(",", ":"), default=str)
+
+
+# ---------------------------------------------------------------- msgpack
+def msgpack_pack(obj) -> bytes:
+    """Minimal msgpack encoder (format spec: msgpack.org; the reference
+    stores every record as msgpack ``[timestamp, map]``, out_file's
+    msgpack format dumps those bytes raw — file.c:89-99)."""
+    out = bytearray()
+    _mp(obj, out)
+    return bytes(out)
+
+
+def _mp(o, out: bytearray) -> None:
+    if o is None:
+        out.append(0xC0)
+    elif o is True:
+        out.append(0xC3)
+    elif o is False:
+        out.append(0xC2)
+    elif isinstance(o, int):
+        if 0 <= o < 0x80:
+            out.append(o)
+        elif -32 <= o < 0:
+            out.append(o & 0xFF)
+        elif 0 <= o <= 0xFFFFFFFFFFFFFFFF:
+            out.append(0xCF)
+            out += struct.pack(">Q", o)
+        else:
+            out.append(0xD3)
+            out += struct.pack(">q", o)
+    elif isinstance(o, float):
+        out.append(0xCB)
+        out += struct.pack(">d", o)
+    elif isinstance(o, str):
+        b = o.encode("utf-8")
+        n = len(b)
+        if n < 32:
+            out.append(0xA0 | n)
+        elif n < 0x100:
+            out += bytes((0xD9, n))
+        elif n < 0x10000:
+            out.append(0xDA)
+            out += struct.pack(">H", n)
+        else:
+            out.append(0xDB)
+            out += struct.pack(">I", n)
+        out += b
+    elif isinstance(o, (bytes, bytearray)):
+        n = len(o)
+        if n < 0x100:
+            out += bytes((0xC4, n))
+        elif n < 0x10000:
+            out.append(0xC5)
+            out += struct.pack(">H", n)
+        else:
+            out.append(0xC6)
+            out += struct.pack(">I", n)
+        out += o
+    elif isinstance(o, (list, tuple)):
+        n = len(o)
+        if n < 16:
+            out.append(0x90 | n)
+        elif n < 0x10000:
+            out.append(0xDC)
+            out += struct.pack(">H", n)
+        else:
+            out.append(0xDD)
+            out += struct.pack(">I", n)
+        for v in o:
+            _mp(v, out)
+    elif isinstance(o, dict):
+        n = len(o)
+        if n < 16:
+            out.append(0x80 | n)
+        elif n < 0x10000:
+            out.append(0xDE)
+            out += struct.pack(">H", n)
+        else:
+            out.append(0xDF)
+            out += struct.pack(">I", n)
+        for k, v in o.items():
+            _mp(k if isinstance(k, (str, int, float, bool)) else str(k), out)
+            _mp(v, out)
+    else:
+        _mp(str(o), out)
 
 
 def _row_map(b: pa.Table, i: int, cols: dict) -> dict:
@@ -43,11 +143,23 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
     n = b.num_rows
     ts = cols.get("ts", [None] * n)
     out = []
-    if fmt == "json":
+    if fmt in ("json", "json_stream"):
+        # json = one record per line (out_file json); json_stream = the
+        # same rendering concatenated with no separator (out_stdout
+        # json_stream, stdout.c:54-79 / flb_pack FORMAT_STREAM)
         for i in range(n):
             m = _row_map(b, i, cols)
             rec = {"date": str(ts[i]) if ts[i] is not None else None, **m}
-            out.append(json.dumps(rec, separators=(",", ":"), default=str))
+            out.append(_dumps(rec))
+        if fmt == "json_stream":
+            return ["".join(out)] if out else []
+    elif fmt == "msgpack":
+        # out_file msgpack: raw [timestamp, map] msgpack per record
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            epoch = (t.timestamp() if hasattr(t, "timestamp") else 0.0)
+            out.append(msgpack_pack([epoch, m]))
     elif fmt == "csv":
         sel = csv_columns or [c for c in _ENVELOPE if c in cols]
         for i in range(n):
@@ -88,7 +200,7 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
             day = (str(t)[:10].replace("-", ".")
                    if t is not None else "0000.00.00")
             m["@timestamp"] = str(t)
-            src = json.dumps(m, separators=(",", ":"), default=str)
+            src = _dumps(m)
             action: dict = {"_index": f"{es_index_prefix}-{day}",
                             "_type": "_doc"}
             if es_generate_id:
@@ -96,7 +208,7 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
                 # stable _id (reference es.c:488-489)
                 from .murmur3 import murmur3_id
                 action["_id"] = murmur3_id(src.encode("utf-8"))
-            out.append(json.dumps({"index": action}))
+            out.append(_dumps({"index": action}))
             out.append(src)
     else:
         raise ValueError(f"unknown format {fmt!r}")
@@ -112,9 +224,14 @@ def write_sink(ds, outdir: str, fmt: str = "json", **fmt_kw) -> int:
             return pa.table({"n": pa.array([0], type=pa.int64())})
         lines = format_batch(b, fmt=fmt, **fmt_kw)
         key = abs(hash(tuple(lines[:1] + [len(lines)]))) % (1 << 32)
-        path = os.path.join(outdir, f"part-{key:08x}-{b.num_rows}.txt")
-        with open(path, "w") as f:
-            f.write("\n".join(lines) + "\n")
+        if lines and isinstance(lines[0], bytes):  # msgpack: raw stream
+            path = os.path.join(outdir, f"part-{key:08x}-{b.num_rows}.msgpack")
+            with open(path, "wb") as f:
+                f.write(b"".join(lines))
+        else:
+            path = os.path.join(outdir, f"part-{key:08x}-{b.num_rows}.txt")
+            with open(path, "w") as f:
+                f.write("\n".join(lines) + "\n")
         return pa.table({"n": pa.array([b.num_rows], type=pa.int64())})
 
     parts = ds.map_batches(write_block, batch_format="pyarrow",

@@ -70,3 +70,58 @@ def test_decoder_chain_on_escaped_log():
     maps, _ = p.parse_column(
         ['{"log": "{\\"inner\\": true, \\"n\\": 3}", "k": "v"}'])
     assert maps[0] == {"log": {"inner": True, "n": 3}, "k": "v"}
+
+
+# ---------------- statsd / mqtt payload grammars
+def test_statsd_line_shapes():
+    from fluent_bit_ray.parsers.payloads import parse_statsd_line
+
+    # counter with sample rate (statsd.c:95-104)
+    r = parse_statsd_line("api.req:1|c|@0.5")
+    assert r == {"type": "counter", "bucket": "api.req", "value": 1.0,
+                 "sample_rate": 0.5}
+    # timer ("ms", statsd.c:117-127)
+    r = parse_statsd_line("db.lat:320.5|ms")
+    assert r == {"type": "timer", "bucket": "db.lat", "value": 320.5,
+                 "sample_rate": 1.0}
+    # gauge: incremental flag for +N/-N (statsd.c:84-86,106-116)
+    assert parse_statsd_line("mem:+5|g")["incremental"] == 1
+    assert parse_statsd_line("mem:-5|g")["incremental"] == 1
+    g = parse_statsd_line("mem:5|g")
+    assert g["incremental"] == 0 and g["value"] == 5.0
+    # set keeps the raw string value (statsd.c:128-136)
+    assert parse_statsd_line("uniq:user42|s")["value"] == "user42"
+    # unknown type char falls back to counter (statsd.c:80)
+    assert parse_statsd_line("x:1|z")["type"] == "counter"
+    # zero sample rate → 1.0 (statsd.c:181-186)
+    assert parse_statsd_line("x:1|c|@0")["sample_rate"] == 1.0
+    # grammar misses
+    assert parse_statsd_line("no-colon-here") is None
+    assert parse_statsd_line("bucket:5") is None
+    # atof prefix semantics: "5abc" → 5.0
+    assert parse_statsd_line("x:5abc|c")["value"] == 5.0
+
+
+def test_statsd_batch_stage():
+    import pandas as pd
+    from fluent_bit_ray.parsers.payloads import statsd_batch
+    df = pd.DataFrame({"text": ["a:1|c", "junk", "b:2.5|ms|@0.1"]})
+    out = statsd_batch(df)
+    assert out["bucket"].tolist() == ["a", "b"]
+    assert out["value"].tolist() == [1.0, 2.5]
+    assert out["sample_rate"].tolist() == [1.0, 0.1]
+
+
+def test_mqtt_payload():
+    from fluent_bit_ray.parsers.payloads import (mqtt_batch,
+                                                 parse_mqtt_payload)
+    r = parse_mqtt_payload("sensors/t1", '{"temp": 21.5, "ok": true}')
+    assert list(r) == ["topic", "temp", "ok"]  # topic prepended
+    assert r["topic"] == "sensors/t1" and r["temp"] == 21.5
+    # non-object / non-JSON rejected (mqtt_prot.c:147-163)
+    assert parse_mqtt_payload("t", "[1,2]") is None
+    assert parse_mqtt_payload("t", "not json") is None
+    import pandas as pd
+    out = mqtt_batch(pd.DataFrame({"topic": ["a", "b"],
+                                   "text": ['{"x": 1}', "nope"]}))
+    assert out["topic"].tolist() == ["a"]

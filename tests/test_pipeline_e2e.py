@@ -197,3 +197,81 @@ def test_vector_fields_parity_nasty():
     fa = [fields_loads(v) for v in a.column("fields").to_pylist()]
     fb = [fields_loads(v) for v in b.column("fields").to_pylist()]
     assert fa == fb
+
+
+def test_airflow_composition_e2e():
+    """apm_goals_airflow semantics as one pipeline (reference
+    plugins/filter_apm_goals_airflow/filter_airflow.c:49-564):
+    multiline collection → per-segment scoring enrich → rewrite_tag
+    re-emit of scored segments — composed end-to-end through Pipeline
+    (multiline is a wide stage, so this also exercises the
+    materialized re-entry path)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_bit_ray.pipelines.pipeline import Pipeline
+    from fluent_bit_ray.record import fields_dumps, fields_loads
+
+    rows = []
+    for c in range(6):
+        # one airflow-style task log per conv: header + 2 continuations
+        rows.append((f"c{c}", 0, f"[task-{c}] started", 100 * c))
+        rows.append((f"c{c}", 1, "  retry count 1", 100 * c + 1))
+        status = "FAILED" if c % 2 else "SUCCESS"
+        rows.append((f"c{c}", 2, f"  final {status}", 100 * c + 2))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "sec"])
+    df["ts"] = pd.to_datetime(df.pop("sec"), unit="s")
+    df["role"] = "tool"
+    ds = rd.from_pandas(df)
+
+    # sidecar-scoring stand-in: same (code, record) contract as the
+    # reference's enrich hop — marks failed segments
+    def score(tag, ts, record):
+        record = dict(record)
+        record["goal_status"] = ("failed" if "FAILED" in record.get("seg", "")
+                                 else "ok")
+        return 1, record
+
+    class SegFields:
+        """Lift the joined segment text into the fields map."""
+        wide = False
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            segs = b.column("text").to_pylist()
+            f = pa.array([fields_dumps({"seg": s}) for s in segs],
+                         type=pa.large_string())
+            from fluent_bit_ray.stages.base import replace_column
+            return replace_column(b, "fields", f)
+
+    from fluent_bit_ray.stages.base import Stage
+
+    class SegFieldsStage(Stage):
+        def transform(self, batch, mask):
+            return SegFields()(batch)
+
+    # multiline collection runs at the source (the reference joins in
+    # in_tail / inside the airflow filter's own buffer, before the
+    # enrich + retag hops)
+    from fluent_bit_ray.stages import build_stage
+    segs = build_stage({"type": "multiline", "firstline": r"^\["}).apply(ds) \
+        .map_batches(lambda df: df.assign(role="task"),
+                     batch_format="pandas")
+
+    p = Pipeline(stages=[
+        SegFieldsStage(),
+        {"type": "py_udf", "fn": score},
+        {"type": "rewrite_tag", "match": "airflow.task",
+         "rules": [("$goal_status", "^failed$", "airflow.failed", True)]},
+    ], sinks=[("all", "*"), ("failures", "airflow.failed")],
+        tag_prefix="airflow")
+    routed = p.run(segs)
+    counts = routed.sink_counts()
+    # 6 segments + 3 re-emitted failed copies
+    assert counts["all"] == 9
+    assert counts["failures"] == 3
+    failed = routed.sink("failures").to_pandas()
+    assert set(failed["tag"]) == {"airflow.failed"}
+    assert all(fields_loads(v)["goal_status"] == "failed"
+               for v in failed["fields"])
+    assert all("FAILED" in fields_loads(v)["seg"] for v in failed["fields"])

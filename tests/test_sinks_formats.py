@@ -86,3 +86,60 @@ def test_es_bulk_generate_id():
     again = json.loads(format_batch(sample_batch(), fmt="es_bulk",
                                     es_generate_id=True)[0])["index"]
     assert again["_id"] == a1["_id"]
+
+
+def test_json_stream_format():
+    out = format_batch(sample_batch(), fmt="json_stream")
+    assert len(out) == 1               # one concatenated stream chunk
+    s = out[0]
+    assert s.count('"conv_id"') == 2 and "\n" not in s
+    # stream decodes as back-to-back objects
+    dec = json.JSONDecoder()
+    recs, i = [], 0
+    while i < len(s):
+        obj, i = dec.raw_decode(s, i)
+        recs.append(obj)
+    assert [r["conv_id"] for r in recs] == ["c1", "c2"]
+
+
+def test_msgpack_format_roundtrip():
+    import pytest
+    msgpack = pytest.importorskip("msgpack")
+    out = format_batch(sample_batch(), fmt="msgpack")
+    assert all(isinstance(x, bytes) for x in out)
+    recs = list(msgpack.Unpacker(raw=False))
+    unp = msgpack.Unpacker(raw=False)
+    unp.feed(b"".join(out))
+    recs = list(unp)
+    assert len(recs) == 2
+    ts0, m0 = recs[0]
+    assert ts0 == 1448403340.0
+    assert m0["conv_id"] == "c1" and m0["level"] == "info"
+    assert m0["turn_idx"] == 0
+
+
+def test_msgpack_encoder_primitives():
+    import pytest
+    msgpack = pytest.importorskip("msgpack")
+    from fluent_bit_ray.sinks.formats import msgpack_pack
+    cases = [None, True, False, 0, 5, 127, 128, -1, -32, -33, 2**40,
+             -2**40, 1.5, "", "x" * 31, "x" * 32, "x" * 300, b"\x01\x02",
+             ["a", 1, None], {"k": [1, {"n": False}]}, list(range(20))]
+    for c in cases:
+        assert msgpack.unpackb(msgpack_pack(c), raw=False,
+                               strict_map_key=False) == c
+
+
+def test_write_sink_msgpack(tmp_path):
+    import pytest
+    msgpack = pytest.importorskip("msgpack")
+    ds = rd.from_arrow(sample_batch())
+    n = write_sink(ds, str(tmp_path / "mp"), fmt="msgpack")
+    assert n == 2
+    data = b""
+    for f in sorted(os.listdir(tmp_path / "mp")):
+        assert f.endswith(".msgpack")
+        data += open(tmp_path / "mp" / f, "rb").read()
+    unp = msgpack.Unpacker(raw=False)
+    unp.feed(data)
+    assert len(list(unp)) == 2
