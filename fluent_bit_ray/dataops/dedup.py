@@ -93,7 +93,14 @@ def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 class _MinhashBands:
-    """Actor-pool stage: doc → (band, band_hash, key) rows."""
+    """Actor-pool stage: doc → (band, band_hash, key) rows.
+
+    Signatures for the whole batch are computed in ONE matrix op:
+    all docs' shingle hashes are concatenated, the (num_perm × total)
+    permuted-hash matrix is built once, and per-doc minima fall out of
+    ``np.minimum.reduceat`` over the doc boundaries — no per-shingle
+    Python beyond the shingling itself.
+    """
 
     def __init__(self, key: str, text_col: str, num_perm: int, bands: int,
                  shingle_n: int):
@@ -104,18 +111,55 @@ class _MinhashBands:
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
 
+    _CHUNK_SHINGLES = 400_000  # bounds the (num_perm × total) matrix
+
+    def _signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix."""
+        sets = [_shingles(t, self.shingle_n) for t in texts]
+        counts = np.array([len(s) for s in sets], dtype=np.int64)
+        n = len(sets)
+        sigs = np.zeros((n, len(self.a)), dtype=np.uint64)
+        lo = 0
+        while lo < n:
+            hi, total = lo, 0
+            while hi < n and (hi == lo or total + counts[hi]
+                              <= self._CHUNK_SHINGLES):
+                total += counts[hi]
+                hi += 1
+            sub = [np.fromiter(s, dtype=np.uint64, count=len(s))
+                   for s in sets[lo:hi] if len(s)]
+            nonempty = counts[lo:hi] > 0
+            if sub:
+                concat = np.concatenate(sub)
+                # (k, total) permuted hashes → per-doc min via reduceat
+                vals = (self.a[:, None] * concat[None, :]
+                        + self.b[:, None]) % np.uint64(_MERSENNE)
+                bounds = np.concatenate(
+                    ([0], np.cumsum(counts[lo:hi][nonempty])[:-1]))
+                mins = np.minimum.reduceat(vals, bounds, axis=1)
+                block = sigs[lo:hi]
+                block[nonempty] = mins.T
+                sigs[lo:hi] = block
+            lo = hi
+        return sigs
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        out_band, out_bh, out_key = [], [], []
-        r = self.rows_per_band
-        for k, t in zip(df[self.key], df[self.text_col].astype(str)):
-            sig = minhash_signature(_shingles(t, self.shingle_n), self.a, self.b)
-            for bi in range(self.bands):
-                chunk = sig[bi * r:(bi + 1) * r]
-                bh = zlib.crc32(chunk.tobytes())
-                out_band.append(bi)
-                out_bh.append(bh)
-                out_key.append(k)
-        return pd.DataFrame({"band": out_band, "bh": out_bh, self.key: out_key})
+        texts = df[self.text_col].astype(str).tolist()
+        keys = df[self.key].to_numpy()
+        sigs = self._signatures(texts)
+        r, nb = self.rows_per_band, self.bands
+        n = len(texts)
+        out_bh = np.empty(n * nb, dtype=np.int64)
+        for i in range(n):
+            row = sigs[i]
+            for bi in range(nb):
+                out_bh[i * nb + bi] = zlib.crc32(
+                    row[bi * r:(bi + 1) * r].tobytes())
+        return pd.DataFrame({
+            "band": np.tile(np.arange(nb, dtype=np.int64), n),
+            "bh": out_bh,
+            self.key: np.repeat(keys, nb),
+        })
 
 
 def _bucket_pairs(ds_banded, key: str, max_bucket: int = 64,
@@ -328,6 +372,94 @@ def simhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
 
 
 # ------------------------------------------------- duplicate clusters
+def dup_clusters_distributed(pairs, key_a: str = "key_a",
+                             key_b: str = "key_b",
+                             max_rounds: int = 12) -> pd.DataFrame:
+    """Connected components over a near-dup pair **Dataset** via
+    min-label propagation — no driver union-find, no full pair-set
+    materialization until the final (node, cluster_id) result.
+
+    Each round: (1) attach current node labels to edge endpoints via a
+    groupby(node) exchange, (2) per edge take the min endpoint label
+    and message it to both ends, (3) groupby(node).min picks each
+    node's new label. Labels only decrease, so a stable checksum across
+    rounds proves convergence; rounds needed = O(component diameter)
+    (near-dup components are shallow in practice). Three shuffles per
+    round, each moving one row per edge-end — never the corpus.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    if isinstance(pairs, pd.DataFrame):
+        pairs = rd.from_pandas(
+            pairs[[key_a, key_b]].rename(
+                columns={key_a: "a", key_b: "b"}))
+    else:
+        pairs = pairs.map_batches(
+            lambda df: df[[key_a, key_b]].rename(
+                columns={key_a: "a", key_b: "b"}),
+            batch_format="pandas")
+    pairs = pairs.map_batches(
+        lambda df: df.assign(eid=df["a"].astype(str) + "\x00"
+                             + df["b"].astype(str)),
+        batch_format="pandas")
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = pd.concat([df["a"], df["b"]]).unique()
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    labels = (pairs.map_batches(init_labels, batch_format="pandas")
+              .groupby("node").aggregate(Min("label", alias_name="label")))
+
+    def checksum(lbl_ds) -> int:
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            import zlib as _z
+            s = sum(_z.crc32(f"{n}\x00{v}".encode())
+                    for n, v in zip(df["node"], df["label"]))
+            return pd.DataFrame({"c": [s]})
+        parts = lbl_ds.map_batches(part, batch_format="pandas").to_pandas()
+        return int(parts["c"].sum())
+
+    prev = checksum(labels)
+    for _ in range(max_rounds):
+        ends = pairs.map_batches(
+            lambda df: pd.DataFrame({
+                "node": pd.concat([df["a"], df["b"]], ignore_index=True),
+                "eid": pd.concat([df["eid"], df["eid"]], ignore_index=True),
+                "label": [None] * (2 * len(df)),
+            }), batch_format="pandas")
+        lab_rows = labels.map_batches(
+            lambda df: df.assign(eid=None), batch_format="pandas")
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            lbl = g.loc[g["eid"].isna(), "label"]
+            v = lbl.iloc[0] if len(lbl) else g["node"].iloc[0]
+            e = g[g["eid"].notna()]
+            return pd.DataFrame({"eid": e["eid"], "node": e["node"],
+                                 "label": v})
+
+        end_labels = (ends.union(lab_rows).groupby("node")
+                      .map_groups(attach, batch_format="pandas"))
+
+        def edge_min(g: pd.DataFrame) -> pd.DataFrame:
+            m = g["label"].min()
+            return pd.DataFrame({"node": g["node"], "label": m})
+
+        msgs = (end_labels.groupby("eid")
+                .map_groups(edge_min, batch_format="pandas"))
+        labels = (msgs.union(labels.select_columns(["node", "label"]))
+                  .groupby("node")
+                  .aggregate(Min("label", alias_name="label")))
+        labels = labels.materialize()
+        cur = checksum(labels)
+        if cur == prev:  # labels are monotone → stable checksum = done
+            break
+        prev = cur
+    out = labels.to_pandas().rename(columns={"node": "key",
+                                             "label": "cluster_id"})
+    return out.sort_values("key").reset_index(drop=True)
+
+
 def dup_clusters(pairs: pd.DataFrame, key_a: str = "key_a",
                  key_b: str = "key_b") -> pd.DataFrame:
     """Connected components over near-dup pairs → (key, cluster_id).

@@ -204,3 +204,27 @@ def test_dup_clusters_and_keep_list():
     ds = docs_ds(["a"] * 10)  # keys 0..9
     keep = dedup_keep_list(ds, pairs)["doc_id"].tolist()
     assert keep == [0, 1, 4, 5, 6, 7, 9]  # drop 2,3 (→1) and 8 (→7)
+
+
+def test_dup_clusters_distributed_matches_union_find():
+    from fluent_bit_ray.dataops.dedup import (dup_clusters,
+                                              dup_clusters_distributed)
+    rs = np.random.RandomState(7)
+    # random graph over 60 nodes: chains, a star, isolated pairs
+    edges = set()
+    for i in range(0, 20, 2):
+        edges.add((f"n{i:02d}", f"n{i+1:02d}"))
+    for i in range(20, 30):
+        edges.add((f"n{i:02d}", f"n{i+1:02d}"))           # long chain
+    for i in range(40, 50):
+        edges.add(("hub", f"n{i:02d}"))                   # star
+    for _ in range(15):
+        a, b = rs.randint(0, 60, 2)
+        if a != b:
+            edges.add((f"n{min(a,b):02d}", f"n{max(a,b):02d}"))
+    pairs = pd.DataFrame(sorted(edges), columns=["key_a", "key_b"])
+    ref = dup_clusters(pairs)
+    got = dup_clusters_distributed(pairs, max_rounds=30)
+    ref_map = dict(zip(ref["key"], ref["cluster_id"]))
+    got_map = dict(zip(got["key"], got["cluster_id"]))
+    assert ref_map == got_map
