@@ -202,15 +202,68 @@ def _bucket_pairs(ds_banded, key: str, max_bucket: int = 64,
                 .aggregate(Count(alias_name="nbands")))
 
 
+def _join_verify(ds, cand_ds, key: str, text_col: str, shingle_n: int,
+                 round_to: int) -> pd.DataFrame:
+    """Exact-Jaccard verification as a partitioned exchange — no
+    broadcast key set, no assumption that candidates ≪ corpus.
+
+    Two groupby shuffles: (1) by doc key, attaching each candidate
+    endpoint to its text (the corpus text column moves ONCE); (2) by
+    pair id, scoring the two endpoint texts. The driver only ever sees
+    the scored pair list.
+    """
+    def ends(df: pd.DataFrame) -> pd.DataFrame:
+        pid = df["key_a"].astype(str) + "\x1f" + df["key_b"].astype(str)
+        return pd.DataFrame({
+            key: pd.concat([df["key_a"], df["key_b"]], ignore_index=True),
+            "pid": pd.concat([pid, pid], ignore_index=True),
+            text_col: [None] * (2 * len(df)),
+        })
+
+    def corpus_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: df[key], "pid": [None] * len(df),
+                             text_col: df[text_col].astype(str)})
+
+    both = (cand_ds.map_batches(ends, batch_format="pandas")
+            .union(ds.map_batches(corpus_rows, batch_format="pandas")))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        txt = g.loc[g["pid"].isna(), text_col]
+        e = g[g["pid"].notna()]
+        if len(e) == 0 or len(txt) == 0:
+            return pd.DataFrame({"pid": [], key: [], text_col: []})
+        return pd.DataFrame({"pid": e["pid"], key: e[key],
+                             text_col: txt.iloc[0]})
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) != 2:
+            return pd.DataFrame({"key_a": [], "key_b": [], "jaccard": []})
+        a, b = g["pid"].iloc[0].split("\x1f", 1)
+        texts = {str(k): t for k, t in zip(g[key].astype(str), g[text_col])}
+        j = jaccard(_shingles(texts[a], shingle_n),
+                    _shingles(texts[b], shingle_n))
+        ka, kb = sorted(g[key].tolist())
+        return pd.DataFrame({"key_a": [ka], "key_b": [kb],
+                             "jaccard": [round(j, round_to)]})
+
+    return (both.groupby(key).map_groups(attach, batch_format="pandas")
+            .groupby("pid").map_groups(score, batch_format="pandas")
+            .to_pandas())
+
+
 def minhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, bands: int = 16,
                       shingle_n: int = 3, threshold: float = 0.7,
-                      round_to: int = 6) -> pd.DataFrame:
+                      round_to: int = 6,
+                      verify: str = "broadcast") -> pd.DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
     Returns a small pandas frame (key_a, key_b, jaccard) sorted.
-    Verification fetches only texts of candidate keys (semi-join by
-    broadcast key set) — assumes candidates ≪ corpus.
+    ``verify="broadcast"`` fetches only texts of candidate keys
+    (semi-join by broadcast key set) — fastest, assumes candidates ≪
+    corpus. ``verify="join"`` runs the verification as a partitioned
+    two-shuffle exchange (see ``_join_verify``) with no such
+    assumption — the 100 TB path when the candidate set is large.
 
     Run ``exact_dedup`` FIRST on corpora with many byte-identical
     texts: every bucket of m identical docs otherwise yields m²/2
@@ -222,7 +275,15 @@ def minhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
             key=key, text_col=text_col, num_perm=num_perm, bands=bands,
             shingle_n=shingle_n),
         batch_format="pandas", concurrency=(1, 8))
-    cand = _bucket_pairs(banded, key).to_pandas()
+    cand_ds = _bucket_pairs(banded, key)
+    if verify == "join":
+        cand = _join_verify(ds, cand_ds, key, text_col, shingle_n, round_to)
+        if len(cand) == 0:
+            return pd.DataFrame({"key_a": [], "key_b": [], "jaccard": []})
+        out = cand[cand["jaccard"] >= threshold]
+        return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+    cand = cand_ds.to_pandas()
     if len(cand) == 0:
         return pd.DataFrame({"key_a": [], "key_b": [], "jaccard": []})
 
@@ -400,7 +461,7 @@ def dup_clusters_distributed(pairs, key_a: str = "key_a",
                 columns={key_a: "a", key_b: "b"}),
             batch_format="pandas")
     pairs = pairs.map_batches(
-        lambda df: df.assign(eid=df["a"].astype(str) + "\x00"
+        lambda df: df.assign(eid=df["a"].astype(str) + "\x1f"
                              + df["b"].astype(str)),
         batch_format="pandas")
 

@@ -51,6 +51,87 @@ def msgpack_pack(obj) -> bytes:
     return bytes(out)
 
 
+def msgpack_unpack_stream(data: bytes) -> list:
+    """Decode a concatenated msgpack stream → list of objects (the
+    in_forward wire / out_file-msgpack on-disk shape: back-to-back
+    ``[timestamp, map]`` records, fw_prot.c:229-240)."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        obj, pos = _mu(data, pos)
+        out.append(obj)
+    return out
+
+
+def _mu(d: bytes, p: int):
+    b = d[p]
+    p += 1
+    if b <= 0x7F:
+        return b, p
+    if b >= 0xE0:
+        return b - 0x100, p
+    if 0xA0 <= b <= 0xBF:
+        n = b & 0x1F
+        return d[p:p + n].decode("utf-8"), p + n
+    if 0x90 <= b <= 0x9F:
+        return _mu_seq(d, p, b & 0x0F)
+    if 0x80 <= b <= 0x8F:
+        return _mu_map(d, p, b & 0x0F)
+    if b == 0xC0:
+        return None, p
+    if b == 0xC2:
+        return False, p
+    if b == 0xC3:
+        return True, p
+    if b == 0xCA:
+        return struct.unpack_from(">f", d, p)[0], p + 4
+    if b == 0xCB:
+        return struct.unpack_from(">d", d, p)[0], p + 8
+    if b in (0xCC, 0xCD, 0xCE, 0xCF):
+        w = 1 << (b - 0xCC)
+        return int.from_bytes(d[p:p + w], "big"), p + w
+    if b in (0xD0, 0xD1, 0xD2, 0xD3):
+        w = 1 << (b - 0xD0)
+        return int.from_bytes(d[p:p + w], "big", signed=True), p + w
+    if b in (0xD9, 0xDA, 0xDB):
+        w = 1 << (b - 0xD9)
+        n = int.from_bytes(d[p:p + w], "big")
+        p += w
+        return d[p:p + n].decode("utf-8"), p + n
+    if b in (0xC4, 0xC5, 0xC6):
+        w = 1 << (b - 0xC4)
+        n = int.from_bytes(d[p:p + w], "big")
+        p += w
+        return bytes(d[p:p + n]), p + n
+    if b in (0xDC, 0xDD):
+        w = 2 << (b - 0xDC)
+        n = int.from_bytes(d[p:p + w], "big")
+        return _mu_seq(d, p + w, n)
+    if b in (0xDE, 0xDF):
+        w = 2 << (b - 0xDE)
+        n = int.from_bytes(d[p:p + w], "big")
+        return _mu_map(d, p + w, n)
+    raise ValueError(f"unsupported msgpack byte 0x{b:02x} at {p - 1}")
+
+
+def _mu_seq(d: bytes, p: int, n: int):
+    out = []
+    for _ in range(n):
+        v, p = _mu(d, p)
+        out.append(v)
+    return out, p
+
+
+def _mu_map(d: bytes, p: int, n: int):
+    out = {}
+    for _ in range(n):
+        k, p = _mu(d, p)
+        v, p = _mu(d, p)
+        out[k] = v
+    return out, p
+
+
 def _mp(o, out: bytearray) -> None:
     if o is None:
         out.append(0xC0)

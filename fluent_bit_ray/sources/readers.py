@@ -37,6 +37,28 @@ def read_csv_records(paths, tag: str = "csv.0"):
     return _tagged(rd.read_csv(paths), tag)
 
 
+def from_msgpack_stream(data: bytes, tag: str = "forward.0"):
+    """in_forward analogue: decode a concatenated msgpack stream of
+    ``[timestamp, map]`` records (the Fluentd forward wire payload,
+    reference plugins/in_forward/fw_prot.c:229-240) into a tagged
+    Dataset. Round-trips with the out_file msgpack sink."""
+    from ..sinks.formats import msgpack_unpack_stream
+    recs = []
+    for obj in msgpack_unpack_stream(data):
+        if (isinstance(obj, list) and len(obj) == 2
+                and isinstance(obj[1], dict)):
+            recs.append((float(obj[0]), obj[1]))
+    return from_records(recs, tag=tag)
+
+
+def read_msgpack_records(paths, tag: str = "forward.0"):
+    """File variant: one or more raw msgpack stream files → Dataset."""
+    if isinstance(paths, str):
+        paths = [paths]
+    data = b"".join(open(p, "rb").read() for p in paths)
+    return from_msgpack_stream(data, tag=tag)
+
+
 def from_records(records: list[tuple[float, dict]], tag: str = "lib.0"):
     """``flb_lib_push`` analogue: [(epoch_sec, map), ...] → Dataset.
 

@@ -228,3 +228,16 @@ def test_dup_clusters_distributed_matches_union_find():
     ref_map = dict(zip(ref["key"], ref["cluster_id"]))
     got_map = dict(zip(got["key"], got["cluster_id"]))
     assert ref_map == got_map
+
+
+def test_minhash_join_verification_matches_broadcast():
+    near = BASE.replace("lazy", "sleepy")
+    far = "completely different words entirely unrelated to anything else here"
+    ds = docs_ds([BASE, near, far, BASE, near + " extra"])
+    a = minhash_dup_pairs(ds, threshold=0.3)
+    b = minhash_dup_pairs(ds, threshold=0.3, verify="join")
+    pa_ = a.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    pb_ = b.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    assert list(zip(pa_["key_a"], pa_["key_b"])) == \
+        list(zip(pb_["key_a"], pb_["key_b"]))
+    assert pa_["jaccard"].tolist() == pytest.approx(pb_["jaccard"].tolist())

@@ -73,3 +73,44 @@ def test_ltsv_roundtrip_property(d):
     line = "\t".join(f"{k}:{v}" for k, v in d.items())
     maps, _ = LtsvParser("p").parse_column([line])
     assert maps[0] == d
+
+
+def test_msgpack_wire_roundtrip(tmp_path):
+    """out_file msgpack sink → in_forward-style reader round-trip."""
+    import ray.data as rd
+
+    from fluent_bit_ray.record import fields_loads
+    from fluent_bit_ray.sinks import write_sink
+    from fluent_bit_ray.sinks.formats import (msgpack_pack,
+                                              msgpack_unpack_stream)
+    from fluent_bit_ray.sources.readers import (from_msgpack_stream,
+                                                read_msgpack_records)
+
+    # encoder/decoder self-consistency across the type lattice
+    vals = [None, True, 5, -5, 300, -300, 2**40, 1.25, "héllo", b"\x00\x01",
+            ["a", {"k": [1, 2]}], {"m": {"n": None}}, list(range(40)),
+            {"k%d" % i: i for i in range(20)}]
+    for v in vals:
+        assert msgpack_unpack_stream(msgpack_pack(v)) == [v]
+
+    # wire round-trip: sink writes [ts, map] stream, reader re-ingests
+    import pandas as pd
+    import pyarrow as pa
+    src = pa.table({
+        "conv_id": ["c1", "c2"], "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": ["user", "tool"], "text": ["hi", "yo"], "tool": ["", "bash"],
+        "ts": pa.array([1448403340_000000000, 1448403341_000000000],
+                       type=pa.timestamp("ns")),
+    })
+    write_sink(rd.from_arrow(src), str(tmp_path / "mp"), fmt="msgpack")
+    import os
+    paths = [str(tmp_path / "mp" / f)
+             for f in sorted(os.listdir(tmp_path / "mp"))]
+    ds = read_msgpack_records(paths, tag="fw.test")
+    out = ds.to_pandas().sort_values("ts").reset_index(drop=True)
+    assert len(out) == 2
+    assert out["tag"].tolist() == ["fw.test", "fw.test"]
+    maps = [fields_loads(v) for v in out["fields"]]
+    assert maps[0]["conv_id"] == "c1" and maps[1]["tool"] == "bash"
+    assert out["ts"].tolist() == pd.to_datetime(
+        [1448403340, 1448403341], unit="s").tolist()
