@@ -419,6 +419,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res["window_start"] = res["window_start"].astype("datetime64[us]")
         return res.sort_values(["role", "window_start"]).reset_index(drop=True)
 
+    # ---------------- SP hopping window (overlapping event-time buckets)
+    def sp_hopping(sf_dir: str):
+        from fluent_bit_ray.sp import sp_execute
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=False)
+        res = sp_execute(
+            routed.ds,
+            "SELECT role, COUNT(*) AS n FROM TAG:'transcript.*' "
+            "WHERE code = 200 "
+            "WINDOW HOPPING (120 SECOND, ADVANCE BY 60 SECOND) "
+            "GROUP BY role")
+        res["n"] = res["n"].astype("int64")
+        res["window_start"] = res["window_start"].astype("datetime64[us]")
+        res = res[["role", "window_start", "n"]]
+        return res.sort_values(["role", "window_start"]).reset_index(drop=True)
+
     # ---------------- SP arithmetic expressions (SELECT/WHERE arith)
     def sp_arith(sf_dir: str):
         from fluent_bit_ray.sp import sp_execute
@@ -529,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiline_segments": multiline_segments,
         "multiline_segments_gap": multiline_segments_gap,
         "sp_count_window": sp_count_window,
+        "sp_hopping": sp_hopping,
         "sp_arith": sp_arith,
         "throttle_kept": throttle_kept,
         "throttle_size_kept": throttle_size_kept,
@@ -818,6 +834,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT role, date_trunc('minute', ts) AS window_start,
                    count(*)::BIGINT AS n
             FROM parsed WHERE code = 200
+            GROUP BY 1, 2 ORDER BY role, window_start
+        """,
+        "sp_hopping": f"""
+            WITH t AS ({t}),
+            parsed AS (
+              SELECT role, ts,
+                CASE
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.code') AS BIGINT)
+                  WHEN text LIKE 'CALL %' THEN NULL
+                  WHEN regexp_matches(text, 'code=') THEN TRY_CAST(regexp_extract(text, 'code=(\\d+)', 1) AS BIGINT)
+                  WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'code:(\\d+)', 1) AS BIGINT)
+                  WHEN regexp_matches(text, '^[0-9.]+ - ') THEN TRY_CAST(regexp_extract(text, '" (\\d+) ', 1) AS BIGINT)
+                END AS code
+              FROM t),
+            hop AS (
+              -- hopping(size 120, advance 60): each row lands in
+              -- ceil(120/60)=2 overlapping windows
+              SELECT role, code,
+                     (epoch(ts)::BIGINT // 60) * 60 - 60 * k.k AS ws,
+                     epoch(ts)::BIGINT AS es
+              FROM parsed, (VALUES (0), (1)) AS k(k))
+            SELECT role,
+                   TIMESTAMP '1970-01-01' + ws * INTERVAL 1 SECOND
+                     AS window_start,
+                   count(*)::BIGINT AS n
+            FROM hop WHERE code = 200 AND es < ws + 120
             GROUP BY 1, 2 ORDER BY role, window_start
         """,
         "sp_arith": f"""

@@ -208,13 +208,19 @@ class Parser:
     def __init__(self, name: str, time_key: str | None = None,
                  time_format: str | None = None, time_keep: bool = False,
                  types: dict[str, str] | None = None,
-                 decoders: list[tuple[str, str, str]] | None = None):
+                 decoders: list[tuple[str, str, str]] | None = None,
+                 prefilter: tuple[str, str] | None = None):
         self.name = name
         self.time_key = time_key
         self.time_format = time_format
         self.time_keep = time_keep
         self.types = types or {}
         self.decoders = decoders or []
+        # ("substring"|"prefix", literal): a cheap candidate scan that
+        # must be a SUPERSET of the parser's match condition — rows
+        # failing it skip this parser entirely (pure optimization; the
+        # parser itself remains the authority on candidate rows)
+        self.prefilter = prefilter
 
     # -- subclass hook ------------------------------------------------
     def _parse_values(self, values: list) -> list[dict | None]:
@@ -751,7 +757,9 @@ def build_parser(spec: dict) -> Parser:
     name = spec.pop("name")
     cls = _PARSER_TYPES[fmt]
     kw = {k: spec[k] for k in ("time_key", "time_format", "time_keep",
-                               "types", "decoders") if k in spec}
+                               "types", "decoders", "prefilter") if k in spec}
+    if "prefilter" in kw and kw["prefilter"] is not None:
+        kw["prefilter"] = tuple(kw["prefilter"])
     if fmt == "regex":
         return cls(name, pattern=spec["regex"],
                    skip_empty_values=spec.get("skip_empty_values", True), **kw)

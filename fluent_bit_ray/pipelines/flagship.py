@@ -12,17 +12,27 @@ from ..parsers.core import APACHE_PATTERN, TOOLCALL_PATTERN
 from ..sources.transcripts import read_transcripts
 from .pipeline import Pipeline
 
+# Each prefilter is a PROVABLE superset of its parser's match
+# condition (apache needs a literal '[', toolcall starts 'CALL ',
+# json needs a '{', logfmt an '=', ltsv a ':'), so skipping
+# non-candidate rows cannot change results — it only avoids running
+# the expensive pattern on rows that cannot match.
 PARSER_SPECS = [
     {"name": "apache", "format": "regex", "regex": APACHE_PATTERN,
      "time_key": "time", "time_format": "%d/%b/%Y:%H:%M:%S %z",
-     "types": {"code": "integer", "size": "integer"}},
-    {"name": "toolcall", "format": "regex", "regex": TOOLCALL_PATTERN},
+     "types": {"code": "integer", "size": "integer"},
+     "prefilter": ("substring", "[")},
+    {"name": "toolcall", "format": "regex", "regex": TOOLCALL_PATTERN,
+     "prefilter": ("prefix", "CALL ")},
     {"name": "json", "format": "json",
-     "types": {"code": "integer", "dur": "float"}},
+     "types": {"code": "integer", "dur": "float"},
+     "prefilter": ("substring", "{")},
     {"name": "logfmt", "format": "logfmt",
-     "types": {"code": "integer", "dur": "float"}},
+     "types": {"code": "integer", "dur": "float"},
+     "prefilter": ("substring", "=")},
     {"name": "ltsv", "format": "ltsv",
-     "types": {"code": "integer", "dur": "float"}},
+     "types": {"code": "integer", "dur": "float"},
+     "prefilter": ("substring", ":")},
 ]
 
 PROMOTE = {"code": "int64", "dur": "float64", "level": "string",

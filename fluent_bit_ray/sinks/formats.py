@@ -216,10 +216,26 @@ def _row_map(b: pa.Table, i: int, cols: dict) -> dict:
     return m
 
 
+def _fmt_date(t, date_format: str):
+    """out_stdout json_date_format variants (stdout.c:54-79,
+    flb_pack date renderers): default = str, double = epoch seconds
+    as float, iso8601 = %Y-%m-%dT%H:%M:%S.%fZ (microseconds)."""
+    if t is None:
+        return None
+    if date_format == "double":
+        return t.timestamp() if hasattr(t, "timestamp") else float(t)
+    if date_format == "iso8601":
+        if hasattr(t, "strftime"):
+            return t.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+        return str(t)
+    return str(t)
+
+
 def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
                  csv_columns: list[str] | None = None,
                  es_index_prefix: str = "logstash",
-                 es_generate_id: bool = False) -> list[str]:
+                 es_generate_id: bool = False,
+                 date_format: str = "default") -> list[str]:
     cols = {c: b.column(c).to_pylist() for c in b.column_names}
     n = b.num_rows
     ts = cols.get("ts", [None] * n)
@@ -230,7 +246,7 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
         # json_stream, stdout.c:54-79 / flb_pack FORMAT_STREAM)
         for i in range(n):
             m = _row_map(b, i, cols)
-            rec = {"date": str(ts[i]) if ts[i] is not None else None, **m}
+            rec = {"date": _fmt_date(ts[i], date_format), **m}
             out.append(_dumps(rec))
         if fmt == "json_stream":
             return ["".join(out)] if out else []

@@ -42,6 +42,16 @@ class _FieldMatcher:
             except pa.ArrowInvalid:
                 pass
 
+    def exact_on(self, batch: pa.Table) -> bool:
+        """True when ``match`` evaluates the rule's own regex against a
+        string column — authoritative, so a per-row re-check of the
+        same pattern cannot disagree (rewrite_tag's vector path)."""
+        if not (self.simple and self.ra.key in batch.column_names):
+            return False
+        col = batch.column(self.ra.key)
+        return bool(pa.types.is_string(col.type)
+                    or pa.types.is_large_string(col.type))
+
     def match(self, batch: pa.Table) -> np.ndarray:
         n = batch.num_rows
         if self.simple and self.ra.key in batch.column_names:

@@ -84,6 +84,21 @@ class ParserStage(Stage):
                 break
             sub = np.nonzero(remaining)[0]
             sub_arr = src_arr.take(pa.array(sub))
+            pf = getattr(p, "prefilter", None)
+            if pf is not None:
+                # cheap superset scan: rows failing it cannot match this
+                # parser, so they stay `remaining` for the next one
+                kind, lit = pf
+                if kind == "prefix":
+                    cm = pa.compute.starts_with(sub_arr, pattern=lit)
+                else:
+                    cm = pa.compute.match_substring(sub_arr, pattern=lit)
+                cm = pa.compute.fill_null(cm, False) \
+                    .to_numpy(zero_copy_only=False)
+                if not cm.any():
+                    continue
+                sub = sub[cm]
+                sub_arr = sub_arr.filter(pa.array(cm))
             vec = (p.vector_parse(sub_arr, promote_keys=tuple(self.promote))
                    if self.emit_fields and hasattr(p, "vector_parse")
                    else None)

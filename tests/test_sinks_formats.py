@@ -143,3 +143,13 @@ def test_write_sink_msgpack(tmp_path):
     unp = msgpack.Unpacker(raw=False)
     unp.feed(data)
     assert len(list(unp)) == 2
+
+
+def test_json_date_formats():
+    # double: epoch seconds float; iso8601: %Y-%m-%dT%H:%M:%S.%fZ
+    lines = format_batch(sample_batch(), fmt="json", date_format="double")
+    recs = [json.loads(ln) for ln in lines]
+    assert recs[0]["date"] == 1448403340.0
+    lines = format_batch(sample_batch(), fmt="json", date_format="iso8601")
+    recs = [json.loads(ln) for ln in lines]
+    assert recs[0]["date"] == "2015-11-24T22:15:40.000000Z"
