@@ -270,7 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # ---------------- training-data ops over documents / embeddings
     from fluent_bit_ray.dataops import (brute_force_topk, embedding_dup_pairs,
                                         exact_dedup, fingerprint_ds,
-                                        langid_ds, minhash_dup_pairs,
+                                        langid_ds, minhash_dup_pair_counts,
+                                        minhash_dup_pairs,
                                         quality_ds, simhash_ds,
                                         token_count_ds)
 
@@ -323,11 +324,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values("doc_id").reset_index(drop=True)
 
     def doc_simhash(sf_dir: str):
+        # emitted as zero-padded hex so the DuckDB oracle (which builds
+        # the same md5-sign-accumulate in SQL) can compare without
+        # uint64→int64 wrap asymmetry
         out = simhash_ds(_docs(sf_dir)).to_pandas()[["doc_id", "simhash"]]
+        out["simhash_hex"] = [format(np.uint64(v), "016x")
+                              for v in out["simhash"].astype("int64")
+                              .to_numpy().view("uint64")]
+        out = out[["doc_id", "simhash_hex"]]
         return out.sort_values("doc_id").reset_index(drop=True)
 
     def docs_minhash_pairs(sf_dir: str):
-        return minhash_dup_pairs(_docs(sf_dir), threshold=0.7)
+        # exact-integer (inter, uni) output so the DuckDB oracle (the
+        # same 64-permutation MinHash-LSH written in SQL) hash-matches
+        out = minhash_dup_pair_counts(_docs(sf_dir), threshold=(7, 10))
+        out["key_a"] = out["key_a"].astype("int64")
+        out["key_b"] = out["key_b"].astype("int64")
+        return out
 
     def emb_dup_pairs(sf_dir: str):
         out = embedding_dup_pairs(_embs(sf_dir), threshold=0.5)
@@ -552,6 +565,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ------------------------------------------------------------ oracle SQL
+def _minhash_oracle_sql() -> str:
+    """The engine's MinHash-LSH near-dup pipeline written in DuckDB SQL
+    (see fluent_bit_ray/dataops/dedup.py): same shingles, same md5
+    64-bit hashes, same permutation constants, same banding, same
+    integer-exact verification."""
+    from fluent_bit_ray.dataops.dedup import _perm_params
+    a, b = _perm_params(64)
+    params_rows = ",".join(f"({k},{int(a[k])},{int(b[k])})"
+                           for k in range(64))
+    le = "||".join(f"substr(md5(s),{i},2)" for i in (15, 13, 11, 9, 7, 5, 3, 1))
+    return rf"""
+        WITH params(k, a, b) AS (VALUES {params_rows}),
+        words AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                  FROM documents),
+        sh AS (SELECT doc_id,
+                CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                     i -> array_to_string(ws[i:i+2], ' '))) END AS shingles
+               FROM words),
+        shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        hh AS (SELECT doc_id, ('0x' || {le})::UBIGINT::HUGEINT AS h
+               FROM shx),
+        sig AS (SELECT doc_id, p.k,
+                 min(((p.a * hh.h) % CAST(18446744073709551616 AS HUGEINT)
+                      + p.b) % CAST(18446744073709551616 AS HUGEINT)
+                     % CAST(2305843009213693951 AS HUGEINT)) AS mh
+                FROM hh, params p GROUP BY doc_id, p.k),
+        bands AS (SELECT doc_id, k // 4 AS band,
+                   list(mh ORDER BY k) AS sig_slice
+                  FROM sig GROUP BY doc_id, k // 4),
+        cand AS (SELECT DISTINCT b1.doc_id AS key_a, b2.doc_id AS key_b
+                 FROM bands b1 JOIN bands b2
+                   ON b1.band = b2.band AND b1.sig_slice = b2.sig_slice
+                      AND b1.doc_id < b2.doc_id),
+        verified AS (
+          SELECT c.key_a, c.key_b,
+                 len(list_intersect(sa.shingles, sb.shingles))::BIGINT
+                   AS inter,
+                 (len(sa.shingles) + len(sb.shingles)
+                   - len(list_intersect(sa.shingles, sb.shingles)))::BIGINT
+                   AS uni
+          FROM cand c JOIN sh sa ON sa.doc_id = c.key_a
+                      JOIN sh sb ON sb.doc_id = c.key_b)
+        SELECT key_a, key_b, inter, uni FROM verified
+        WHERE inter * 10 >= uni * 7 ORDER BY key_a, key_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from fluent_bit_ray.sources.dims import ensure_dim
 
@@ -929,7 +990,63 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS lang_pred
             FROM c ORDER BY doc_id
         """,
-        # doc_fingerprint / doc_simhash / docs_minhash_pairs:
-        # non-SQL-expressible (rolling-hash / sketch ops) —
-        # intentionally omitted → driver records rows-only checks.
+        # simhash: DuckDB has md5(), so the word-hash sign-accumulate
+        # is SQL-expressible — unnest words, little-endian uint64 of
+        # the first 8 digest bytes, ±1 per bit over words, sign → bit
+        # (mirrors fluent_bit_ray/dataops/dedup.py simhash64 exactly)
+        "doc_simhash": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS word
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                ('0x' || substr(md5(word),15,2)||substr(md5(word),13,2)||
+                         substr(md5(word),11,2)||substr(md5(word),9,2)||
+                         substr(md5(word),7,2)||substr(md5(word),5,2)||
+                         substr(md5(word),3,2)||substr(md5(word),1,2)
+                )::UBIGINT AS hv
+              FROM w),
+            b AS (
+              SELECT doc_id, g.bit,
+                     sum(CASE WHEN (hv >> g.bit) & 1 = 1
+                         THEN 1 ELSE -1 END) AS acc
+              FROM h, generate_series(0, 63) AS g(bit)
+              GROUP BY doc_id, g.bit),
+            s AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN acc > 0
+                          THEN CAST(1 AS UBIGINT) << CAST(bit AS INT)
+                          ELSE 0 END) AS UBIGINT) AS sim
+              FROM b GROUP BY doc_id)
+            SELECT d.doc_id,
+                   lower(lpad(hex(coalesce(s.sim, 0)), 16, '0'))
+                     AS simhash_hex
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+            ORDER BY d.doc_id
+        """,
+        # fingerprint: Rabin–Karp over utf-8 bytes is expressible via
+        # hex(encode(text)) byte slices + list_reduce with HUGEINT
+        # modular arithmetic (mirrors textstats.fingerprint_batch)
+        "doc_fingerprint": r"""
+            WITH hx AS (SELECT doc_id, hex(encode(text)) AS h
+                        FROM documents)
+            SELECT doc_id,
+              CASE WHEN length(h) = 0 THEN 0
+              ELSE CAST(list_reduce(
+                list_transform(range(0, length(h) // 2),
+                  i -> ('0x' || substr(h, (i*2+1)::INT, 2))
+                       ::UBIGINT::HUGEINT),
+                (acc, b) -> (acc * 257 + b)
+                            % CAST(2305843009213693951 AS HUGEINT)
+              ) AS BIGINT) END AS fingerprint
+            FROM hx ORDER BY doc_id
+        """,
+        # minhash LSH: the WHOLE pipeline in SQL — md5-based 64-bit
+        # shingle hashes, the engine's own 64 permutation constants
+        # inlined below, wrapping uint64 arithmetic via HUGEINT mod
+        # 2^64, banding by exact signature-slice equality, and exact
+        # integer (inter, uni) verification with the 0.7 threshold as
+        # inter*10 >= uni*7 (no float rounding on either side)
+        "docs_minhash_pairs": _minhash_oracle_sql(),
     }

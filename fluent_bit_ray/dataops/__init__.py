@@ -2,6 +2,7 @@ from .textstats import fingerprint_ds, langid_ds, quality_ds, token_count_ds  # 
 from .dedup import (  # noqa: F401
     embedding_dup_pairs,
     exact_dedup,
+    minhash_dup_pair_counts,
     minhash_dup_pairs,
     ngram_jaccard_pairs,
     simhash_ds,

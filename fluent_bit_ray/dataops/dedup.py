@@ -60,11 +60,19 @@ def exact_dedup(ds, key: str = "doc_id", text_col: str = "text"):
 
 
 # ----------------------------------------------------------- shingles
+def _h64(s: str) -> int:
+    """64-bit shingle hash: little-endian first 8 md5 digest bytes —
+    the same construction DuckDB can express (md5() + hex slicing), so
+    the whole MinHash pipeline is oracle-reproducible in SQL."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
+                          "little")
+
+
 def _shingles(text: str, n: int = 3) -> set[int]:
     words = text.split()
     if len(words) < n:
-        return {zlib.crc32(" ".join(words).encode())}
-    return {zlib.crc32(" ".join(words[i:i + n]).encode())
+        return {_h64(" ".join(words))}
+    return {_h64(" ".join(words[i:i + n]))
             for i in range(len(words) - n + 1)}
 
 
@@ -298,6 +306,44 @@ def minhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
     jac = [jaccard(sh[a], sh[b]) for a, b in zip(cand["key_a"], cand["key_b"])]
     cand["jaccard"] = np.round(jac, round_to)
     out = cand[cand["jaccard"] >= threshold][["key_a", "key_b", "jaccard"]]
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+
+def minhash_dup_pair_counts(ds, key: str = "doc_id", text_col: str = "text",
+                            num_perm: int = 64, bands: int = 16,
+                            shingle_n: int = 3,
+                            threshold=(7, 10)) -> pd.DataFrame:
+    """Like ``minhash_dup_pairs`` but fully exact-integer output:
+    (key_a, key_b, inter, uni) shingle-set intersection/union sizes,
+    kept when ``inter * threshold[1] >= uni * threshold[0]`` — integer
+    arithmetic on both engine and oracle side, so there is no float
+    rounding asymmetry to reconcile."""
+    banded = ds.map_batches(
+        _MinhashBands, fn_constructor_kwargs=dict(
+            key=key, text_col=text_col, num_perm=num_perm, bands=bands,
+            shingle_n=shingle_n),
+        batch_format="pandas", concurrency=(1, 8))
+    cand = _bucket_pairs(banded, key).to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({"key_a": [], "key_b": [],
+                             "inter": [], "uni": []})
+    need = set(cand["key_a"]) | set(cand["key_b"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[key].isin(need)][[key, text_col]]
+
+    texts = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    sh = {k: _shingles(str(t), shingle_n)
+          for k, t in zip(texts[key], texts[text_col])}
+    inter = [len(sh[x] & sh[y])
+             for x, y in zip(cand["key_a"], cand["key_b"])]
+    uni = [len(sh[x] | sh[y])
+           for x, y in zip(cand["key_a"], cand["key_b"])]
+    cand["inter"] = pd.array(inter, dtype="int64")
+    cand["uni"] = pd.array(uni, dtype="int64")
+    lo, hi = threshold
+    out = cand[cand["inter"] * hi >= cand["uni"] * lo]
+    out = out[["key_a", "key_b", "inter", "uni"]]
     return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
 
 
