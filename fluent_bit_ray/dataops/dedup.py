@@ -22,8 +22,10 @@ Five families, each expressed Ray-Data-first:
   method="lsh" buckets by random-hyperplane signature first (the
   100TB path — only same-bucket pairs are scored).
 
-All hashes are crc32/md5-based — deterministic across processes (no
-PYTHONHASHSEED dependence).
+All hashes are md5/crc32-based — deterministic across processes (no
+PYTHONHASHSEED dependence). Shingles use md5-derived 64-bit hashes so
+the MinHash pipeline is reproducible in DuckDB SQL (the oracle for
+``docs_minhash_pairs`` re-implements it end-to-end in SQL).
 """
 
 from __future__ import annotations
