@@ -1,0 +1,44 @@
+"""Shuffle-shape helpers.
+
+``coarse_group_apply`` is the engine's standard fix for the
+high-cardinality ``groupby(key).map_groups`` pathology: Ray runs the
+group kernel once per key, so a million tiny groups mean a million
+pandas frames and task dispatches. Hashing keys into a bounded number
+of coarse partitions keeps the all-to-all exchange identical in volume
+but runs ONE task per partition, with a fast in-task pandas loop over
+the keys it owns. Same pattern as the LSH bucket pairing
+(dataops/dedup.py:_bucket_pairs). Semantics are identical to
+``ds.groupby(key).map_groups(fn)`` for any per-key kernel.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+
+def coarse_group_apply(ds, key: str, per_group_fn, partitions: int = 64):
+    """Apply ``per_group_fn(group_df) -> DataFrame`` once per distinct
+    ``key`` value, shuffled through ``partitions`` coarse hash groups
+    (crc32 of the key — deterministic across processes)."""
+
+    def add_hp(df: pd.DataFrame) -> pd.DataFrame:
+        codes, uniques = pd.factorize(df[key])
+        hp = np.fromiter(
+            (zlib.crc32(str(u).encode("utf-8")) % partitions
+             for u in uniques),
+            dtype=np.int64, count=len(uniques))
+        df = df.copy()
+        df["_hp"] = hp[codes]
+        return df
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_hp"])
+        outs = [per_group_fn(sub) for _, sub in g.groupby(key, sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    return (ds.map_batches(add_hp, batch_format="pandas")
+            .groupby("_hp")
+            .map_groups(per_partition, batch_format="pandas"))

@@ -44,4 +44,7 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    from ..shuffle import coarse_group_apply
+    # coarse key-hash partitions (see shuffle.coarse_group_apply): one
+    # task per partition, not one per session key
+    return coarse_group_apply(ds, key, per_key)

@@ -82,4 +82,8 @@ class MultilineStage(Stage):
                 text_col: [joiner.join(s[1]) for s in segs],
             })
 
-        return ds.groupby(key).map_groups(join_group, batch_format="pandas")
+        from ..shuffle import coarse_group_apply
+        # coarse conv-hash partitions: one task per partition with an
+        # in-task loop over its conversations — not one map_groups per
+        # conversation (pathological at high conv cardinality)
+        return coarse_group_apply(ds, key, join_group)
