@@ -19,13 +19,19 @@ import numpy as np
 import pandas as pd
 
 
-def coarse_group_apply(ds, key: str, per_group_fn, partitions: int = 64):
+def coarse_group_apply(ds, key, per_group_fn, partitions: int = 64):
     """Apply ``per_group_fn(group_df) -> DataFrame`` once per distinct
-    ``key`` value, shuffled through ``partitions`` coarse hash groups
-    (crc32 of the key — deterministic across processes)."""
+    ``key`` value (a column name or list of them), shuffled through
+    ``partitions`` coarse hash groups (crc32 of the stringified key —
+    deterministic across processes)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    gb_key = keys[0] if len(keys) == 1 else keys
 
     def add_hp(df: pd.DataFrame) -> pd.DataFrame:
-        codes, uniques = pd.factorize(df[key])
+        kcol = df[keys[0]].astype(str)
+        for k in keys[1:]:
+            kcol = kcol + "\x1f" + df[k].astype(str)
+        codes, uniques = pd.factorize(kcol)
         hp = np.fromiter(
             (zlib.crc32(str(u).encode("utf-8")) % partitions
              for u in uniques),
@@ -36,7 +42,7 @@ def coarse_group_apply(ds, key: str, per_group_fn, partitions: int = 64):
 
     def per_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_hp"])
-        outs = [per_group_fn(sub) for _, sub in g.groupby(key, sort=False)]
+        outs = [per_group_fn(sub) for _, sub in g.groupby(gb_key, sort=False)]
         return pd.concat(outs, ignore_index=True)
 
     return (ds.map_batches(add_hp, batch_format="pandas")

@@ -13,8 +13,9 @@ SURVEY §7 "hard parts" — we re-express both in EVENT time:
   (key, bucket), keep records while the running byte total
   (len(text)) stays ≤ limit.
 
-Both are WIDE operators (global per-bucket state): implemented as
-``groupby(bucket).map_groups`` — the shuffle key is the time bucket
+Both are WIDE operators (global per-bucket state): implemented as a
+coarse-partitioned per-bucket kernel (``shuffle.coarse_group_apply``)
+— the shuffle key is the time bucket
 (+ name key), which is uniform by construction, so no skew salting is
 needed. They expose ``apply(ds) -> ds`` instead of per-batch
 ``__call__``; the pipeline builder breaks map_batches fusion around
@@ -59,10 +60,10 @@ class ThrottleStage(Stage):
             g = g.sort_values(order, kind="mergesort")
             return g.iloc[:rate]
 
-        return (ds.map_batches(add_bucket, batch_format="pyarrow")
-                  .groupby("_bucket")
-                  .map_groups(limit_group, batch_format="pandas")
-                  .drop_columns(["_bucket"]))
+        from ..shuffle import coarse_group_apply
+        return coarse_group_apply(
+            ds.map_batches(add_bucket, batch_format="pyarrow"),
+            "_bucket", limit_group).drop_columns(["_bucket"])
 
 
 @register("throttle_size")
@@ -93,7 +94,8 @@ class ThrottleSizeStage(Stage):
             keep = np.cumsum(sizes) <= limit
             return g.iloc[keep]
 
-        return (ds.map_batches(add_bucket, batch_format="pyarrow")
-                  .groupby(["_bucket", self.name_field])
-                  .map_groups(limit_group, batch_format="pandas")
-                  .drop_columns(["_bucket"]))
+        from ..shuffle import coarse_group_apply
+        return coarse_group_apply(
+            ds.map_batches(add_bucket, batch_format="pyarrow"),
+            ["_bucket", self.name_field],
+            limit_group).drop_columns(["_bucket"])
