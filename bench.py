@@ -86,6 +86,29 @@ def run_bench() -> None:
 
     timed("flowcounter", bench_flowcounter)
 
+    # operator benchmarks (additive; headline above is unchanged)
+    def bench_multiline():
+        from fluent_bit_ray.stages import build_stage
+        st = build_stage({"type": "multiline",
+                          "firstline": r"^(\d|\{|CALL )"})
+        return st.apply(read_transcripts(sf_dir)).count()
+
+    timed("multiline", bench_multiline)
+
+    def bench_dedup_exact():
+        from fluent_bit_ray.dataops import exact_dedup
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+        return exact_dedup(ds).count()
+
+    def bench_minhash():
+        from fluent_bit_ray.dataops import minhash_dup_pair_counts
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+        return len(minhash_dup_pair_counts(ds))
+
+    if os.path.exists(f"{sf_dir}/documents.parquet"):
+        timed("dedup_exact_docs", bench_dedup_exact)
+        timed("minhash_pairs", bench_minhash)
+
     headline_sec = queries["flagship_e2e"]
     print(json.dumps({
         "metric": "flagship parse→enrich→route→aggregate e2e (turns/sec in turns_per_sec)",
