@@ -432,6 +432,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res["window_start"] = res["window_start"].astype("datetime64[us]")
         return res.sort_values(["role", "window_start"]).reset_index(drop=True)
 
+    # ---------------- SP snapshot create + flush (buffered side stream)
+    def sp_snapshot_flush(sf_dir: str):
+        from fluent_bit_ray.sp import sp_execute, sp_snapshot
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=False)
+        snaps: dict = {}
+        sp_snapshot(routed.ds,
+                    "CREATE SNAPSHOT snap AS SELECT * "
+                    "FROM TAG:'transcript.*'", snaps)
+        flushed = sp_snapshot(None,
+                              "FLUSH SNAPSHOT snap AS SELECT * "
+                              "FROM STREAM:snap WHERE role = 'tool'",
+                              snaps)
+        out = sp_execute(flushed,
+                         "SELECT conv_id, turn_idx, text "
+                         "FROM TAG:'transcript.*'").to_pandas()
+        out["turn_idx"] = out["turn_idx"].astype("int32")
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    # ---------------- SP FORECAST (linear regression over the stream)
+    def sp_forecast(sf_dir: str):
+        from fluent_bit_ray.sp import sp_execute
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=False)
+        res = sp_execute(
+            routed.ds,
+            "SELECT role, FORECAST(RECORD_TIME(), dur, 600) AS f "
+            "FROM TAG:'transcript.*' WHERE code = 200 GROUP BY role")
+        # forecast is a real; both sides round to milli-units so float
+        # addition-order ulps cannot flip the integer (boundary
+        # probability ~1e-12)
+        res["f_milli"] = (res["f"] * 1000).round().astype("int64")
+        res = res[["role", "f_milli"]]
+        return res.sort_values("role").reset_index(drop=True)
+
     # ---------------- SP hopping window (overlapping event-time buckets)
     def sp_hopping(sf_dir: str):
         from fluent_bit_ray.sp import sp_execute
@@ -559,6 +592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sp_count_window": sp_count_window,
         "sp_hopping": sp_hopping,
         "sp_arith": sp_arith,
+        "sp_snapshot_flush": sp_snapshot_flush,
+        "sp_forecast": sp_forecast,
         "throttle_kept": throttle_kept,
         "throttle_size_kept": throttle_size_kept,
     }
@@ -896,6 +931,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM parsed WHERE code = 200
             GROUP BY 1, 2 ORDER BY role, window_start
+        """,
+        "sp_snapshot_flush": f"""
+            WITH t AS ({t})
+            SELECT conv_id, turn_idx, text FROM t
+            WHERE role = 'tool' ORDER BY conv_id, turn_idx
+        """,
+        "sp_forecast": f"""
+            WITH t AS ({t}),
+            parsed AS (
+              SELECT role, ts,
+                CASE
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.code') AS BIGINT)
+                  WHEN text LIKE 'CALL %' THEN NULL
+                  WHEN regexp_matches(text, 'code=') THEN TRY_CAST(regexp_extract(text, 'code=(\\d+)', 1) AS BIGINT)
+                  WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'code:(\\d+)', 1) AS BIGINT)
+                  WHEN regexp_matches(text, '^[0-9.]+ - ') THEN TRY_CAST(regexp_extract(text, '" (\\d+) ', 1) AS BIGINT)
+                END AS code,
+                CASE
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.dur') AS DOUBLE)
+                  WHEN regexp_matches(text, 'dur=') THEN TRY_CAST(regexp_extract(text, 'dur=([0-9.]+)', 1) AS DOUBLE)
+                  WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'dur:([0-9.]+)', 1) AS DOUBLE)
+                END AS dur
+              FROM t),
+            f AS (
+              SELECT role, epoch(ts)::DOUBLE AS x, dur AS y
+              FROM parsed WHERE code = 200 AND dur IS NOT NULL),
+            s AS (
+              SELECT role, count(*)::DOUBLE AS n, sum(x) AS sx,
+                     sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sx2,
+                     max(x) AS mx
+              FROM f GROUP BY role)
+            SELECT role,
+                   CAST(round((
+                     (sy - ((n*sxy - sx*sy)/(n*sx2 - sx*sx)) * sx) / n
+                     + ((n*sxy - sx*sy)/(n*sx2 - sx*sx)) * (mx + 600)
+                   ) * 1000) AS BIGINT) AS f_milli
+            FROM s ORDER BY role
         """,
         "sp_hopping": f"""
             WITH t AS ({t}),

@@ -257,5 +257,7 @@ class Routed:
         # partials are one row per sink per block — summed on the driver
         # (no AllToAll stage for a handful of rows)
         parts = self.ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        if len(parts) == 0:  # zero-row stream: Ray emits no partials
+            return {n: 0 for n in names}
         out = parts.groupby("sink")["n"].sum()
         return {k: int(v) for k, v in out.items()}

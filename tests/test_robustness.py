@@ -102,3 +102,30 @@ def test_null_text_rows():
     out = routed.sink("all").to_pandas()
     assert len(out) == t.num_rows
     assert out.sort_values("turn_idx")["parsed_by"].iloc[0] == ""
+
+
+def test_empty_input_through_wide_operators():
+    """Zero-row inputs must flow through the flagship chain, multiline
+    and throttle without schema errors (resume reruns can see empty
+    shards)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_bit_ray.pipelines.flagship import build_flagship
+    from fluent_bit_ray.stages import build_stage
+
+    empty = pa.table({
+        "conv_id": pa.array([], type=pa.string()),
+        "turn_idx": pa.array([], type=pa.int32()),
+        "role": pa.array([], type=pa.string()),
+        "text": pa.array([], type=pa.string()),
+        "tool": pa.array([], type=pa.string()),
+        "ts": pa.array([], type=pa.timestamp("ns")),
+    })
+    ds = rd.from_arrow(empty)
+    routed = build_flagship().run(ds)
+    counts = routed.sink_counts()
+    assert all(v == 0 for v in counts.values())
+    th = build_stage({"type": "throttle", "rate": 5, "interval_s": 60})
+    assert th.apply(ds).count() == 0
