@@ -250,6 +250,11 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
             out.append(_dumps(rec))
         if fmt == "json_stream":
             return ["".join(out)] if out else []
+    elif fmt == "plain":
+        # out_file plain: JSON of the record map alone, no date wrapper
+        # (reference plugins/out_file/file.c:308 plain_output)
+        for i in range(n):
+            out.append(_dumps(_row_map(b, i, cols)))
     elif fmt == "msgpack":
         # out_file msgpack: raw [timestamp, map] msgpack per record
         for i in range(n):

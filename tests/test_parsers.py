@@ -279,3 +279,25 @@ def test_kv_vector_hypothesis_equivalence():
         assert vv == dv
 
     check()
+
+
+def test_ltsv_vector_hypothesis_equivalence():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    key = st.text(alphabet="abz09._-", min_size=1, max_size=5)
+    val = st.text(alphabet="abz09 .:=\"'\\{}e_", max_size=8)
+    token = st.tuples(key, val).map(lambda t: f"{t[0]}:{t[1]}")
+    line = st.lists(token, max_size=5).map("\t".join)
+
+    p = build_parser({"name": "h", "format": "ltsv",
+                      "types": {"code": "integer", "dur": "float"}})
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(line, min_size=1, max_size=8))
+    def check(lines):
+        dv, _ = _dict_path_fields(p, lines, ("code",))
+        vv, _ = _vector_path_fields(p, lines, ("code",))
+        assert vv == dv
+
+    check()

@@ -153,3 +153,10 @@ def test_json_date_formats():
     lines = format_batch(sample_batch(), fmt="json", date_format="iso8601")
     recs = [json.loads(ln) for ln in lines]
     assert recs[0]["date"] == "2015-11-24T22:15:40.000000Z"
+
+
+def test_plain_format():
+    lines = format_batch(sample_batch(), fmt="plain")
+    recs = [json.loads(ln) for ln in lines]
+    assert "date" not in recs[0]          # no timestamp wrapper
+    assert recs[0]["conv_id"] == "c1" and recs[0]["level"] == "info"
