@@ -342,6 +342,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["key_b"] = out["key_b"].astype("int64")
         return out
 
+    def docs_jaccard_pairs(sf_dir: str):
+        """Exact all-pairs n-gram Jaccard (the guarded small-corpus
+        path; minhash is the scale path). Integer (inter, uni) output
+        with the 0.5 threshold as inter*2 >= uni."""
+        from fluent_bit_ray.dataops.dedup import _shingles
+        df = _docs(sf_dir).select_columns(["doc_id", "text"]).to_pandas()
+        shs = {int(d): _shingles(str(t))
+               for d, t in zip(df["doc_id"], df["text"])}
+        keys = sorted(shs)
+        rows = []
+        for i, x in enumerate(keys):
+            sx = shs[x]
+            for y in keys[i + 1:]:
+                sy = shs[y]
+                inter = len(sx & sy)
+                uni = len(sx) + len(sy) - inter
+                if inter * 2 >= uni:
+                    rows.append((x, y, inter, uni))
+        out = pd.DataFrame(rows, columns=["key_a", "key_b", "inter", "uni"])
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
     def emb_dup_pairs(sf_dir: str):
         out = embedding_dup_pairs(_embs(sf_dir), threshold=0.5)
         if len(out) == 0:
@@ -584,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": doc_fingerprint,
         "doc_simhash": doc_simhash,
         "docs_minhash_pairs": docs_minhash_pairs,
+        "docs_jaccard_pairs": docs_jaccard_pairs,
         "emb_dup_pairs": emb_dup_pairs,
         "ann_topk": ann_topk,
         "ua_browser_counts": ua_browser_counts,
@@ -1121,4 +1145,28 @@ def oracle_sql() -> dict[str, str]:
         # integer (inter, uni) verification with the 0.7 threshold as
         # inter*10 >= uni*7 (no float rounding on either side)
         "docs_minhash_pairs": _minhash_oracle_sql(),
+        # exact all-pairs Jaccard over string shingle sets (same
+        # integer-exact inter/uni convention; 0.5 threshold)
+        "docs_jaccard_pairs": r"""
+            WITH words AS (SELECT doc_id,
+                             regexp_extract_all(text, '\S+') AS ws
+                           FROM documents),
+            sh AS (SELECT doc_id,
+                    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(ws) - 1),
+                         i -> array_to_string(ws[i:i+2], ' '))) END
+                      AS shingles
+                   FROM words)
+            SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                   len(list_intersect(a.shingles, b.shingles))::BIGINT
+                     AS inter,
+                   (len(a.shingles) + len(b.shingles)
+                     - len(list_intersect(a.shingles, b.shingles)))::BIGINT
+                     AS uni
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.shingles, b.shingles)) * 2 >=
+                  len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))
+            ORDER BY key_a, key_b
+        """,
     }

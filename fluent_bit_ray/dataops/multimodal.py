@@ -102,3 +102,75 @@ def decode_images(ds, concurrency=(1, 4), batch_size: int = 32,
                           fn_constructor_kwargs={"fake": fake},
                           batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+# ------------------------------------------------------------- audio
+def synth_audio_table(n: int = 64, seed: int = 43) -> pa.Table:
+    """Deterministic fake 'audio' rows: PCM-ish payload + metadata."""
+    rs = np.random.RandomState(seed)
+    payloads = [rs.bytes(1024 + int(rs.randint(0, 2048))) for _ in range(n)]
+    return pa.table({
+        "audio_id": pa.array(range(n), type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "codec": pa.array(["wav" if i % 2 else "flac" for i in range(n)]),
+        "sample_rate": pa.array([16000 if i % 3 else 44100
+                                 for i in range(n)], type=pa.int32()),
+        "n_channels": pa.array([1 + (i % 2) for i in range(n)],
+                               type=pa.int8()),
+    })
+
+
+class DecodeAudioStage:
+    """Actor-pool stage: audio payload → windowed energy features.
+
+    Real deployments load the codec (soundfile/torchaudio) once per
+    actor in ``__init__``; absent from this container, so the decode
+    raises unless ``fake=True`` — the fake treats the payload bytes as
+    int8 PCM and computes real windowed RMS energies, which keeps the
+    downstream plumbing (list<float> feature column, small batches,
+    actor signature) honest.
+    """
+
+    def __init__(self, n_windows: int = 8, fake: bool = False):
+        self.n_windows = n_windows
+        self.fake = fake
+        if not fake:
+            try:
+                import soundfile  # noqa: F401
+                self.codec = True
+            except ImportError:
+                self.codec = False
+
+    def _features(self, payload: bytes, codec: str) -> np.ndarray:
+        if not self.fake:
+            if not getattr(self, "codec", False):
+                raise NotImplementedError(
+                    "audio codecs not available in this environment; "
+                    "construct DecodeAudioStage(fake=True) for plumbing "
+                    "tests")
+            raise NotImplementedError("real decode requires soundfile")
+        pcm = np.frombuffer(payload, dtype=np.int8).astype(np.float32)
+        w = max(1, len(pcm) // self.n_windows)
+        ends = [min(len(pcm), (i + 1) * w) for i in range(self.n_windows)]
+        out = np.zeros(self.n_windows, dtype=np.float32)
+        for i, e in enumerate(ends):
+            seg = pcm[i * w:e]
+            if len(seg):
+                out[i] = np.sqrt(np.mean(seg * seg))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(p, c) for p, c in
+                 zip(batch.column("payload").to_pylist(),
+                     batch.column("codec").to_pylist())]
+        return batch.append_column(
+            "energies", pa.array([f.tolist() for f in feats],
+                                 type=pa.list_(pa.float32())))
+
+
+def decode_audio(ds, concurrency=(1, 4), batch_size: int = 16,
+                 fake: bool = True):
+    return ds.map_batches(DecodeAudioStage,
+                          fn_constructor_kwargs={"fake": fake},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

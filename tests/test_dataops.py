@@ -241,3 +241,22 @@ def test_minhash_join_verification_matches_broadcast():
     assert list(zip(pa_["key_a"], pa_["key_b"])) == \
         list(zip(pb_["key_a"], pb_["key_b"]))
     assert pa_["jaccard"].tolist() == pytest.approx(pb_["jaccard"].tolist())
+
+
+def test_audio_plumbing():
+    from fluent_bit_ray.dataops.multimodal import (DecodeAudioStage,
+                                                   decode_audio,
+                                                   synth_audio_table)
+    t = synth_audio_table(24)
+    out = decode_audio(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 24
+    assert all(len(e) == 8 for e in out["energies"])
+    # determinism
+    st = DecodeAudioStage(fake=True)
+    e1 = st(t.slice(0, 4)).column("energies").to_pylist()
+    e2 = st(t.slice(0, 4)).column("energies").to_pylist()
+    assert e1 == e2 and all(v >= 0 for row in e1 for v in row)
+    # real path raises cleanly without codecs
+    real = DecodeAudioStage(fake=False)
+    with pytest.raises(NotImplementedError):
+        real._features(b"\x00" * 64, "wav")
