@@ -71,9 +71,15 @@ def write_routed_sinks(routed, outdir: str, wave: str = "w0",
                 tmp, path = base + ".parquet.tmp", base + ".parquet"
                 pq.write_table(sub, tmp)
             else:
-                tmp, path = base + ".txt.tmp", base + ".txt"
-                with open(tmp, "w") as fh:
-                    fh.write("\n".join(format_batch(sub, fmt=fmt)) + "\n")
+                lines = format_batch(sub, fmt=fmt)
+                if lines and isinstance(lines[0], bytes):  # msgpack
+                    tmp, path = base + ".msgpack.tmp", base + ".msgpack"
+                    with open(tmp, "wb") as fh:
+                        fh.write(b"".join(lines))
+                else:
+                    tmp, path = base + ".txt.tmp", base + ".txt"
+                    with open(tmp, "w") as fh:
+                        fh.write("\n".join(lines) + "\n")
             os.replace(tmp, path)  # atomic per part file
         return pa.table({"sink": pa.array(names),
                          "n": pa.array(counts, type=pa.int64())})

@@ -101,3 +101,36 @@ def test_partial_wave_outputs_purged_before_rerun(tmp_path):
         got = sum(pq.read_metadata(f).num_rows for f in
                   glob.glob(f"{out}/{sink}/wave=*/part-*.parquet"))
         assert got == n, sink
+
+
+def test_wave_write_msgpack_sink(tmp_path):
+    """A sink configured with the msgpack format writes resumable raw
+    [ts, map] stream parts under its wave directory."""
+    import pytest
+    msgpack = pytest.importorskip("msgpack")
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_bit_ray.pipelines.pipeline import Pipeline
+    from fluent_bit_ray.state.lineage import write_routed_sinks
+
+    t = pa.table({
+        "conv_id": ["c1", "c2"], "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": ["user", "tool"], "text": ["a", "b"], "tool": ["", "x"],
+        "ts": pa.array([1448403340_000000000, 1448403341_000000000],
+                       type=pa.timestamp("ns")),
+    })
+    p = Pipeline(stages=[], sinks=[("all", "*")])
+    routed = p.run(rd.from_arrow(t))
+    counts = write_routed_sinks(routed, str(tmp_path), wave="w0",
+                                formats={"all": "msgpack"})
+    assert counts["all"] == 2
+    data = b""
+    wavedir = tmp_path / "all" / "wave=w0"
+    for f in sorted(os.listdir(wavedir)):
+        assert f.endswith(".msgpack")
+        data += open(wavedir / f, "rb").read()
+    unp = msgpack.Unpacker(raw=False)
+    unp.feed(data)
+    recs = list(unp)
+    assert len(recs) == 2 and all(isinstance(r[1], dict) for r in recs)
