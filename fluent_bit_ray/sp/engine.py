@@ -357,6 +357,9 @@ def _eval_expr(node, b: pa.Table, decoded=None):
     if op == "neg":
         return -left
     right = _eval_expr(node[3], b, decoded)
+    if not isinstance(left, pd.Series) and not isinstance(right, pd.Series):
+        # scalar⊕scalar: numpy semantics (inf/nan, no ZeroDivisionError)
+        left, right = np.float64(left), np.float64(right)
     with np.errstate(invalid="ignore", divide="ignore"):
         if op == "+":
             return left + right

@@ -292,3 +292,66 @@ def test_parenthesized_condition_still_parses():
                  if ((200 if i % 3 == 0 else 500) == 200
                      and (i % 10) / 10.0 > 0.1) or (i % 2 == 1))
     assert len(out) == expect
+
+
+def test_expression_hypothesis_vs_pandas():
+    """Property test: random arithmetic expressions over record keys
+    must evaluate exactly as the equivalent pandas expression."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fluent_bit_ray.sp.engine import _expr_series, parse_expression
+
+    ds_tbl = pa.table({
+        "p_a": pa.array([1.0, 2.5, -3.0, 0.0, 7.25], type=pa.float64()),
+        "p_b": pa.array([2, -1, 4, 5, 0], type=pa.int64()),
+    })
+
+    leaf = st.sampled_from(["a", "b", "2", "3.5", "-4"])
+    op = st.sampled_from([" + ", " - ", " * ", " / ", " % "])
+
+    @st.composite
+    def expr(draw, depth=0):
+        if depth >= 3 or draw(st.booleans()):
+            return draw(leaf)
+        l = draw(expr(depth=depth + 1))  # noqa: E741
+        r = draw(expr(depth=depth + 1))
+        e = l + draw(op) + r
+        return "(" + e + ")" if draw(st.booleans()) else e
+
+    import pandas as pd
+
+    # dtypes mirror the table: p_a float64, p_b int64 (mod/div
+    # semantics differ on signed zeros between int and float)
+    cols = {"a": pd.Series([1.0, 2.5, -3.0, 0.0, 7.25]),
+            "b": pd.Series([2, -1, 4, 5, 0], dtype="int64")}
+
+    def ref_eval(tree):
+        kind = tree[0]
+        if kind == "lit":
+            return float(tree[1])
+        if kind == "key":
+            return cols[tree[1]]
+        o, lt, rt = tree[1], tree[2], tree[3]
+        if o == "neg":
+            return -ref_eval(lt)
+        a_, b_ = ref_eval(lt), ref_eval(rt)
+        if not hasattr(a_, "index") and not hasattr(b_, "index"):
+            a_, b_ = np.float64(a_), np.float64(b_)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return {"+": a_ + b_, "-": a_ - b_, "*": a_ * b_,
+                    "/": a_ / b_, "%": a_ % b_}[o]
+
+    @settings(max_examples=150, deadline=None)
+    @given(expr())
+    def check(e):
+        tree = parse_expression(e)
+        got = _expr_series(tree, ds_tbl)
+        want = ref_eval(tree)
+        if not isinstance(want, pd.Series):
+            want = pd.Series([float(want)] * 5)
+        g = got.to_numpy(dtype=float)
+        w = want.to_numpy(dtype=float)
+        assert ((g == w) | (np.isnan(g) & np.isnan(w))).all(), (e, g, w)
+
+    check()
