@@ -312,7 +312,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def doc_quality(sf_dir: str):
         out = quality_ds(_docs(sf_dir)).to_pandas()
-        out = out[["doc_id", "n_chars_q", "n_words", "n_stopwords", "n_punct"]]
+        out = out[["doc_id", "n_chars_q", "n_words", "n_stopwords",
+                   "n_punct"]].copy()
+        # composite score as milli-units via floor(q*1000 + 0.5): the
+        # identical IEEE expression runs in SQL, and floor (unlike
+        # round) has no banker's-vs-half-away asymmetry
+        ch = out["n_chars_q"].to_numpy(dtype="float64")
+        w = out["n_words"].to_numpy(dtype="float64")
+        st = out["n_stopwords"].to_numpy(dtype="float64")
+        pu = out["n_punct"].to_numpy(dtype="float64")
+        q = (0.4 * np.minimum(ch / 500.0, 1.0)
+             + 0.4 * (st / np.maximum(w, 1.0))
+             + 0.2 * (1.0 - np.minimum(pu / np.maximum(ch, 1.0) * 10.0,
+                                       1.0)))
+        out["quality_milli"] = np.floor(q * 1000.0 + 0.5).astype("int64")
         return out.sort_values("doc_id").reset_index(drop=True)
 
     def doc_langid(sf_dir: str):
@@ -364,6 +377,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         for c in out.columns:
             out[c] = out[c].astype("int64")
         return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+    def docs_dedup_keep(sf_dir: str):
+        """Keys kept after near-dup removal: connected components over
+        the MinHash pair set, keep each cluster's min key + all
+        unpaired docs (dedup_keep_list)."""
+        from fluent_bit_ray.dataops.dedup import dedup_keep_list
+        pairs = minhash_dup_pair_counts(_docs(sf_dir), threshold=(7, 10))
+        keep = dedup_keep_list(_docs(sf_dir), pairs[["key_a", "key_b"]])
+        keep["doc_id"] = keep["doc_id"].astype("int64")
+        return keep
 
     def emb_dup_pairs(sf_dir: str):
         out = embedding_dup_pairs(_embs(sf_dir), threshold=0.5)
@@ -608,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": doc_simhash,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_jaccard_pairs": docs_jaccard_pairs,
+        "docs_dedup_keep": docs_dedup_keep,
         "emb_dup_pairs": emb_dup_pairs,
         "ann_topk": ann_topk,
         "ua_browser_counts": ua_browser_counts,
@@ -833,15 +857,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "doc_quality": """
-            SELECT doc_id,
-                   strlen(text)::BIGINT AS n_chars_q,
-                   len(string_split(text, ' '))::BIGINT AS n_words,
-                   len(list_filter(string_split(lower(text), ' '),
-                       x -> x IN ('the','a','an','and','of','to','in','is',
-                                  'it','that','for','on','with','as','at',
-                                  'by','this','be','are')))::BIGINT AS n_stopwords,
-                   len(regexp_extract_all(text, '[^\w\s]'))::BIGINT AS n_punct
-            FROM documents ORDER BY doc_id
+            WITH c AS (
+              SELECT doc_id,
+                     strlen(text)::BIGINT AS n_chars_q,
+                     len(string_split(text, ' '))::BIGINT AS n_words,
+                     len(list_filter(string_split(lower(text), ' '),
+                         x -> x IN ('the','a','an','and','of','to','in','is',
+                                    'it','that','for','on','with','as','at',
+                                    'by','this','be','are')))::BIGINT
+                       AS n_stopwords,
+                     len(regexp_extract_all(text, '[^\w\s]'))::BIGINT
+                       AS n_punct
+              FROM documents)
+            SELECT doc_id, n_chars_q, n_words, n_stopwords, n_punct,
+                   CAST(floor((
+                     0.4 * least(n_chars_q::DOUBLE / 500.0, 1.0)
+                     + 0.4 * (n_stopwords::DOUBLE
+                              / greatest(n_words::DOUBLE, 1.0))
+                     + 0.2 * (1.0 - least(n_punct::DOUBLE
+                              / greatest(n_chars_q::DOUBLE, 1.0) * 10.0,
+                              1.0))
+                   ) * 1000.0 + 0.5) AS BIGINT) AS quality_milli
+            FROM c ORDER BY doc_id
         """,
         "emb_dup_pairs": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
@@ -1145,6 +1182,25 @@ def oracle_sql() -> dict[str, str]:
         # integer (inter, uni) verification with the 0.7 threshold as
         # inter*10 >= uni*7 (no float rounding on either side)
         "docs_minhash_pairs": _minhash_oracle_sql(),
+        # connected components over the minhash pair set via a
+        # recursive label-reachability CTE; keep = min key per
+        # component + all unpaired docs (dedup_keep_list semantics)
+        "docs_dedup_keep": f"""
+            WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+            edges AS (
+              SELECT key_a AS u, key_b AS v FROM pairs
+              UNION
+              SELECT key_b AS u, key_a AS v FROM pairs),
+            nodes AS (SELECT DISTINCT u FROM edges),
+            reach(u, l) AS (
+              SELECT u, u FROM nodes
+              UNION
+              SELECT e.u, r.l FROM edges e JOIN reach r ON r.u = e.v),
+            labels AS (SELECT u, min(l) AS l FROM reach GROUP BY u)
+            SELECT d.doc_id::BIGINT AS doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT u FROM labels WHERE l <> u)
+            ORDER BY doc_id
+        """,
         # exact all-pairs Jaccard over string shingle sets (same
         # integer-exact inter/uni convention; 0.5 threshold)
         "docs_jaccard_pairs": r"""
