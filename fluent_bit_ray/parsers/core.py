@@ -484,18 +484,26 @@ class JsonParser(Parser):
             if not isinstance(obj, dict):
                 continue
             hit_mask[i] = True
+            changed = False
             if types:
                 for k, t in types.items():
                     if k in obj:
-                        obj[k] = typecast(obj[k], t)
+                        ov = obj[k]
+                        nv = typecast(ov, t)
+                        if type(nv) is not type(ov) or nv != ov:
+                            obj[k] = nv
+                            changed = True
             if tk is not None and tk in obj:
                 tv = obj[tk]
                 raw_times.append(tv if isinstance(tv, str) else str(tv))
                 if not tkeep:
                     del obj[tk]
+                    changed = True
             elif tk is not None:
                 raw_times.append(None)
-            json_strs.append(fields_dumps_obj(obj))
+            # typecast was a no-op and no key was consumed → the raw
+            # text IS the fields JSON (loads-identical); skip the dump
+            json_strs.append(v if not changed else fields_dumps_obj(obj))
             for k in promote_keys:
                 promoted[k].append(obj.get(k))
         n_hit = len(json_strs)
