@@ -19,6 +19,32 @@ import numpy as np
 import pandas as pd
 
 
+def coarse_partition_apply(ds, key, per_partition_fn, partitions: int = 64):
+    """Like ``coarse_group_apply`` but the kernel receives the WHOLE
+    coarse partition (all rows whose key hashes to it) and is expected
+    to be key-aware internally (vectorized groupby/cumsum) — zero
+    per-key Python. Guarantee: all rows of one key land in one call."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def add_hp(df: pd.DataFrame) -> pd.DataFrame:
+        kcol = df[keys[0]].astype(str)
+        for k in keys[1:]:
+            kcol = kcol + "\x1f" + df[k].astype(str)
+        codes, uniques = pd.factorize(kcol)
+        hp = np.fromiter(
+            (zlib.crc32(str(u).encode("utf-8")) % partitions
+             for u in uniques),
+            dtype=np.int64, count=len(uniques))
+        df = df.copy()
+        df["_hp"] = hp[codes]
+        return df
+
+    return (ds.map_batches(add_hp, batch_format="pandas")
+            .groupby("_hp")
+            .map_groups(lambda g: per_partition_fn(g.drop(columns=["_hp"])),
+                        batch_format="pandas"))
+
+
 def coarse_group_apply(ds, key, per_group_fn, partitions: int = 64):
     """Apply ``per_group_fn(group_df) -> DataFrame`` once per distinct
     ``key`` value (a column name or list of them), shuffled through

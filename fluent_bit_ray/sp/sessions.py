@@ -25,26 +25,52 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
     """
     agg = agg or {}
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        order = [ts_col] + ([tie_col] if tie_col else [])
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Gap-break detection vectorized over the whole coarse
+        partition: a session break is a key change or an over-gap
+        delta; session ids are one global cumsum, re-based per key for
+        the 0-based session_idx."""
+        order = [key, ts_col] + ([tie_col] if tie_col else [])
         g = g.sort_values(order, kind="mergesort")
+        n = len(g)
         ts = g[ts_col].astype("datetime64[ns]")
-        gaps = ts.diff().dt.total_seconds().fillna(0.0).to_numpy()
-        sess = np.cumsum(gaps > gap_s)
-        g = g.assign(_sess=sess)
+        kv = g[key].to_numpy()
+        newk = np.ones(n, dtype=bool)
+        newk[1:] = kv[1:] != kv[:-1]
+        gaps = np.nan_to_num(ts.diff().dt.total_seconds().to_numpy(),
+                             nan=0.0)
+        brk = newk | (gaps > gap_s)
+        sess = np.cumsum(brk)                      # global ids 1..S
+        key_start_sess = sess[np.flatnonzero(newk)]
+        key_run = np.cumsum(newk)                  # key index 1..K
+        sess_idx = sess - key_start_sess[key_run - 1]
+        g = g.assign(_sess=sess, _sidx=sess_idx)
         spec = {"session_start": (ts_col, "min"),
                 "session_end": (ts_col, "max"),
                 "n_events": (ts_col, "size")}
         spec.update(agg)
-        out = g.groupby("_sess", sort=True).agg(**{
-            k: pd.NamedAgg(column=c, aggfunc=f) for k, (c, f) in spec.items()
-        }).reset_index(names="session_idx")
-        out.insert(0, key, g[key].iloc[0])
+        out = g.groupby("_sess", sort=False).agg(**{
+            "_key": pd.NamedAgg(column=key, aggfunc="first"),
+            "session_idx": pd.NamedAgg(column="_sidx", aggfunc="first"),
+            **{k: pd.NamedAgg(column=c, aggfunc=f)
+               for k, (c, f) in spec.items()},
+        }).reset_index(drop=True).rename(columns={"_key": key})
         out["session_idx"] = out["session_idx"].astype("int64")
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    from ..shuffle import coarse_group_apply
-    # coarse key-hash partitions (see shuffle.coarse_group_apply): one
-    # task per partition, not one per session key
-    return coarse_group_apply(ds, key, per_key)
+    import zlib
+
+    def add_hp(df: pd.DataFrame) -> pd.DataFrame:
+        codes, uniques = pd.factorize(df[key])
+        hp = np.fromiter(
+            (zlib.crc32(str(u).encode("utf-8")) % 64 for u in uniques),
+            dtype=np.int64, count=len(uniques))
+        df = df.copy()
+        df["_hp"] = hp[codes]
+        return df
+
+    return (ds.map_batches(add_hp, batch_format="pandas")
+            .groupby("_hp")
+            .map_groups(lambda g: per_partition(g.drop(columns=["_hp"])),
+                        batch_format="pandas"))

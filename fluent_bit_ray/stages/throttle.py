@@ -55,15 +55,18 @@ class ThrottleStage(Stage):
         def add_bucket(b: pa.Table) -> pa.Table:
             return _bucket_column(b, self.interval_s, ts_col)
 
-        def limit_group(g: pd.DataFrame) -> pd.DataFrame:
-            order = [c for c in (ts_col, "conv_id", "turn_idx") if c in g.columns]
+        def limit_partition(g: pd.DataFrame) -> pd.DataFrame:
+            # rank within bucket, fully vectorized over the partition
+            order = ["_bucket"] + [c for c in (ts_col, "conv_id", "turn_idx")
+                                   if c in g.columns]
             g = g.sort_values(order, kind="mergesort")
-            return g.iloc[:rate]
+            rank = g.groupby("_bucket", sort=False).cumcount()
+            return g[rank < rate]
 
-        from ..shuffle import coarse_group_apply
-        return coarse_group_apply(
+        from ..shuffle import coarse_partition_apply
+        return coarse_partition_apply(
             ds.map_batches(add_bucket, batch_format="pyarrow"),
-            "_bucket", limit_group).drop_columns(["_bucket"])
+            "_bucket", limit_partition).drop_columns(["_bucket"])
 
 
 @register("throttle_size")
@@ -87,15 +90,20 @@ class ThrottleSizeStage(Stage):
         def add_bucket(b: pa.Table) -> pa.Table:
             return _bucket_column(b, self.interval_s, ts_col)
 
-        def limit_group(g: pd.DataFrame) -> pd.DataFrame:
-            order = [c for c in (ts_col, "conv_id", "turn_idx") if c in g.columns]
-            g = g.sort_values(order, kind="mergesort")
-            sizes = g[size_field].astype(str).str.len().to_numpy(dtype=np.int64)
-            keep = np.cumsum(sizes) <= limit
-            return g.iloc[keep]
+        name_field = self.name_field
 
-        from ..shuffle import coarse_group_apply
-        return coarse_group_apply(
+        def limit_partition(g: pd.DataFrame) -> pd.DataFrame:
+            # running byte total per (bucket, key), vectorized
+            order = ["_bucket", name_field] + \
+                [c for c in (ts_col, "conv_id", "turn_idx") if c in g.columns]
+            g = g.sort_values(order, kind="mergesort")
+            sizes = g[size_field].astype(str).str.len()
+            running = sizes.groupby(
+                [g["_bucket"], g[name_field]], sort=False).cumsum()
+            return g[running <= limit]
+
+        from ..shuffle import coarse_partition_apply
+        return coarse_partition_apply(
             ds.map_batches(add_bucket, batch_format="pyarrow"),
-            ["_bucket", self.name_field],
-            limit_group).drop_columns(["_bucket"])
+            ["_bucket", name_field],
+            limit_partition).drop_columns(["_bucket"])
