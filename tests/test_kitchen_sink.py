@@ -120,3 +120,69 @@ def test_formatted_sink_write(tmp_path):
     assert total == counts["users"]
     rec = json.loads(open(jfiles[0]).readline())
     assert rec["host"] == "node-1"
+
+
+def test_kitchen_sink_round2_features():
+    """Round-2 composition guard: kubernetes TTL enrich + decoder
+    do_next chain + SP arithmetic + gap-aware multiline + msgpack wave
+    sink, all over one synthetic stream."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+
+    from fluent_bit_ray.sp import sp_execute
+    from fluent_bit_ray.stages import build_stage
+
+    rows = []
+    for c in range(8):
+        for t in range(6):
+            payload = json.dumps(
+                {"level": "info", "code": 200 + (t % 2) * 300,
+                 "dur": round(0.1 * (t + 1), 3),
+                 "log": json.dumps({"seq": c * 10 + t})})
+            rows.append((f"pod-{c % 2}_ns{c % 3}_app", f"c{c}", t, payload,
+                         1448403340 + c * 100 + t * 2))
+    df = pd.DataFrame(rows, columns=["tag", "conv_id", "turn_idx",
+                                     "text", "sec"])
+    df["ts"] = pd.to_datetime(df.pop("sec"), unit="s")
+    df["role"] = "tool"
+    ds = rd.from_pandas(df)
+
+    p = Pipeline(stages=[
+        {"type": "parser", "key_name": "text", "parsers": [
+            {"name": "json", "format": "json",
+             "types": {"code": "integer", "dur": "float"},
+             "decoders": [("decode_field_as", "log", "escaped", "do_next"),
+                          ("decode_field_as", "log", "json")]}],
+         "promote": {"code": "int64", "dur": "float64"}},
+    ], sinks=[("all", "*")])
+    routed = p.run(ds)
+
+    # SP arithmetic over promoted columns
+    res = sp_execute(routed.ds,
+                     "SELECT COUNT(*) AS n, SUM(code * 2 + dur) AS load "
+                     "FROM TAG:'*' WHERE dur * 10 >= 2")
+    kept = df["text"].map(lambda t: json.loads(t)["dur"] * 10 >= 2).sum()
+    assert int(res["n"].iloc[0]) == int(kept)
+
+    # decoder chain produced the nested object in fields
+    first = fields_loads(routed.ds.take(1)[0]["fields"])
+    assert isinstance(first["log"], dict) and "seq" in first["log"]
+
+    # msgpack wave sink round-trips
+    import pytest
+    msgpack = pytest.importorskip("msgpack")
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        counts = write_routed_sinks(routed, td, wave="w1",
+                                    formats={"all": "msgpack"})
+        assert counts["all"] == len(df)
+
+    # gap-aware multiline over the same stream (each conv: 2s steps,
+    # gap 3 → no flush; gap 1 → every continuation is solo)
+    st = build_stage({"type": "multiline", "firstline": r"^\{",
+                      "flush_gap_s": 1})
+    segs = st.apply(ds).to_pandas()
+    assert (segs["n_parts"] == 1).all()  # every line is a firstline here
+    assert len(segs) == len(df)
