@@ -59,17 +59,26 @@ def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 
 
 def langid_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Stopword-vote language id, vectorized: explode words once, one
+    isin per language, argmax with first-language tie-break (exactly
+    the per-row loop's semantics — earlier language wins ties)."""
     words_col = df[text_col].astype(str).str.lower().str.findall(r"[a-zà-ÿä-ü]+")
-
-    def pick(ws) -> str:
-        best, best_n = "unknown", 0
-        for lang, stop in _LANGS:
-            n = sum(1 for w in ws if w in stop)
-            if n > best_n:
-                best, best_n = lang, n
-        return best if best_n >= 1 else "unknown"
-
-    df["lang_pred"] = words_col.map(pick)
+    n = len(df)
+    ex = words_col.explode()
+    valid = ex.notna()
+    ew = ex[valid]
+    rows = ew.index.to_numpy()
+    scores = np.zeros((n, len(_LANGS)), dtype=np.int64)
+    pos = {idx: i for i, idx in enumerate(df.index)}
+    rowpos = np.fromiter((pos[r] for r in rows), dtype=np.int64,
+                         count=len(rows))
+    for li, (_, stop) in enumerate(_LANGS):
+        hits = ew.isin(stop).to_numpy()
+        np.add.at(scores[:, li], rowpos[hits], 1)
+    best = np.argmax(scores, axis=1)        # argmax takes the FIRST max
+    names = np.array([lang for lang, _ in _LANGS])
+    pred = np.where(scores.max(axis=1) >= 1, names[best], "unknown")
+    df["lang_pred"] = pred
     return df
 
 

@@ -329,7 +329,8 @@ def test_expression_hypothesis_vs_pandas():
     def ref_eval(tree):
         kind = tree[0]
         if kind == "lit":
-            return float(tree[1])
+            return tree[1]  # raw int/float, like the engine (int-zero
+                            # sign semantics differ from float zero)
         if kind == "key":
             return cols[tree[1]]
         o, lt, rt = tree[1], tree[2], tree[3]
