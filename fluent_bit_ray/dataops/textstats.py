@@ -34,16 +34,34 @@ def token_count_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     s = df[text_col].astype(str)
     # whitespace tokens, single-space convention (== duckdb string_split ' ')
     df["n_tokens_ws"] = (s.str.count(" ") + 1).astype("int64")
-    df["n_tokens_bpe"] = s.map(lambda t: len(_BPE_RE.findall(t))).astype("int64")
+    # str.count(regex) == len(findall) for a group-free pattern
+    df["n_tokens_bpe"] = s.str.count(_BPE_RE.pattern).astype("int64")
     return df
+
+
+def _stopword_counts(words: pd.Series, stop: set, n: int,
+                     index) -> np.ndarray:
+    """Per-row stopword hits, vectorized: explode once, one isin, one
+    scatter-add (duplicates counted, like the per-row sum)."""
+    ex = words.explode()
+    ew = ex[ex.notna()]
+    pos = {idx: i for i, idx in enumerate(index)}
+    rowpos = np.fromiter((pos[r] for r in ew.index), dtype=np.int64,
+                         count=len(ew))
+    out = np.zeros(n, dtype=np.int64)
+    hits = ew.isin(stop).to_numpy()
+    np.add.at(out, rowpos[hits], 1)
+    return out
 
 
 def quality_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     s = df[text_col].astype(str)
     n_chars = s.str.len().astype("int64")
-    words = s.str.lower().str.split(" ")
-    n_words = words.map(len).astype("int64")
-    n_stop = words.map(lambda ws: sum(1 for w in ws if w in _STOP_EN)).astype("int64")
+    low = s.str.lower()
+    n_words = (low.str.count(" ") + 1).astype("int64")
+    n_stop = pd.Series(
+        _stopword_counts(low.str.split(" "), _STOP_EN, len(df), df.index),
+        index=df.index, dtype="int64")
     n_punct = s.str.count(_PUNCT_RE.pattern).astype("int64")
     df["n_chars_q"] = n_chars
     df["n_words"] = n_words
