@@ -83,7 +83,8 @@ class ParserStage(Stage):
             if not remaining.any():
                 break
             sub = np.nonzero(remaining)[0]
-            sub_arr = src_arr.take(pa.array(sub))
+            sub_arr = (src_arr if len(sub) == len(remaining)
+                       else src_arr.take(pa.array(sub)))
             pf = getattr(p, "prefilter", None)
             if pf is not None:
                 # cheap superset scan: rows failing it cannot match this

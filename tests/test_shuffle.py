@@ -1,0 +1,69 @@
+"""coarse_group_apply / coarse_partition_apply equivalence with plain
+groupby(key).map_groups — same per-key results through the coarse
+hash-partition exchange."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from fluent_bit_ray.shuffle import coarse_group_apply, coarse_partition_apply
+
+
+def _ds(n=500, keys=37):
+    rs = np.random.RandomState(5)
+    return rd.from_pandas(pd.DataFrame({
+        "k": [f"key-{i % keys:03d}" for i in range(n)],
+        "v": rs.randint(0, 100, n),
+    }))
+
+
+def test_coarse_group_apply_matches_plain_groupby():
+    def per_key(g):
+        return pd.DataFrame({"k": [g["k"].iloc[0]],
+                             "s": [int(g["v"].sum())],
+                             "n": [len(g)]})
+
+    a = (coarse_group_apply(_ds(), "k", per_key, partitions=8)
+         .to_pandas().sort_values("k").reset_index(drop=True))
+    b = (_ds().groupby("k").map_groups(per_key, batch_format="pandas")
+         .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_coarse_group_apply_composite_key():
+    ds = rd.from_pandas(pd.DataFrame({
+        "a": [i % 3 for i in range(60)],
+        "b": [f"x{i % 4}" for i in range(60)],
+        "v": range(60)}))
+
+    def per_key(g):
+        return pd.DataFrame({"a": [g["a"].iloc[0]], "b": [g["b"].iloc[0]],
+                             "s": [int(g["v"].sum())]})
+
+    a = (coarse_group_apply(ds, ["a", "b"], per_key, partitions=4)
+         .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    exp = (ds.to_pandas().groupby(["a", "b"])["v"].sum()
+           .reset_index(name="s"))
+    assert dict(zip(zip(a["a"], a["b"]), a["s"])) == \
+        dict(zip(zip(exp["a"], exp["b"]), exp["s"]))
+
+
+def test_coarse_partition_apply_key_colocation():
+    """Every row of one key lands in exactly one partition call."""
+    seen: dict = {}
+
+    def per_partition(g):
+        ks = set(g["k"])
+        return pd.DataFrame({"k": sorted(ks),
+                             "n": [int((g["k"] == k).sum())
+                                   for k in sorted(ks)]})
+
+    out = (coarse_partition_apply(_ds(), "k", per_partition, partitions=8)
+           .to_pandas())
+    # since each key appears in exactly one partition, per-key counts
+    # must equal the global counts (no splits)
+    exp = _ds().to_pandas()["k"].value_counts()
+    got = dict(zip(out["k"], out["n"]))
+    assert got == exp.to_dict()
+    assert len(out) == len(exp)  # one row per key → never split
