@@ -222,6 +222,8 @@ def _join_verify(ds, cand_ds, key: str, text_col: str, shingle_n: int,
     pair id, scoring the two endpoint texts. The driver only ever sees
     the scored pair list.
     """
+    from ..shuffle import coarse_partition_apply
+
     def ends(df: pd.DataFrame) -> pd.DataFrame:
         pid = df["key_a"].astype(str) + "\x1f" + df["key_b"].astype(str)
         return pd.DataFrame({
@@ -238,27 +240,38 @@ def _join_verify(ds, cand_ds, key: str, text_col: str, shingle_n: int,
             .union(ds.map_batches(corpus_rows, batch_format="pandas")))
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
-        txt = g.loc[g["pid"].isna(), text_col]
-        e = g[g["pid"].notna()]
-        if len(e) == 0 or len(txt) == 0:
-            return pd.DataFrame({"pid": [], key: [], text_col: []})
-        return pd.DataFrame({"pid": e["pid"], key: e[key],
-                             text_col: txt.iloc[0]})
+        # vectorized hash join inside the coarse partition: endpoint
+        # rows pick up their doc's text
+        txt = g.loc[g["pid"].isna(), [key, text_col]]
+        e = g.loc[g["pid"].notna(), [key, "pid"]]
+        return e.merge(txt, on=key, how="inner")
 
-    def score(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) != 2:
-            return pd.DataFrame({"key_a": [], "key_b": [], "jaccard": []})
-        a, b = g["pid"].iloc[0].split("\x1f", 1)
-        texts = {str(k): t for k, t in zip(g[key].astype(str), g[text_col])}
-        j = jaccard(_shingles(texts[a], shingle_n),
-                    _shingles(texts[b], shingle_n))
-        ka, kb = sorted(g[key].tolist())
-        return pd.DataFrame({"key_a": [ka], "key_b": [kb],
-                             "jaccard": [round(j, round_to)]})
+    def score_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # both endpoints of a pair are co-located; the per-pair shingle
+        # comparison IS the verification compute (not dispatch overhead)
+        rows_a, rows_b, rows_j = [], [], []
+        g = g.sort_values("pid", kind="mergesort")
+        pids = g["pid"].to_numpy()
+        keys_ = g[key].to_numpy()
+        texts_ = g[text_col].to_numpy()
+        i, n = 0, len(g)
+        while i + 1 < n:
+            if pids[i] != pids[i + 1]:
+                i += 1
+                continue
+            sh_a = _shingles(str(texts_[i]), shingle_n)
+            sh_b = _shingles(str(texts_[i + 1]), shingle_n)
+            ka, kb = sorted((keys_[i], keys_[i + 1]))
+            rows_a.append(ka)
+            rows_b.append(kb)
+            rows_j.append(round(jaccard(sh_a, sh_b), round_to))
+            i += 2
+        return pd.DataFrame({"key_a": rows_a, "key_b": rows_b,
+                             "jaccard": rows_j})
 
-    return (both.groupby(key).map_groups(attach, batch_format="pandas")
-            .groupby("pid").map_groups(score, batch_format="pandas")
-            .to_pandas())
+    attached = coarse_partition_apply(both, key, attach)
+    return coarse_partition_apply(attached, "pid",
+                                  score_partition).to_pandas()
 
 
 def minhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
@@ -529,6 +542,8 @@ def dup_clusters_distributed(pairs, key_a: str = "key_a",
         parts = lbl_ds.map_batches(part, batch_format="pandas").to_pandas()
         return int(parts["c"].sum())
 
+    from ..shuffle import coarse_partition_apply
+
     prev = checksum(labels)
     for _ in range(max_rounds):
         ends = pairs.map_batches(
@@ -541,21 +556,20 @@ def dup_clusters_distributed(pairs, key_a: str = "key_a",
             lambda df: df.assign(eid=None), batch_format="pandas")
 
         def attach(g: pd.DataFrame) -> pd.DataFrame:
-            lbl = g.loc[g["eid"].isna(), "label"]
-            v = lbl.iloc[0] if len(lbl) else g["node"].iloc[0]
-            e = g[g["eid"].notna()]
-            return pd.DataFrame({"eid": e["eid"], "node": e["node"],
-                                 "label": v})
+            # vectorized within the coarse partition: endpoint rows
+            # pick up their node's current label via a pandas merge
+            lab = g.loc[g["eid"].isna(), ["node", "label"]]
+            e = g.loc[g["eid"].notna(), ["node", "eid"]]
+            return e.merge(lab, on="node", how="inner")
 
-        end_labels = (ends.union(lab_rows).groupby("node")
-                      .map_groups(attach, batch_format="pandas"))
+        end_labels = coarse_partition_apply(ends.union(lab_rows),
+                                            "node", attach)
 
         def edge_min(g: pd.DataFrame) -> pd.DataFrame:
-            m = g["label"].min()
+            m = g.groupby("eid", sort=False)["label"].transform("min")
             return pd.DataFrame({"node": g["node"], "label": m})
 
-        msgs = (end_labels.groupby("eid")
-                .map_groups(edge_min, batch_format="pandas"))
+        msgs = coarse_partition_apply(end_labels, "eid", edge_min)
         labels = (msgs.union(labels.select_columns(["node", "label"]))
                   .groupby("node")
                   .aggregate(Min("label", alias_name="label")))
