@@ -271,7 +271,7 @@ def test_kv_vector_hypothesis_equivalence():
     p = build_parser({"name": "h", "format": "logfmt",
                       "types": {"code": "integer", "dur": "float"}})
 
-    @settings(max_examples=120, deadline=None)
+    @settings(max_examples=120, deadline=None, derandomize=True)
     @given(st.lists(line, min_size=1, max_size=8))
     def check(lines):
         dv, _ = _dict_path_fields(p, lines, ("code",))
@@ -293,7 +293,7 @@ def test_ltsv_vector_hypothesis_equivalence():
     p = build_parser({"name": "h", "format": "ltsv",
                       "types": {"code": "integer", "dur": "float"}})
 
-    @settings(max_examples=120, deadline=None)
+    @settings(max_examples=120, deadline=None, derandomize=True)
     @given(st.lists(line, min_size=1, max_size=8))
     def check(lines):
         dv, _ = _dict_path_fields(p, lines, ("code",))

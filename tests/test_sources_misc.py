@@ -58,7 +58,7 @@ _VAL = st.text(alphabet=st.characters(blacklist_characters='\\"\t\n\r=',
                max_size=12)
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50, deadline=None, derandomize=True)
 @given(st.dictionaries(_KEY, _VAL, min_size=1, max_size=6))
 def test_logfmt_roundtrip_property(d):
     line = " ".join(f'{k}="{v}"' for k, v in d.items())
@@ -66,7 +66,7 @@ def test_logfmt_roundtrip_property(d):
     assert maps[0] == d
 
 
-@settings(max_examples=50, deadline=None)
+@settings(max_examples=50, deadline=None, derandomize=True)
 @given(st.dictionaries(_KEY, _VAL.filter(lambda s: ":" not in s),
                        min_size=1, max_size=6))
 def test_ltsv_roundtrip_property(d):

@@ -343,7 +343,7 @@ def test_expression_hypothesis_vs_pandas():
             return {"+": a_ + b_, "-": a_ - b_, "*": a_ * b_,
                     "/": a_ / b_, "%": a_ % b_}[o]
 
-    @settings(max_examples=150, deadline=None)
+    @settings(max_examples=150, deadline=None, derandomize=True)
     @given(expr())
     def check(e):
         tree = parse_expression(e)
