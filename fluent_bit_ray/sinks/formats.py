@@ -295,6 +295,67 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
             t = ts[i]
             epoch = int(t.timestamp()) if hasattr(t, "timestamp") else ""
             out.append(f"{epoch} {v}")
+    elif fmt == "gelf":
+        # out_gelf: GELF 1.1 JSON per record — version/host/
+        # short_message/timestamp mandatory, every other key prefixed
+        # with "_" (reference plugins/out_gelf/gelf.c:49-70 spec note)
+        tags = cols.get("tag", [None] * n)
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            rec = {"version": "1.1",
+                   "host": str(m.pop("host", tags[i] or "engine")),
+                   "short_message": str(m.pop("text",
+                                              m.pop("message",
+                                                    m.pop("msg", "")))),
+                   "timestamp": (t.timestamp()
+                                 if hasattr(t, "timestamp") else 0.0)}
+            for k, v in m.items():
+                rec["_" + str(k)] = v
+            out.append(_dumps(rec))
+    elif fmt == "influx":
+        # out_influxdb line protocol: measurement(=tag),seq tag,
+        # field set, nanosecond timestamp (reference
+        # plugins/out_influxdb/influxdb.c:64-160; sequence tag
+        # "_seq" rolls per flush — here per batch, deterministic)
+        tags = cols.get("tag", [None] * n)
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            fields = []
+            for k, v in m.items():
+                ks = str(k).replace(" ", "\\ ").replace(",", "\\,") \
+                    .replace("=", "\\=")
+                if isinstance(v, bool):
+                    fields.append(f"{ks}={'true' if v else 'false'}")
+                elif isinstance(v, (int, float)) and v is not None:
+                    fields.append(f"{ks}={v}")
+                elif v is not None:
+                    vs = str(v).replace("\\", "\\\\").replace('"', '\\"')
+                    fields.append(f'{ks}="{vs}"')
+            t = ts[i]
+            ns = (int(t.timestamp() * 1e9)
+                  if hasattr(t, "timestamp") else 0)
+            meas = str(tags[i] or "records").replace(" ", "\\ ") \
+                .replace(",", "\\,")
+            out.append(f"{meas},_seq={i + 1} {','.join(fields)} {ns}")
+    elif fmt == "loki":
+        # out_loki push payload: one JSON per batch — streams grouped
+        # by tag, values = [ns_timestamp_string, record_json]
+        # (reference plugins/out_loki/loki.c:289-320 pack_labels +
+        # payload shape)
+        tags = cols.get("tag", [None] * n)
+        streams: dict = {}
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            ns = (int(t.timestamp() * 1e9)
+                  if hasattr(t, "timestamp") else 0)
+            streams.setdefault(str(tags[i] or "records"), []).append(
+                [str(ns), _dumps(m)])
+        payload = {"streams": [
+            {"stream": {"tag": tg}, "values": vals}
+            for tg, vals in sorted(streams.items())]}
+        out.append(_dumps(payload))
     elif fmt == "es_bulk":
         for i in range(n):
             m = _row_map(b, i, cols)

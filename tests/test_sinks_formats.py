@@ -160,3 +160,39 @@ def test_plain_format():
     recs = [json.loads(ln) for ln in lines]
     assert "date" not in recs[0]          # no timestamp wrapper
     assert recs[0]["conv_id"] == "c1" and recs[0]["level"] == "info"
+
+
+def test_gelf_format():
+    lines = format_batch(sample_batch(), fmt="gelf")
+    recs = [json.loads(ln) for ln in lines]
+    assert recs[0]["version"] == "1.1"
+    assert recs[0]["short_message"] == "hello"     # text promoted
+    assert recs[0]["timestamp"] == 1448403340.0
+    assert recs[0]["_conv_id"] == "c1"             # extras underscored
+    assert recs[0]["_level"] == "info"
+    assert "text" not in recs[0] and "conv_id" not in recs[0]
+
+
+def test_influx_line_protocol():
+    lines = format_batch(sample_batch(), fmt="influx")
+    assert len(lines) == 2
+    meas, rest = lines[0].split(",", 1)
+    assert meas == "transcript.user"
+    assert rest.startswith("_seq=1 ")
+    assert 'conv_id="c1"' in lines[0]
+    assert lines[0].endswith(" 1448403340000000000")
+    # turn_idx is numeric → unquoted field
+    assert "turn_idx=0" in lines[0]
+    # comma/quote-containing text is escaped into a quoted field
+    assert 'text="wo,r\\"ld"' in lines[1]
+
+
+def test_loki_payload():
+    lines = format_batch(sample_batch(), fmt="loki")
+    assert len(lines) == 1                        # one payload per batch
+    p = json.loads(lines[0])
+    tags = [s["stream"]["tag"] for s in p["streams"]]
+    assert tags == ["transcript.tool", "transcript.user"]
+    v = p["streams"][1]["values"][0]
+    assert v[0] == "1448403340000000000"
+    assert json.loads(v[1])["conv_id"] == "c1"
