@@ -356,6 +356,36 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
             {"stream": {"tag": tg}, "values": vals}
             for tg, vals in sorted(streams.items())]}
         out.append(_dumps(payload))
+    elif fmt == "splunk":
+        # out_splunk HEC envelope: {"time": epoch_double,
+        # "event": {record}} per line (reference
+        # plugins/out_splunk/splunk.c:56-100 pack_map/pack_event_key)
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            out.append(_dumps({
+                "time": (t.timestamp()
+                         if hasattr(t, "timestamp") else 0.0),
+                "event": m}))
+    elif fmt == "syslog5424":
+        # out_syslog RFC5424 line:
+        # <PRI>1 TIMESTAMP HOSTNAME APPNAME PROCID MSGID - MSG
+        # (reference plugins/out_syslog/syslog.c:156-230; severity
+        # from the record's level, facility 16 = local0)
+        sev = {"emerg": 0, "alert": 1, "crit": 2, "error": 3, "err": 3,
+               "warn": 4, "warning": 4, "notice": 5, "info": 6,
+               "debug": 7}
+        tags = cols.get("tag", [None] * n)
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            stamp = (t.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+                     if hasattr(t, "strftime") else "-")
+            pri = 16 * 8 + sev.get(str(m.get("level", "")).lower(), 6)
+            host = str(m.get("host", tags[i] or "-"))
+            app = str(tags[i] or "-").split(".")[0] or "-"
+            msg = str(m.get("text", m.get("message", m.get("msg", ""))))
+            out.append(f"<{pri}>1 {stamp} {host} {app} - - - {msg}")
     elif fmt == "es_bulk":
         for i in range(n):
             m = _row_map(b, i, cols)

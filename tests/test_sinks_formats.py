@@ -196,3 +196,21 @@ def test_loki_payload():
     v = p["streams"][1]["values"][0]
     assert v[0] == "1448403340000000000"
     assert json.loads(v[1])["conv_id"] == "c1"
+
+
+def test_splunk_hec_format():
+    lines = format_batch(sample_batch(), fmt="splunk")
+    recs = [json.loads(ln) for ln in lines]
+    assert recs[0]["time"] == 1448403340.0
+    assert recs[0]["event"]["conv_id"] == "c1"
+    assert recs[0]["event"]["level"] == "info"
+
+
+def test_syslog5424_format():
+    lines = format_batch(sample_batch(), fmt="syslog5424")
+    # level=info → PRI 16*8+6 = 134; RFC5424 header shape
+    assert lines[0].startswith("<134>1 2015-11-24T22:15:40.000Z ")
+    assert " transcript - - - hello" in lines[0]
+    # row 2 has no level key → default severity info
+    assert lines[1].startswith("<134>1 ")
+    assert lines[1].endswith('wo,r"ld')
