@@ -183,10 +183,11 @@ def apply_decoders(fields: dict, decoders: list[tuple]) -> dict:
                 is_decoded_as = True
             else:  # decode_field
                 is_decoded = True
-                if is_obj:
-                    out_obj = decoded
-                # string result → "string type is not allowed" for
-                # extra keys; nothing merged
+                # The reference overwrites out_sds/out_type on EVERY
+                # decode_field success (decoder.c:505-511): a trailing
+                # string result means nothing is merged, even if an
+                # earlier rule captured an object.
+                out_obj = decoded if is_obj else None
             if rule_action == "do_next":
                 continue
             break

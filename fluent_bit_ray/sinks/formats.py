@@ -112,7 +112,27 @@ def _mu(d: bytes, p: int):
         w = 2 << (b - 0xDE)
         n = int.from_bytes(d[p:p + w], "big")
         return _mu_map(d, p + w, n)
+    if 0xD4 <= b <= 0xD8:  # fixext 1/2/4/8/16
+        n = 1 << (b - 0xD4)
+        return _mu_ext(d, p, n)
+    if b in (0xC7, 0xC8, 0xC9):  # ext 8/16/32
+        w = 1 << (b - 0xC7)
+        n = int.from_bytes(d[p:p + w], "big")
+        return _mu_ext(d, p + w, n)
     raise ValueError(f"unsupported msgpack byte 0x{b:02x} at {p - 1}")
+
+
+def _mu_ext(d: bytes, p: int, n: int):
+    """Ext family decode. Type 0 with 8 payload bytes is fluent-bit /
+    fluentd EventTime (fw_prot.c: big-endian seconds + nanoseconds) →
+    epoch float; other ext types come back as (type, raw bytes)."""
+    typ = struct.unpack_from(">b", d, p)[0]
+    p += 1
+    payload = bytes(d[p:p + n])
+    if typ == 0 and n == 8:
+        sec, nsec = struct.unpack(">II", payload)
+        return sec + nsec / 1e9, p + n
+    return (typ, payload), p + n
 
 
 def _mu_seq(d: bytes, p: int, n: int):
@@ -147,9 +167,11 @@ def _mp(o, out: bytearray) -> None:
         elif 0 <= o <= 0xFFFFFFFFFFFFFFFF:
             out.append(0xCF)
             out += struct.pack(">Q", o)
-        else:
+        elif -(1 << 63) <= o < 0:
             out.append(0xD3)
             out += struct.pack(">q", o)
+        else:  # bignum outside msgpack's 64-bit range: degrade to str
+            _mp(str(o), out)
     elif isinstance(o, float):
         out.append(0xCB)
         out += struct.pack(">d", o)
@@ -235,7 +257,8 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
                  csv_columns: list[str] | None = None,
                  es_index_prefix: str = "logstash",
                  es_generate_id: bool = False,
-                 date_format: str = "default") -> list[str]:
+                 date_format: str = "default",
+                 fmt_opts: dict | None = None) -> list[str]:
     cols = {c: b.column(c).to_pylist() for c in b.column_names}
     n = b.num_rows
     ts = cols.get("ts", [None] * n)
@@ -303,11 +326,17 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
         for i in range(n):
             m = _row_map(b, i, cols)
             t = ts[i]
+            # Pick the FIRST present short_message key only; the others
+            # stay in m and are emitted below as _-prefixed additional
+            # fields (gelf.c keeps non-short_message keys).
+            short = ""
+            for k in ("text", "message", "msg"):
+                if k in m:
+                    short = m.pop(k)
+                    break
             rec = {"version": "1.1",
                    "host": str(m.pop("host", tags[i] or "engine")),
-                   "short_message": str(m.pop("text",
-                                              m.pop("message",
-                                                    m.pop("msg", "")))),
+                   "short_message": str(short),
                    "timestamp": (t.timestamp()
                                  if hasattr(t, "timestamp") else 0.0)}
             for k, v in m.items():
@@ -386,6 +415,127 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
             app = str(tags[i] or "-").split(".")[0] or "-"
             msg = str(m.get("text", m.get("message", m.get("msg", ""))))
             out.append(f"<{pri}>1 {stamp} {host} {app} - - - {msg}")
+    elif fmt == "datadog":
+        # out_datadog: one JSON array per batch; each record gets
+        # "timestamp" in epoch MILLISECONDS (datadog.c:50-63
+        # timestamp_format, rounded), optional tag under tag_key,
+        # dd_source→"ddsource", dd_service→"service", the configured
+        # message key renamed to "message" (datadog.c:234-243), and
+        # container/ECS attrs REMAPPED out of the attr map into the
+        # comma-joined "ddtags" string (datadog_remap.c:162-169 table:
+        # container_id, container_name [leading / stripped],
+        # container_image, ecs_cluster [after "cluster/"],
+        # ecs_task_definition [family:revision], ecs_task_arn [after
+        # "task/" → task_arn]), concatenated before ctx->dd_tags.
+        dd = fmt_opts or {}
+        tags = cols.get("tag", [None] * n)
+        recs = []
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            ms = (round(t.timestamp() * 1000)
+                  if hasattr(t, "timestamp") else 0)
+            rec = {dd.get("json_date_key", "timestamp"): ms}
+            if dd.get("include_tag_key"):
+                rec[dd.get("tag_key", "tag")] = tags[i] or ""
+            if dd.get("dd_source"):
+                rec["ddsource"] = dd["dd_source"]
+            if dd.get("dd_service"):
+                rec["service"] = dd["dd_service"]
+            remapped = []
+            msg_key = dd.get("dd_message_key")
+            for k, v in m.items():
+                if dd.get("remap") and isinstance(v, str) and v:
+                    if k == "container_id":
+                        remapped.append(f"container_id:{v}")
+                        continue
+                    if k == "container_name":
+                        remapped.append("container_name:" + v.lstrip("/"))
+                        continue
+                    if k == "container_image":
+                        remapped.append(f"container_image:{v}")
+                        continue
+                    if k == "ecs_cluster":
+                        _, _, name = v.rpartition("cluster/")
+                        remapped.append(f"cluster_name:{name}")
+                        continue
+                    if k == "ecs_task_definition":
+                        remapped.append(f"ecs_task_definition:{v}")
+                        continue
+                    if k == "ecs_task_arn":
+                        _, _, arn = v.rpartition("task/")
+                        remapped.append(f"task_arn:{arn}")
+                        continue
+                rec["message" if (msg_key and k == msg_key) else k] = v
+            all_tags = ",".join(remapped)
+            if dd.get("dd_tags"):
+                all_tags = (all_tags + "," + dd["dd_tags"]) if all_tags \
+                    else dd["dd_tags"]
+            if all_tags:
+                rec["ddtags"] = all_tags
+            recs.append(rec)
+        out.append(_dumps(recs))
+    elif fmt == "stackdriver":
+        # out_stackdriver: one LogEntry-batch JSON per batch —
+        # {"resource": {type, labels}, "entries": [{severity?,
+        # jsonPayload, logName: "projects/<proj>/logs/<tag>",
+        # timestamp: RFC3339}]} (stackdriver.c:1455-1460 root map,
+        # :1732-1736 entry shape, :1838 severity, :1941 logName).
+        sd = fmt_opts or {}
+        proj = sd.get("project_id", "project")
+        sev_map = {"emerg": "EMERGENCY", "alert": "ALERT",
+                   "crit": "CRITICAL", "critical": "CRITICAL",
+                   "error": "ERROR", "err": "ERROR", "warn": "WARNING",
+                   "warning": "WARNING", "notice": "NOTICE",
+                   "info": "INFO", "debug": "DEBUG"}
+        tags = cols.get("tag", [None] * n)
+        entries = []
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            entry: dict = {}
+            lvl = str(m.get(sd.get("severity_key", "level"), "")).lower()
+            if lvl in sev_map:
+                entry["severity"] = sev_map[lvl]
+            entry["jsonPayload"] = m
+            entry["logName"] = f"projects/{proj}/logs/{tags[i] or 'fb'}"
+            entry["timestamp"] = (
+                t.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+                if hasattr(t, "strftime") else "1970-01-01T00:00:00Z")
+            entries.append(entry)
+        out.append(_dumps({
+            "resource": {"type": sd.get("resource", "global"),
+                         "labels": sd.get("labels", {})},
+            "entries": entries}))
+    elif fmt == "cloudwatch":
+        # out_cloudwatch_logs PutLogEvents payload per batch:
+        # {"logGroupName", "logStreamName", "logEvents": [{"timestamp":
+        # epoch_ms, "message": record-json}]} with events SORTED by
+        # timestamp (cloudwatch_api.c:200-246 init_put_payload,
+        # :494-495 qsort compare_events).
+        cw = fmt_opts or {}
+        events = []
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            ms = (round(t.timestamp() * 1000)
+                  if hasattr(t, "timestamp") else 0)
+            events.append({"timestamp": ms, "message": _dumps(m)})
+        events.sort(key=lambda e: e["timestamp"])
+        out.append(_dumps({
+            "logGroupName": cw.get("log_group", "fluent-bit"),
+            "logStreamName": cw.get("log_stream", "default"),
+            "logEvents": events}))
+    elif fmt == "msgpack_debug":
+        # out_stdout default (msgpack) format: human-readable
+        # "[idx] tag: [epoch, {map json}]" per record, the
+        # flb_pack_print rendering stdout.c:54-79 falls back to.
+        tags = cols.get("tag", [None] * n)
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            epoch = (t.timestamp() if hasattr(t, "timestamp") else 0.0)
+            out.append(f"[{i}] {tags[i] or ''}: [{epoch:.9f}, {_dumps(m)}]")
     elif fmt == "es_bulk":
         for i in range(n):
             m = _row_map(b, i, cols)

@@ -301,3 +301,24 @@ def test_ltsv_vector_hypothesis_equivalence():
         assert vv == dv
 
     check()
+
+
+def test_decode_field_trailing_string_suppresses_merge():
+    # The reference overwrites out_sds/out_type on EVERY decode_field
+    # success (decoder.c:505-511): if the LAST successful decode_field
+    # yields a string, nothing is merged — even when an earlier rule in
+    # the chain captured an object.
+    # Rule 2 carries NO action: it is not subject to the
+    # decode_field+do_next skip (decoder.c:408-412) and runs after the
+    # json rule already captured an object.
+    f = {"log": '{"a":1}'}
+    apply_decoders(f, [("decode_field", "log", "json", "do_next"),
+                       ("decode_field", "log", "escaped")])
+    # json → object, then escaped → string: string wins, no merge
+    assert f == {"log": '{"a":1}'}
+    # object-last still merges (escaped succeeds with a string, do_next
+    # carries on, json then overwrites with the object)
+    f2 = {"log": '{"a":1}'}
+    apply_decoders(f2, [("decode_field", "log", "escaped", "do_next"),
+                        ("decode_field", "log", "json")])
+    assert f2 == {"log": '{"a":1}', "a": 1}

@@ -214,3 +214,107 @@ def test_syslog5424_format():
     # row 2 has no level key → default severity info
     assert lines[1].startswith("<134>1 ")
     assert lines[1].endswith('wo,r"ld')
+
+
+def test_gelf_first_key_only():
+    # A record with text AND message/msg: only the FIRST present key is
+    # promoted to short_message; the others survive as _-prefixed
+    # additional fields (out_gelf keeps non-short_message keys).
+    b = pa.table({
+        "text": pa.array(["primary"]),
+        "message": pa.array(["secondary"]),
+        "msg": pa.array(["tertiary"]),
+        "ts": pa.array([1448403340_000000000], type=pa.timestamp("ns")),
+    })
+    rec = json.loads(format_batch(b, fmt="gelf")[0])
+    assert rec["short_message"] == "primary"
+    assert rec["_message"] == "secondary"
+    assert rec["_msg"] == "tertiary"
+
+
+def test_datadog_format():
+    opts = {"dd_source": "ray", "dd_service": "svc", "dd_tags": "env:dev",
+            "dd_message_key": "text", "include_tag_key": True,
+            "tag_key": "fb_tag", "remap": True}
+    b = pa.table({
+        "text": pa.array(["hello"]),
+        "container_name": pa.array(["/web-1"]),
+        "ecs_cluster": pa.array(["arn:aws:ecs:us-east-1:1:cluster/prod"]),
+        "ecs_task_arn": pa.array(["arn:aws:ecs:us-east-1:1:task/abc123"]),
+        "ts": pa.array([1448403340_500000000], type=pa.timestamp("ns")),
+        "tag": pa.array(["transcript.user"]),
+    })
+    lines = format_batch(b, fmt="datadog", fmt_opts=opts)
+    assert len(lines) == 1                      # one JSON array per batch
+    recs = json.loads(lines[0])
+    r = recs[0]
+    assert r["timestamp"] == 1448403340500      # epoch ms, rounded
+    assert r["ddsource"] == "ray" and r["service"] == "svc"
+    assert r["fb_tag"] == "transcript.user"
+    assert r["message"] == "hello" and "text" not in r
+    # remapped attrs leave the map and join ddtags before dd_tags
+    assert "container_name" not in r and "ecs_cluster" not in r
+    assert r["ddtags"] == ("container_name:web-1,cluster_name:prod,"
+                           "task_arn:abc123,env:dev")
+
+
+def test_stackdriver_format():
+    lines = format_batch(sample_batch(), fmt="stackdriver",
+                         fmt_opts={"project_id": "proj",
+                                   "resource": "global"})
+    p = json.loads(lines[0])
+    assert p["resource"]["type"] == "global"
+    e = p["entries"][0]
+    assert e["severity"] == "INFO"              # level=info mapped
+    assert e["jsonPayload"]["conv_id"] == "c1"
+    assert e["logName"] == "projects/proj/logs/transcript.user"
+    assert e["timestamp"].startswith("2015-11-24T22:15:40")
+    assert "severity" not in p["entries"][1]    # no level key in row 2
+
+
+def test_cloudwatch_format():
+    lines = format_batch(sample_batch(), fmt="cloudwatch",
+                         fmt_opts={"log_group": "g", "log_stream": "s"})
+    p = json.loads(lines[0])
+    assert p["logGroupName"] == "g" and p["logStreamName"] == "s"
+    evs = p["logEvents"]
+    assert [e["timestamp"] for e in evs] == sorted(
+        e["timestamp"] for e in evs)            # sorted by ts
+    assert json.loads(evs[0]["message"])["conv_id"] == "c1"
+    assert evs[0]["timestamp"] == 1448403340000
+
+
+def test_msgpack_debug_format():
+    lines = format_batch(sample_batch(), fmt="msgpack_debug")
+    assert lines[0].startswith("[0] transcript.user: [1448403340.")
+    assert '"conv_id":"c1"' in lines[0]
+
+
+def test_msgpack_ext_decode():
+    # fluentd EventTime fixext8 type 0 (sec+nsec big-endian) → float;
+    # other ext types → (type, payload) instead of raising.
+    import struct as _s
+    from fluent_bit_ray.sinks.formats import msgpack_unpack_stream
+    ev = bytes([0xD7, 0x00]) + _s.pack(">II", 1448403340, 500000000)
+    body = ev + b"\x81\xa1k\xa1v"               # [EventTime, {"k":"v"}]
+    stream = b"\x92" + body
+    (rec,) = msgpack_unpack_stream(stream)
+    assert rec[0] == 1448403340.5
+    assert rec[1] == {"k": "v"}
+    # ext8 with a non-time type: opaque (type, bytes)
+    ext8 = bytes([0xC7, 0x03, 0x05]) + b"abc"
+    (obj,) = msgpack_unpack_stream(ext8)
+    assert obj == (5, b"abc")
+
+
+def test_msgpack_bignum_degrades_to_str():
+    from fluent_bit_ray.sinks.formats import (msgpack_pack,
+                                              msgpack_unpack_stream)
+    big = 2 ** 70
+    for v in (big, -big):
+        (out,) = msgpack_unpack_stream(msgpack_pack(v))
+        assert out == str(v)
+    # boundary values still round-trip as ints
+    for v in (2 ** 64 - 1, -(2 ** 63)):
+        (out,) = msgpack_unpack_stream(msgpack_pack(v))
+        assert out == v
