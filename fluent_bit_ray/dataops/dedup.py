@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import hashlib
 import itertools
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -153,21 +152,27 @@ class _MinhashBands:
             lo = hi
         return sigs
 
+    # FNV-style multiplier for the vectorized band-slice hash; any
+    # deterministic 64-bit mix works — band hashes are BUCKET ids only
+    # (the oracle compares raw signature slices; a collision just adds
+    # a candidate that exact verification prunes).
+    _BAND_MULT = np.uint64(1099511628211)
+
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         texts = df[self.text_col].astype(str).tolist()
         keys = df[self.key].to_numpy()
         sigs = self._signatures(texts)
         r, nb = self.rows_per_band, self.bands
         n = len(texts)
-        out_bh = np.empty(n * nb, dtype=np.int64)
-        for i in range(n):
-            row = sigs[i]
-            for bi in range(nb):
-                out_bh[i * nb + bi] = zlib.crc32(
-                    row[bi * r:(bi + 1) * r].tobytes())
+        # polynomial hash over each band's r signature values, all
+        # rows × bands at once (uint64 wraparound): h = ((v0*C+v1)*C..)
+        sl = sigs.reshape(n, nb, r)
+        h = np.zeros((n, nb), dtype=np.uint64)
+        for j in range(r):
+            h = h * self._BAND_MULT + sl[:, :, j]
         return pd.DataFrame({
             "band": np.tile(np.arange(nb, dtype=np.int64), n),
-            "bh": out_bh,
+            "bh": h.view(np.int64).reshape(-1),
             self.key: np.repeat(keys, nb),
         })
 
@@ -249,7 +254,7 @@ def _join_verify(ds, cand_ds, key: str, text_col: str, shingle_n: int,
     def score_partition(g: pd.DataFrame) -> pd.DataFrame:
         # both endpoints of a pair are co-located; the per-pair shingle
         # comparison IS the verification compute (not dispatch overhead)
-        rows_a, rows_b, rows_j = [], [], []
+        rows_a, rows_b, rows_i, rows_u = [], [], [], []
         g = g.sort_values("pid", kind="mergesort")
         pids = g["pid"].to_numpy()
         keys_ = g[key].to_numpy()
@@ -264,46 +269,77 @@ def _join_verify(ds, cand_ds, key: str, text_col: str, shingle_n: int,
             ka, kb = sorted((keys_[i], keys_[i + 1]))
             rows_a.append(ka)
             rows_b.append(kb)
-            rows_j.append(round(jaccard(sh_a, sh_b), round_to))
+            inter = len(sh_a & sh_b)
+            rows_i.append(inter)
+            rows_u.append(len(sh_a) + len(sh_b) - inter)
             i += 2
+        uni = np.asarray(rows_u, dtype=np.int64)
+        inter_a = np.asarray(rows_i, dtype=np.int64)
+        jac = np.round(np.where(uni > 0, inter_a / np.maximum(uni, 1), 1.0),
+                       round_to)
         return pd.DataFrame({"key_a": rows_a, "key_b": rows_b,
-                             "jaccard": rows_j})
+                             "inter": inter_a, "uni": uni,
+                             "jaccard": jac})
 
     attached = coarse_partition_apply(both, key, attach)
     return coarse_partition_apply(attached, "pid",
                                   score_partition).to_pandas()
 
 
+# Auto verify-path switch: above this many candidate pairs the
+# broadcast key-set/texts materialization stops being "small" and the
+# partitioned join exchange takes over. At 100 TB users run the
+# defaults, so the default must be the path that cannot OOM the driver.
+_VERIFY_JOIN_THRESHOLD = 200_000
+
+
+def _banded_candidates(ds, key, text_col, num_perm, bands, shingle_n):
+    """shingle → minhash → band → bucket-join candidate pair Dataset,
+    MATERIALIZED (it is the small LSH output; materializing lets the
+    auto verify switch count it without re-executing the pipeline)."""
+    banded = ds.map_batches(
+        _MinhashBands, fn_constructor_kwargs=dict(
+            key=key, text_col=text_col, num_perm=num_perm, bands=bands,
+            shingle_n=shingle_n),
+        batch_format="pandas", concurrency=(1, 8))
+    return _bucket_pairs(banded, key).materialize()
+
+
 def minhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, bands: int = 16,
                       shingle_n: int = 3, threshold: float = 0.7,
                       round_to: int = 6,
-                      verify: str = "broadcast") -> pd.DataFrame:
+                      verify: str = "auto") -> pd.DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified.
 
     Returns a small pandas frame (key_a, key_b, jaccard) sorted.
-    ``verify="broadcast"`` fetches only texts of candidate keys
-    (semi-join by broadcast key set) — fastest, assumes candidates ≪
-    corpus. ``verify="join"`` runs the verification as a partitioned
-    two-shuffle exchange (see ``_join_verify``) with no such
-    assumption — the 100 TB path when the candidate set is large.
+    ``verify``:
+    - "broadcast": fetch only texts of candidate keys (semi-join by
+      broadcast key set) — fastest when candidates ≪ corpus;
+    - "join": run the verification as a partitioned two-shuffle
+      exchange (see ``_join_verify``) — no smallness assumption, the
+      100 TB path for dirty corpora;
+    - "auto" (DEFAULT): count the materialized candidate Dataset and
+      pick — broadcast below ``_VERIFY_JOIN_THRESHOLD`` pairs, join
+      above. The candidate count is exactly the data the driver would
+      otherwise materialize, so the switch is measured, not guessed.
 
     Run ``exact_dedup`` FIRST on corpora with many byte-identical
     texts: every bucket of m identical docs otherwise yields m²/2
     candidate pairs (the hot-bucket cap truncates, but dropping exact
     dups up front is both faster and lossless).
     """
-    banded = ds.map_batches(
-        _MinhashBands, fn_constructor_kwargs=dict(
-            key=key, text_col=text_col, num_perm=num_perm, bands=bands,
-            shingle_n=shingle_n),
-        batch_format="pandas", concurrency=(1, 8))
-    cand_ds = _bucket_pairs(banded, key)
+    cand_ds = _banded_candidates(ds, key, text_col, num_perm, bands,
+                                 shingle_n)
+    if verify == "auto":
+        verify = ("join" if cand_ds.count() > _VERIFY_JOIN_THRESHOLD
+                  else "broadcast")
     if verify == "join":
         cand = _join_verify(ds, cand_ds, key, text_col, shingle_n, round_to)
         if len(cand) == 0:
             return pd.DataFrame({"key_a": [], "key_b": [], "jaccard": []})
-        out = cand[cand["jaccard"] >= threshold]
+        out = cand.loc[cand["jaccard"] >= threshold,
+                       ["key_a", "key_b", "jaccard"]]
         return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
 
     cand = cand_ds.to_pandas()
@@ -327,21 +363,39 @@ def minhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
 def minhash_dup_pair_counts(ds, key: str = "doc_id", text_col: str = "text",
                             num_perm: int = 64, bands: int = 16,
                             shingle_n: int = 3,
-                            threshold=(7, 10)) -> pd.DataFrame:
+                            threshold=(7, 10),
+                            verify: str = "auto") -> pd.DataFrame:
     """Like ``minhash_dup_pairs`` but fully exact-integer output:
     (key_a, key_b, inter, uni) shingle-set intersection/union sizes,
     kept when ``inter * threshold[1] >= uni * threshold[0]`` — integer
     arithmetic on both engine and oracle side, so there is no float
-    rounding asymmetry to reconcile."""
-    banded = ds.map_batches(
-        _MinhashBands, fn_constructor_kwargs=dict(
-            key=key, text_col=text_col, num_perm=num_perm, bands=bands,
-            shingle_n=shingle_n),
-        batch_format="pandas", concurrency=(1, 8))
-    cand = _bucket_pairs(banded, key).to_pandas()
+    rounding asymmetry to reconcile.
+
+    ``verify`` shares ``minhash_dup_pairs``' switch: "auto" (default)
+    measures the candidate count and uses the partitioned join
+    exchange above ``_VERIFY_JOIN_THRESHOLD`` — the driver never holds
+    the candidate frame on that path."""
+    cand_ds = _banded_candidates(ds, key, text_col, num_perm, bands,
+                                 shingle_n)
+    lo, hi = threshold
+    empty = pd.DataFrame({"key_a": pd.array([], dtype=object),
+                          "key_b": pd.array([], dtype=object),
+                          "inter": pd.array([], dtype="int64"),
+                          "uni": pd.array([], dtype="int64")})
+    if verify == "auto":
+        verify = ("join" if cand_ds.count() > _VERIFY_JOIN_THRESHOLD
+                  else "broadcast")
+    if verify == "join":
+        cand = _join_verify(ds, cand_ds, key, text_col, shingle_n, 6)
+        if len(cand) == 0:
+            return empty
+        out = cand.loc[cand["inter"] * hi >= cand["uni"] * lo,
+                       ["key_a", "key_b", "inter", "uni"]]
+        return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
+
+    cand = cand_ds.to_pandas()
     if len(cand) == 0:
-        return pd.DataFrame({"key_a": [], "key_b": [],
-                             "inter": [], "uni": []})
+        return empty
     need = set(cand["key_a"]) | set(cand["key_b"])
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
@@ -356,7 +410,6 @@ def minhash_dup_pair_counts(ds, key: str = "doc_id", text_col: str = "text",
            for x, y in zip(cand["key_a"], cand["key_b"])]
     cand["inter"] = pd.array(inter, dtype="int64")
     cand["uni"] = pd.array(uni, dtype="int64")
-    lo, hi = threshold
     out = cand[cand["inter"] * hi >= cand["uni"] * lo]
     out = out[["key_a", "key_b", "inter", "uni"]]
     return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
@@ -406,30 +459,63 @@ def simhash64(text: str) -> int:
 
 
 class _SimhashBatch:
-    """Actor-pool stage: text → simhash64, with a per-actor word→±1-vec
-    cache (the vocabulary is ≪ the token stream, so each distinct word
-    is md5-hashed once per actor, not once per occurrence)."""
+    """Actor-pool stage: text → simhash64, fully vectorized.
+
+    The batch's exploded token stream is factorized once
+    (``pd.factorize``); each DISTINCT word is md5-hashed once per actor
+    (uint64 cache — the vocabulary is ≪ the token stream), the
+    (vocab × 64) ±1 matrix is built in one numpy op, and every row's
+    64-lane accumulator falls out of a single ``np.add.reduceat`` over
+    the doc boundaries — no per-row or per-word Python in the hot loop.
+    """
+
+    _CHUNK_TOKENS = 1_000_000  # bounds the (tokens × 64) int8 gather
 
     def __init__(self, key: str, text_col: str):
         self.key = key
         self.text_col = text_col
-        self.cache: dict[str, np.ndarray] = {}
+        self.cache: dict[str, int] = {}  # word → uint64 md5 prefix
 
-    def _vec(self, w: str) -> np.ndarray:
-        v = self.cache.get(w)
-        if v is None:
-            v = _word_signvec(w)
-            self.cache[w] = v
-        return v
+    def _sig_block(self, toks: list[list[str]],
+                   counts: np.ndarray) -> np.ndarray:
+        """Signatures for docs whose token lists are in ``toks``
+        (all non-empty). Returns (len(toks),) uint64."""
+        flat = np.asarray(list(itertools.chain.from_iterable(toks)),
+                          dtype=object)
+        codes, uniques = pd.factorize(flat, sort=False)
+        hs = np.empty(len(uniques), dtype=np.uint64)
+        cache = self.cache
+        for i, w in enumerate(uniques):
+            v = cache.get(w)
+            if v is None:
+                v = int.from_bytes(
+                    hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+                cache[w] = v
+            hs[i] = v
+        bits = ((hs[:, None] >> _SHIFTS64[None, :]) & np.uint64(1))
+        pm = np.where(bits == 1, 1, -1).astype(np.int8)     # (vocab, 64)
+        tokmat = pm[codes]                                  # (tokens, 64)
+        bounds = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        acc = np.add.reduceat(tokmat, bounds, axis=0, dtype=np.int32)
+        return ((acc > 0).astype(np.uint64)
+                << _SHIFTS64[None, :]).sum(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = [t.split() for t in df[self.text_col].astype(str)]
+        counts = np.array([len(w) for w in toks], dtype=np.int64)
         out = np.zeros(len(df), dtype=np.uint64)
-        for r, t in enumerate(df[self.text_col].astype(str)):
-            words = t.split()
-            if not words:
-                continue
-            acc = np.sum([self._vec(w) for w in words], axis=0)
-            out[r] = ((acc > 0).astype(np.uint64) << _SHIFTS64).sum()
+        idx = np.nonzero(counts > 0)[0]
+        lo = 0
+        while lo < len(idx):  # chunk so the gather matrix stays bounded
+            hi, total = lo, 0
+            while hi < len(idx) and (hi == lo or total + counts[idx[hi]]
+                                     <= self._CHUNK_TOKENS):
+                total += counts[idx[hi]]
+                hi += 1
+            sel = idx[lo:hi]
+            out[sel] = self._sig_block([toks[i] for i in sel],
+                                       counts[sel])
+            lo = hi
         return pd.DataFrame({self.key: df[self.key],
                              "simhash": out.astype("int64")})
 
@@ -612,12 +698,34 @@ def dup_clusters(pairs: pd.DataFrame, key_a: str = "key_a",
                          "cluster_id": [find(k) for k in keys]})
 
 
-def dedup_keep_list(ds, pairs: pd.DataFrame, key: str = "doc_id"):
+# Above this many near-dup pairs the driver union-find gives way to
+# the min-label-propagation exchange (``dup_clusters_distributed``).
+_CLUSTER_DISTRIBUTED_THRESHOLD = 500_000
+
+
+def dedup_keep_list(ds, pairs, key: str = "doc_id"):
     """Keys to KEEP after near-dup removal: every key not in a cluster,
     plus each cluster's representative (min key). Returns a sorted
     pandas frame [key]. The non-pair side streams (anti-join by
-    broadcast drop-set)."""
-    clusters = dup_clusters(pairs)
+    broadcast drop-set; the drop-set is bounded by the pair count).
+
+    ``pairs`` may be a pandas frame or a Dataset. Clustering runs
+    driver-side (union-find) below ``_CLUSTER_DISTRIBUTED_THRESHOLD``
+    pairs and switches to ``dup_clusters_distributed`` (min-label
+    propagation via groupby exchanges) above it — the DEFAULT path is
+    scale-safe without the caller opting in.
+    """
+    if not isinstance(pairs, pd.DataFrame):
+        n_pairs = pairs.count()
+        if n_pairs > _CLUSTER_DISTRIBUTED_THRESHOLD:
+            clusters = dup_clusters_distributed(pairs)
+        else:
+            clusters = dup_clusters(pairs.to_pandas()) if n_pairs else \
+                pd.DataFrame({"key": [], "cluster_id": []})
+    elif len(pairs) > _CLUSTER_DISTRIBUTED_THRESHOLD:
+        clusters = dup_clusters_distributed(pairs)
+    else:
+        clusters = dup_clusters(pairs)
     drop = set(clusters.loc[clusters["key"] != clusters["cluster_id"], "key"])
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:

@@ -260,3 +260,79 @@ def test_audio_plumbing():
     real = DecodeAudioStage(fake=False)
     with pytest.raises(NotImplementedError):
         real._features(b"\x00" * 64, "wav")
+
+
+def test_minhash_counts_join_matches_broadcast_and_auto_routes(monkeypatch):
+    import fluent_bit_ray.dataops.dedup as dd
+    near = BASE.replace("lazy", "sleepy")
+    far = "completely different words entirely unrelated to anything else here"
+    ds = docs_ds([BASE, near, far, BASE, near + " extra"])
+    bc = dd.minhash_dup_pair_counts(ds, threshold=(3, 10), verify="broadcast")
+    jn = dd.minhash_dup_pair_counts(ds, threshold=(3, 10), verify="join")
+    assert bc[["key_a", "key_b", "inter", "uni"]].values.tolist() == \
+        jn[["key_a", "key_b", "inter", "uni"]].values.tolist()
+    assert len(bc) >= 2
+
+    # auto picks join above the threshold — and on that path the
+    # driver never materializes the candidate frame (to_pandas on the
+    # candidate Dataset would be the broadcast path's first step)
+    calls = {"join": 0}
+    real_join = dd._join_verify
+
+    def spy_join(*a, **kw):
+        calls["join"] += 1
+        return real_join(*a, **kw)
+
+    monkeypatch.setattr(dd, "_join_verify", spy_join)
+    monkeypatch.setattr(dd, "_VERIFY_JOIN_THRESHOLD", 0)
+    auto = dd.minhash_dup_pair_counts(ds, threshold=(3, 10))
+    assert calls["join"] == 1
+    assert auto[["key_a", "key_b", "inter", "uni"]].values.tolist() == \
+        bc[["key_a", "key_b", "inter", "uni"]].values.tolist()
+    # and below the threshold auto stays on broadcast
+    monkeypatch.setattr(dd, "_VERIFY_JOIN_THRESHOLD", 10 ** 9)
+    auto2 = dd.minhash_dup_pair_counts(ds, threshold=(3, 10))
+    assert calls["join"] == 1            # not called again
+    assert auto2.values.tolist() == bc.values.tolist()
+
+
+def test_keep_list_routes_distributed_above_threshold(monkeypatch):
+    import fluent_bit_ray.dataops.dedup as dd
+    pairs = pd.DataFrame({"key_a": [1, 2, 7], "key_b": [2, 3, 8]})
+    ds = docs_ds(["a"] * 10)
+    ref = dd.dedup_keep_list(ds, pairs)["doc_id"].tolist()
+
+    calls = {"uf": 0, "dist": 0}
+    real_uf, real_dist = dd.dup_clusters, dd.dup_clusters_distributed
+    monkeypatch.setattr(dd, "dup_clusters",
+                        lambda *a, **k: calls.__setitem__("uf", calls["uf"] + 1)
+                        or real_uf(*a, **k))
+    monkeypatch.setattr(dd, "dup_clusters_distributed",
+                        lambda *a, **k: calls.__setitem__(
+                            "dist", calls["dist"] + 1) or real_dist(*a, **k))
+
+    monkeypatch.setattr(dd, "_CLUSTER_DISTRIBUTED_THRESHOLD", 0)
+    got = dd.dedup_keep_list(ds, pairs)["doc_id"].tolist()
+    assert got == ref
+    assert calls == {"uf": 0, "dist": 1}  # driver union-find NOT called
+
+    # Dataset-typed pairs work on both sides of the switch
+    pairs_ds = rd.from_pandas(pairs)
+    got_ds = dd.dedup_keep_list(ds, pairs_ds)["doc_id"].tolist()
+    assert got_ds == ref
+    monkeypatch.setattr(dd, "_CLUSTER_DISTRIBUTED_THRESHOLD", 10 ** 9)
+    got_small = dd.dedup_keep_list(ds, rd.from_pandas(pairs))["doc_id"].tolist()
+    assert got_small == ref
+    assert calls["uf"] >= 1
+
+
+def test_simhash_vectorized_chunked_matches_reference(monkeypatch):
+    from fluent_bit_ray.dataops.dedup import _SimhashBatch
+    texts = [BASE, "", "one", BASE.replace("lazy", "sleepy"),
+             "x " * 50 + "tail", "unicode žluťoučký kůň"]
+    stage = _SimhashBatch(key="doc_id", text_col="text")
+    monkeypatch.setattr(_SimhashBatch, "_CHUNK_TOKENS", 7)  # force chunking
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = stage(df)
+    expect = [int(np.uint64(simhash64(t)).astype("int64")) for t in texts]
+    assert out["simhash"].tolist() == expect

@@ -48,7 +48,7 @@ def to_pandas(obj) -> pd.DataFrame:
     return obj
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -69,6 +69,8 @@ def main(sf_dir: str) -> int:
     oracles = e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             got = normalize(to_pandas(fn(sf_dir)))
         except Exception as ex:
@@ -108,4 +110,5 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(1 if main(sf) else 0)
+    names = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    sys.exit(1 if main(sf, names) else 0)
