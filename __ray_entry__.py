@@ -60,6 +60,16 @@ def _transcripts_cte(sf_dir: str) -> str:
             f"FROM read_parquet('{_tpath(sf_dir)}/*.parquet')")
 
 
+# Multiline continuation parsers (tail_multiline.c mult_parsers): the
+# SAME RE2-compatible patterns drive the engine's RegexParsers and the
+# DuckDB oracle's regexp_extract, so both sides parse identical fields.
+_ML_LOGFMT_PAT = (r'^level=(?P<level>\w+) msg="(?P<msg>[^"]*)" '
+                  r'tool=(?P<tool>\w+) dur=(?P<dur>[\d.]+) '
+                  r'code=(?P<code>\d+)$')
+_ML_LTSV_PAT = ('^level:(?P<level>\\w+)\tcode:(?P<code>\\d+)\t'
+                'msg:(?P<msg>[^\t]*)\tdur:(?P<dur>[\\d.]+)$')
+
+
 # --------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[str], Any]]:
     import numpy as np
@@ -466,6 +476,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["conv_id", "first_turn", "n_parts", "text"]]
         return out.sort_values(["conv_id", "first_turn"]).reset_index(drop=True)
 
+    def multiline_parsed(sf_dir: str):
+        """Multiline with CONTINUATION PARSERS (tail_multiline.c:41
+        ``mult_parsers``, :336-353 first-success loop, :436-512 flush
+        merge): logfmt/ltsv continuation lines are parsed and their
+        fields merged into the open segment's map (later lines
+        overwrite), leaving the text join; free-text lines still
+        append. Exposes merged level/msg/tool/code_s for the oracle."""
+        from fluent_bit_ray.parsers.core import RegexParser
+        from fluent_bit_ray.record import fields_loads
+        from fluent_bit_ray.stages import build_stage
+
+        lf = RegexParser("cont_logfmt", _ML_LOGFMT_PAT)
+        lt = RegexParser("cont_ltsv", _ML_LTSV_PAT)
+        st = build_stage({"type": "multiline", "firstline": FIRSTLINE,
+                          "cont_parsers": [lf, lt]})
+        out = st.apply(read_transcripts(sf_dir)).to_pandas()
+        fj = out["fields"].map(fields_loads)
+        for col, k in (("level", "level"), ("msg", "msg"),
+                       ("tool", "tool"), ("code_s", "code")):
+            out[col] = fj.map(lambda d, k=k: d.get(k, ""))
+        out["first_turn"] = out["first_turn"].astype("int64")
+        out["n_parts"] = out["n_parts"].astype("int64")
+        out = out[["conv_id", "first_turn", "n_parts", "text",
+                   "level", "msg", "tool", "code_s"]]
+        return out.sort_values(["conv_id", "first_turn"]).reset_index(drop=True)
+
     # ---------------- SP SQL subset (tumbling count per role)
     def sp_count_window(sf_dir: str):
         from fluent_bit_ray.sp import sp_execute
@@ -637,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ua_browser_counts": ua_browser_counts,
         "multiline_segments": multiline_segments,
         "multiline_segments_gap": multiline_segments_gap,
+        "multiline_parsed": multiline_parsed,
         "sp_count_window": sp_count_window,
         "sp_hopping": sp_hopping,
         "sp_arith": sp_arith,
@@ -974,6 +1011,56 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(text, chr(10) ORDER BY turn_idx) AS text
             FROM runs2
             GROUP BY conv_id, run, CASE WHEN rf THEN NULL ELSE turn_idx END
+            ORDER BY conv_id, first_turn
+        """,
+        # multiline continuation parsers: same RE2 patterns as the
+        # engine's cont_parsers; parsed lines leave the text join and
+        # contribute fields (last parsed line wins per key; tool only
+        # exists in the logfmt grammar so the last logfmt line wins)
+        "multiline_parsed": f"""
+            WITH t AS ({t}),
+            seg AS (
+              SELECT conv_id, turn_idx, text,
+                     CASE WHEN regexp_matches(text, '^(\\d|\\{{|CALL )')
+                          THEN 1 ELSE 0 END AS is_first,
+                     sum(CASE WHEN regexp_matches(text, '^(\\d|\\{{|CALL )')
+                          THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx) AS run
+              FROM t),
+            p AS (
+              SELECT *,
+                CASE WHEN run >= 1 AND is_first = 0
+                          AND regexp_matches(text, '{_ML_LOGFMT_PAT}')
+                     THEN regexp_extract(text, '{_ML_LOGFMT_PAT}',
+                          ['level', 'msg', 'tool', 'dur', 'code']) END AS mlf,
+                CASE WHEN run >= 1 AND is_first = 0
+                          AND regexp_matches(text, '{_ML_LTSV_PAT}')
+                     THEN regexp_extract(text, '{_ML_LTSV_PAT}',
+                          ['level', 'code', 'msg', 'dur']) END AS mlt
+              FROM seg),
+            q AS (
+              SELECT conv_id, turn_idx, text, run,
+                CASE WHEN run = 0 THEN turn_idx END AS solo,
+                (is_first = 1 OR (mlf IS NULL AND mlt IS NULL)) AS keep_text,
+                coalesce(mlf.level, mlt.level) AS plevel,
+                coalesce(mlf.msg, mlt.msg) AS pmsg,
+                mlf.tool AS ptool,
+                coalesce(mlf.code, mlt.code) AS pcode
+              FROM p)
+            SELECT conv_id,
+                   min(turn_idx)::BIGINT AS first_turn,
+                   count(*)::BIGINT AS n_parts,
+                   string_agg(text, chr(10) ORDER BY turn_idx)
+                     FILTER (WHERE keep_text) AS text,
+                   coalesce(max_by(plevel, turn_idx)
+                     FILTER (WHERE plevel IS NOT NULL), '') AS level,
+                   coalesce(max_by(pmsg, turn_idx)
+                     FILTER (WHERE pmsg IS NOT NULL), '') AS msg,
+                   coalesce(max_by(ptool, turn_idx)
+                     FILTER (WHERE ptool IS NOT NULL), '') AS tool,
+                   coalesce(max_by(pcode, turn_idx)
+                     FILTER (WHERE pcode IS NOT NULL), '') AS code_s
+            FROM q GROUP BY conv_id, run, solo
             ORDER BY conv_id, first_turn
         """,
         "sp_count_window": f"""

@@ -21,7 +21,35 @@ import re
 
 import pandas as pd
 
+from ..record import fields_dumps
 from .base import Stage, register
+
+
+def _chain_parse(texts, parsers):
+    """First-success parse of each text with the ordered parser list
+    (the reference's ``mult_parsers`` loop, tail_multiline.c:336-353:
+    first parser whose ``flb_parser_do`` succeeds wins). Returns an
+    object array of field dicts (None = no parser matched)."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = pa.array(list(texts), type=pa.string())
+    n = len(arr)
+    maps = np.full(n, None, dtype=object)
+    remaining = np.ones(n, dtype=bool)
+    for p in parsers:
+        if not remaining.any():
+            break
+        sub = np.nonzero(remaining)[0]
+        sub_arr = arr if len(sub) == n else arr.take(pa.array(sub))
+        sub_maps, _ = p.parse_column(sub_arr)
+        ma = np.fromiter(sub_maps, dtype=object, count=len(sub))
+        mhit = ma != None  # noqa: E711 — elementwise on object array
+        hits = sub[mhit]
+        if len(hits):
+            maps[hits] = ma[mhit]
+            remaining[hits] = False
+    return maps
 
 
 @register("multiline")
@@ -31,16 +59,42 @@ class MultilineStage(Stage):
     def __init__(self, firstline: str, key: str = "conv_id",
                  order_col: str = "turn_idx", text_col: str = "text",
                  joiner: str = "\n", flush_gap_s: float | None = None,
-                 ts_col: str = "ts", **kw):
+                 ts_col: str = "ts", firstline_parser=None,
+                 cont_parsers=None, **kw):
         """``flush_gap_s`` is the event-time analogue of the reference's
         ``Flush_MS`` timeout (tail_multiline.c:56-75): an event-time gap
         > flush_gap_s between consecutive rows CLOSES the open buffer,
         so a continuation line arriving after the gap has no open
         buffer and is emitted as-is — exactly what the processing-time
         timeout does to a quiet stream. None = no timeout (round-1
-        behavior: only the group boundary flushes)."""
+        behavior: only the group boundary flushes).
+
+        ``firstline_parser`` / ``cont_parsers`` mirror the reference's
+        multiline PARSER list (tail_multiline.c:41 ``mult_parsers``,
+        :73 firstline parser, :336-353 per-continuation-line
+        ``flb_parser_do`` first-success loop, :436-512 flush merge):
+
+        - the firstline's parsed fields seed the segment's field map;
+        - each continuation line is tried against ``cont_parsers`` in
+          order; the first success contributes its fields to the
+          segment's map (appended in line order — later same-named
+          keys overwrite, the flattened-dict reading of the
+          reference's duplicate msgpack keys) and the line is EXCLUDED
+          from the text join (the reference buffers the parsed map,
+          not the raw line);
+        - unparsed continuation lines join into ``text`` when the
+          firstline map's last value is a string
+          (``is_last_key_val_string``, :255-288 — always true when no
+          firstline_parser is configured), else each is emitted SOLO
+          (the ``pack_line`` fallback, :376-379);
+        - output gains a ``fields`` column (JSON, empty when nothing
+          parsed) only when parsers are configured, keeping the
+          parserless schema unchanged.
+        """
         super().__init__(**kw)
         self.firstline = firstline
+        self.firstline_parser = firstline_parser
+        self.cont_parsers = list(cont_parsers or [])
         self.key = key
         self.order_col = order_col
         self.text_col = text_col
@@ -54,6 +108,8 @@ class MultilineStage(Stage):
         key, order_col, text_col = self.key, self.order_col, self.text_col
         joiner = self.joiner
         gap_s, ts_col = self.flush_gap_s, self.ts_col
+        fl_parser = self.firstline_parser
+        cont_parsers = self.cont_parsers
 
         def firstline_mask(texts: pd.Series) -> "np.ndarray":
             import numpy as np
@@ -92,20 +148,77 @@ class MultilineStage(Stage):
                 gap_brk = np.zeros(n, dtype=bool)
             new_run = isf | conv_start | gap_brk
             run = np.cumsum(new_run)            # ids 1..R, row 0 starts one
-            run_first = isf[np.flatnonzero(new_run)]
+            run_starts = np.flatnonzero(new_run)
+            run_first = isf[run_starts]
             folded = run_first[run - 1]         # row's run starts with a first
-            seg = np.where(folded, run, run[-1] + 1 + np.arange(n))
+            texts_np = texts.to_numpy()
+
+            if not cont_parsers and fl_parser is None:
+                seg = np.where(folded, run, run[-1] + 1 + np.arange(n))
+                gg = pd.DataFrame({key: kvals, "_seg": seg,
+                                   "_turn": g[order_col].to_numpy(),
+                                   text_col: texts_np})
+                out = gg.groupby("_seg", sort=False).agg(
+                    **{key: (key, "first"),
+                       "first_turn": ("_turn", "first"),
+                       "n_parts": (text_col, "size"),
+                       text_col: (text_col, joiner.join)}).reset_index(drop=True)
+                out["first_turn"] = out["first_turn"].astype("int64")
+                out["n_parts"] = out["n_parts"].astype("int64")
+                return out[[key, "first_turn", "n_parts", text_col]]
+
+            # ---- continuation-parser path (tail_multiline.c:336-512)
+            cont_rows = folded & ~isf
+            cmaps = np.full(n, None, dtype=object)
+            if cont_parsers and cont_rows.any():
+                cmaps[cont_rows] = _chain_parse(texts_np[cont_rows],
+                                                cont_parsers)
+            fmaps = np.full(n, None, dtype=object)
+            # is_last_key_val_string gate: unparsed continuations may
+            # only append when the firstline map's LAST value is a
+            # string (:255-288); with no firstline parser every line
+            # appends (regex-only mode = always-string working value)
+            run_append = np.ones(len(run_starts), dtype=bool)
+            if fl_parser is not None and isf.any():
+                fmaps[isf] = _chain_parse(texts_np[isf], [fl_parser])
+                fl_at_start = isf[run_starts]
+                for ri in np.nonzero(fl_at_start)[0]:
+                    m = fmaps[run_starts[ri]]
+                    if m:
+                        vals = list(m.values())
+                        run_append[ri] = isinstance(vals[-1], str)
+            row_append = run_append[run - 1]
+
+            unparsed_cont = cont_rows & (cmaps == None)  # noqa: E711
+            solo = unparsed_cont & ~row_append  # pack_line fallback
+            in_seg = folded & ~solo
+            seg = np.where(in_seg, run, run[-1] + 1 + np.arange(n))
+            # text join keeps the firstline raw + appendable unparsed
+            # continuations; parsed lines contribute fields instead
+            in_text = ~in_seg | isf | unparsed_cont
+
             gg = pd.DataFrame({key: kvals, "_seg": seg,
                                "_turn": g[order_col].to_numpy(),
-                               text_col: texts.to_numpy()})
+                               "_intext": in_text, text_col: texts_np})
             out = gg.groupby("_seg", sort=False).agg(
                 **{key: (key, "first"),
                    "first_turn": ("_turn", "first"),
-                   "n_parts": (text_col, "size"),
-                   text_col: (text_col, joiner.join)}).reset_index(drop=True)
+                   "n_parts": (text_col, "size")}).reset_index()
+            txt = (gg[gg["_intext"]].groupby("_seg", sort=False)[text_col]
+                   .agg(joiner.join))
+            out[text_col] = out["_seg"].map(txt).fillna("")
+            # merge parsed maps per segment in line order (firstline
+            # seed first — it is its run's first row; later same-named
+            # keys overwrite)
+            rowmap = np.where(isf, fmaps, cmaps)
+            acc: dict = {}
+            for i in np.nonzero(rowmap != None)[0]:  # noqa: E711
+                acc.setdefault(seg[i], {}).update(rowmap[i])
+            out["fields"] = [fields_dumps(acc.get(s, {}))
+                             for s in out["_seg"]]
             out["first_turn"] = out["first_turn"].astype("int64")
             out["n_parts"] = out["n_parts"].astype("int64")
-            return out[[key, "first_turn", "n_parts", text_col]]
+            return out[[key, "first_turn", "n_parts", text_col, "fields"]]
 
         import zlib
 

@@ -384,3 +384,91 @@ def test_multiline_flush_gap():
     st2 = build_stage({"type": "multiline", "firstline": r"^\d"})
     out2 = st2.apply(ds).to_pandas().sort_values("first_turn")
     assert out2["n_parts"].tolist() == [5, 2]
+
+
+def test_multiline_continuation_parsers():
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_bit_ray.parsers.core import RegexParser
+
+    rows = [
+        ("c1", 0, "CALL foo() -> ok"),                       # firstline
+        ("c1", 1, 'level=info msg="x" tool=bash dur=1.5 code=7'),
+        ("c1", 2, "plain continuation"),                     # raw append
+        ("c1", 3, "level:warn\tcode:9\tmsg:ok 3\tdur:0.25"),
+        ("c1", 4, "{json-ish start"),                        # new firstline
+        ("c1", 5, "tail line"),
+        ("c2", 0, "orphan line"),                            # no firstline
+    ]
+    ds = rd.from_pandas(pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "text"]).assign(
+        ts=lambda d: pd.to_datetime(d["turn_idx"], unit="s")))
+    lf = RegexParser("cont_logfmt",
+                     r'^level=(?P<level>\w+) msg="(?P<msg>[^"]*)" '
+                     r'tool=(?P<tool>\w+) dur=(?P<dur>[\d.]+) '
+                     r'code=(?P<code>\d+)$')
+    lt = RegexParser("cont_ltsv",
+                     r'^level:(?P<level>\w+)\tcode:(?P<code>\d+)\t'
+                     r'msg:(?P<msg>[^\t]*)\tdur:(?P<dur>[\d.]+)$')
+    st = build_stage({"type": "multiline", "firstline": r"^(\d|\{|CALL )",
+                      "cont_parsers": [lf, lt]})
+    out = st.apply(ds).to_pandas().sort_values(
+        ["conv_id", "first_turn"]).reset_index(drop=True)
+    assert out.columns.tolist() == ["conv_id", "first_turn", "n_parts",
+                                    "text", "fields"]
+    # seg 1: firstline + 3 continuations; parsed lines leave the text
+    assert out.loc[0, "n_parts"] == 4
+    assert out.loc[0, "text"] == "CALL foo() -> ok\nplain continuation"
+    f = json.loads(out.loc[0, "fields"])
+    # ltsv row (turn 3) parsed LAST → overwrites level/msg/dur/code;
+    # tool only came from the logfmt row
+    assert f == {"level": "warn", "msg": "ok 3", "tool": "bash",
+                 "dur": "0.25", "code": "9"}
+    # seg 2: firstline + unparsed tail
+    assert out.loc[1, "text"] == "{json-ish start\ntail line"
+    assert json.loads(out.loc[1, "fields"]) == {}
+    # orphan line (no open buffer) emitted as-is
+    assert out.loc[2, "text"] == "orphan line"
+    assert out.loc[2, "n_parts"] == 1
+
+
+def test_multiline_firstline_parser_append_gate():
+    import json
+
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_bit_ray.parsers.core import RegexParser
+
+    rows = [
+        ("c1", 0, "100 begin"),
+        ("c1", 1, "raw one"),
+        ("c1", 2, "raw two"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "text"]).assign(
+        ts=lambda d: pd.to_datetime(d["turn_idx"], unit="s")))
+    # firstline parser whose LAST captured value stays a string →
+    # unparsed continuations append (is_last_key_val_string == true)
+    flp = RegexParser("fl", r"^(?P<num>\d+) (?P<rest>.*)$")
+    st = build_stage({"type": "multiline", "firstline": r"^\d",
+                      "firstline_parser": flp})
+    out = st.apply(ds).to_pandas().sort_values("first_turn")
+    assert out["n_parts"].tolist() == [3]
+    assert out["text"].iloc[0] == "100 begin\nraw one\nraw two"
+    assert json.loads(out["fields"].iloc[0]) == {"num": "100",
+                                                 "rest": "begin"}
+    # typecast makes the last value an int → append gate CLOSES:
+    # continuations are emitted solo (tail_multiline.c pack_line)
+    flp2 = RegexParser("fl", r"^(?P<rest>.*?) ?(?P<num>\d+) begin$",
+                       types={"num": "integer"})
+    st2 = build_stage({"type": "multiline", "firstline": r"^\d",
+                       "firstline_parser": flp2})
+    out2 = st2.apply(ds).to_pandas().sort_values("first_turn") \
+        .reset_index(drop=True)
+    assert out2["n_parts"].tolist() == [1, 1, 1]
+    assert out2.loc[0, "text"] == "100 begin"
+    assert json.loads(out2.loc[0, "fields"])["num"] == 100
