@@ -417,6 +417,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["q", "vec_id", "cos_r4"]]
         return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
 
+    def tf_score(sf_dir: str):
+        """filter_tensorflow analogue end-to-end under a FULL oracle:
+        embeddings are integer-quantized (floor(x*128 + 0.5) — exact,
+        identical in numpy and DuckDB), then scored by the
+        seed-deterministic integer MLP (stages/tensorflow.py FixedMlp;
+        interpreter-per-actor, tf_out appended — tensorflow.c:87-97,
+        :397-406). Integer weights keep the whole forward pass exact,
+        so the oracle re-runs the matmul in SQL bit-for-bit."""
+        import pandas as pd
+
+        from fluent_bit_ray.stages import build_stage
+
+        def quant(df: pd.DataFrame) -> pd.DataFrame:
+            q = [np.floor(np.asarray(v, dtype=np.float64) * 128.0 + 0.5)
+                 .astype(np.int64) for v in df["embedding"]]
+            return pd.DataFrame({"vec_id": df["vec_id"], "qemb": q})
+
+        ds = _embs(sf_dir).map_batches(quant, batch_format="pandas")
+        st = build_stage({"type": "tensorflow", "input_field": "qemb",
+                          "input_dim": 64})
+        out = st.apply(ds).to_pandas()
+        out["tf0"] = out["tf_out"].map(lambda v: int(v[0]))
+        out["tf1"] = out["tf_out"].map(lambda v: int(v[1]))
+        out = out[["vec_id", "tf0", "tf1"]]
+        return out.sort_values("vec_id").reset_index(drop=True)
+
     # -- ua_enrich: browser counts over apache rows (regex-table lookup)
     def ua_browser_counts(sf_dir: str):
         routed = _routed(sf_dir, with_rewrite=False, with_enrich=True)
@@ -670,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_keep": docs_dedup_keep,
         "emb_dup_pairs": emb_dup_pairs,
         "ann_topk": ann_topk,
+        "tf_score": tf_score,
         "ua_browser_counts": ua_browser_counts,
         "multiline_segments": multiline_segments,
         "multiline_segments_gap": multiline_segments_gap,
@@ -730,6 +757,44 @@ def _minhash_oracle_sql() -> str:
                       JOIN sh sb ON sb.doc_id = c.key_b)
         SELECT key_a, key_b, inter, uni FROM verified
         WHERE inter * 10 >= uni * 7 ORDER BY key_a, key_b
+    """
+
+
+def _tf_oracle_sql() -> str:
+    """The tensorflow stage's deterministic integer MLP
+    (stages/tensorflow.py FixedMlp, seed 2024) re-run in DuckDB SQL:
+    quantize → hidden = relu(x@W1+b1) → out = h@W2+b2, all BIGINT
+    arithmetic, so the engine/oracle match is exact (no float sums)."""
+    from fluent_bit_ray.stages.tensorflow import FixedMlp
+    m = FixedMlp(64)
+    w1 = ",".join(f"({i},{j},{int(m.w1[i, j])})"
+                  for i in range(64) for j in range(8))
+    b1 = ",".join(f"({j},{int(m.b1[j])})" for j in range(8))
+    w2 = ",".join(f"({j},{k},{int(m.w2[j, k])})"
+                  for j in range(8) for k in range(2))
+    b2 = ",".join(f"({k},{int(m.b2[k])})" for k in range(2))
+    return f"""
+        WITH w1(i, j, w) AS (VALUES {w1}),
+        b1(j, b) AS (VALUES {b1}),
+        w2(j, k, w) AS (VALUES {w2}),
+        b2(k, b) AS (VALUES {b2}),
+        qq AS (SELECT vec_id,
+                      unnest(range(len(embedding))) AS i,
+                      CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 128.0
+                                 + 0.5) AS BIGINT) AS x
+               FROM embeddings),
+        h AS (SELECT qq.vec_id, w1.j, sum(qq.x * w1.w) AS s
+              FROM qq JOIN w1 ON w1.i = qq.i GROUP BY qq.vec_id, w1.j),
+        hr AS (SELECT h.vec_id, h.j, greatest(0, h.s + b1.b) AS v
+               FROM h JOIN b1 ON b1.j = h.j),
+        o AS (SELECT hr.vec_id, w2.k, sum(hr.v * w2.w) AS s
+              FROM hr JOIN w2 ON w2.j = hr.j GROUP BY hr.vec_id, w2.k),
+        fin AS (SELECT o.vec_id, o.k, o.s + b2.b AS val
+                FROM o JOIN b2 ON b2.k = o.k)
+        SELECT vec_id,
+               max(CASE WHEN k = 0 THEN val END)::BIGINT AS tf0,
+               max(CASE WHEN k = 1 THEN val END)::BIGINT AS tf1
+        FROM fin GROUP BY vec_id ORDER BY vec_id
     """
 
 
@@ -939,6 +1004,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, vec_id, round(cos, 4) AS cos_r4 FROM scored
             WHERE rk <= 10 ORDER BY q, vec_id
         """,
+        # filter_tensorflow analogue: the deterministic integer MLP
+        # forward pass re-run entirely in SQL (exact — no float sums)
+        "tf_score": _tf_oracle_sql(),
         "ua_browser_counts": f"""
             WITH t AS ({t}),
             apache AS (

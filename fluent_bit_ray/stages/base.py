@@ -108,3 +108,4 @@ def build_stage(spec: dict) -> Stage:
 # import stage modules for registration side effects
 from . import grep, modify, nest, parser_stage, record_modifier  # noqa: E402,F401
 from . import enrich, misc, multiline, rewrite_tag, throttle  # noqa: E402,F401
+from . import tensorflow  # noqa: E402,F401

@@ -472,3 +472,56 @@ def test_multiline_firstline_parser_append_gate():
     assert out2["n_parts"].tolist() == [1, 1, 1]
     assert out2.loc[0, "text"] == "100 begin"
     assert json.loads(out2.loc[0, "fields"])["num"] == 100
+
+
+def test_tensorflow_stage_semantics():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_bit_ray.stages.tensorflow import FixedMlp, _TfScoreBatch
+
+    m = FixedMlp(4, hidden=3, out_dim=2, seed=2024)
+    # deterministic across instances (interpreter-per-actor contract)
+    m2 = FixedMlp(4, hidden=3, out_dim=2, seed=2024)
+    assert (m.w1 == m2.w1).all() and (m.b2 == m2.b2).all()
+    x = np.array([[1.0, 2.0, 3.0, 4.0]])
+    ref = np.maximum(x @ m.w1 + m.b1, 0) @ m.w2 + m.b2
+    assert (m.forward(x) == ref).all()
+
+    df = pd.DataFrame({
+        "rid": [0, 1, 2, 3],
+        "vec": [[1.0, 2.0, 3.0, 4.0], None, [1.0, 2.0], [0.0] * 4],
+        "extra": ["a", "b", "c", "d"],
+    })
+    st = _TfScoreBatch(input_field="vec", input_dim=4, hidden=3, out_dim=2)
+    out = st(df)
+    # rows 1 (missing) and 2 (wrong size) dropped (tensorflow.c only
+    # packs records that passed inference)
+    assert out["rid"].tolist() == [0, 3]
+    assert out["extra"].tolist() == ["a", "d"]       # include_input_fields
+    assert "inference_time" in out.columns
+    assert out["tf_out"].iloc[0].tolist() == ref[0].tolist()
+    # zero input → relu(b1) @ w2 + b2
+    z = (np.maximum(np.zeros((1, 4)) @ m.w1 + m.b1, 0) @ m.w2 + m.b2)[0]
+    assert out["tf_out"].iloc[1].tolist() == z.tolist()
+
+    # include_input_fields=False drops the original map
+    st2 = _TfScoreBatch(input_field="vec", input_dim=4, hidden=3,
+                        out_dim=2, include_input_fields=False)
+    out2 = st2(df)
+    assert set(out2.columns) == {"inference_time", "tf_out"}
+
+    # normalization_value divides inputs (tensorflow.c:314-326)
+    st3 = _TfScoreBatch(input_field="vec", input_dim=4, hidden=3,
+                        out_dim=2, normalization_value=2.0)
+    out3 = st3(df)
+    refn = (np.maximum((x / 2.0) @ m.w1 + m.b1, 0) @ m.w2 + m.b2)[0]
+    assert out3["tf_out"].iloc[0].tolist() == refn.tolist()
+
+    # the registered Stage drives an actor pool over a Dataset
+    ds = rd.from_pandas(df)
+    st4 = build_stage({"type": "tensorflow", "input_field": "vec",
+                       "input_dim": 4, "hidden": 3, "out_dim": 2})
+    got = st4.apply(ds).to_pandas().sort_values("rid")
+    assert got["rid"].tolist() == [0, 3]
