@@ -540,6 +540,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res["window_start"] = res["window_start"].astype("datetime64[us]")
         return res.sort_values(["role", "window_start"]).reset_index(drop=True)
 
+    def sp_limit(sf_dir: str):
+        """SP LIMIT on a plain SELECT (reference sql.y:435-439
+        flb_sp_cmd_limit_add): first 500 rows under the engine's
+        deterministic order contract (sorted by all output columns)."""
+        from fluent_bit_ray.sp import sp_execute
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=False)
+        out = sp_execute(
+            routed.ds,
+            "SELECT conv_id, turn_idx FROM TAG:'transcript.*' "
+            "WHERE p_code = 200 LIMIT 500").to_pandas()
+        out["turn_idx"] = out["turn_idx"].astype("int64")
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
     # ---------------- SP snapshot create + flush (buffered side stream)
     def sp_snapshot_flush(sf_dir: str):
         from fluent_bit_ray.sp import sp_execute, sp_snapshot
@@ -704,6 +717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sp_count_window": sp_count_window,
         "sp_hopping": sp_hopping,
         "sp_arith": sp_arith,
+        "sp_limit": sp_limit,
         "sp_snapshot_flush": sp_snapshot_flush,
         "sp_forecast": sp_forecast,
         "throttle_kept": throttle_kept,
@@ -1152,6 +1166,24 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS ({t})
             SELECT conv_id, turn_idx, text FROM t
             WHERE role = 'tool' ORDER BY conv_id, turn_idx
+        """,
+        # LIMIT under the deterministic order contract: the engine
+        # sorts by all output columns before taking the first n
+        "sp_limit": f"""
+            WITH t AS ({t}),
+            parsed AS (
+              SELECT conv_id, turn_idx,
+                CASE
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.code') AS BIGINT)
+                  WHEN text LIKE 'CALL %' THEN NULL
+                  WHEN regexp_matches(text, 'code=') THEN TRY_CAST(regexp_extract(text, 'code=(\\d+)', 1) AS BIGINT)
+                  WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'code:(\\d+)', 1) AS BIGINT)
+                  WHEN regexp_matches(text, '^[0-9.]+ - ') THEN TRY_CAST(regexp_extract(text, '" (\\d+) ', 1) AS BIGINT)
+                END AS code
+              FROM t)
+            SELECT conv_id, turn_idx FROM parsed
+            WHERE code = 200
+            ORDER BY conv_id, turn_idx LIMIT 500
         """,
         "sp_forecast": f"""
             WITH t AS ({t}),

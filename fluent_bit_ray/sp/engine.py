@@ -57,7 +57,8 @@ _SQL_RE = re.compile(
     r"(?:\s+WINDOW\s+(?P<wtype>TUMBLING|HOPPING)\s*\("
     r"\s*(?P<wsize>\d+)\s+(?P<wunit>\w+)"
     r"(?:\s*,\s*ADVANCE\s+BY\s+(?P<wadv>\d+)\s+(?P<wadvunit>\w+))?\s*\))?"
-    r"(?:\s+GROUP\s+BY\s+(?P<groupby>.+?))?\s*;?\s*$",
+    r"(?:\s+GROUP\s+BY\s+(?P<groupby>.+?))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
 _AGG_RE = re.compile(r"^(AVG|SUM|COUNT|MIN|MAX)\s*\(\s*(\*|[\w.]+)\s*\)"
@@ -82,6 +83,7 @@ class SPQuery:
         self.where = None
         self.window = None  # (type, size_s, advance_s)
         self.group_by: list[str] = []
+        self.limit: int | None = None
 
     @property
     def has_aggregates(self) -> bool:
@@ -158,6 +160,13 @@ def sp_parse(sql: str) -> SPQuery:
         q.window = (wtype, size, adv)
     if m.group("groupby"):
         q.group_by = [g.strip() for g in m.group("groupby").split(",")]
+    if m.group("limit"):
+        # LIMIT n (reference sql.y:435-439 flb_sp_cmd_limit_add).
+        # Deterministic order contract (documented deviation from the
+        # reference's arrival-order cap): the first n rows after
+        # sorting by ALL output columns — ties are whole-row equal, so
+        # the selected multiset is deterministic.
+        q.limit = int(m.group("limit"))
     return q
 
 
@@ -340,7 +349,7 @@ def parse_expression(s: str):
     return node
 
 
-def _eval_expr(node, b: pa.Table, decoded=None):
+def _eval_expr(node, b: pa.Table, cache=None):
     """Evaluate an expression tree → pd.Series (float) or scalar.
 
     Record keys coerce to numeric (NaN on miss) per the reference's
@@ -350,13 +359,13 @@ def _eval_expr(node, b: pa.Table, decoded=None):
     if kind == "lit":
         return node[1]
     if kind == "key":
-        return pd.to_numeric(_resolve_key(b, node[1], decoded),
+        return pd.to_numeric(_resolve_key(b, node[1], cache),
                              errors="coerce")
     op = node[1]
-    left = _eval_expr(node[2], b, decoded)
+    left = _eval_expr(node[2], b, cache)
     if op == "neg":
         return -left
-    right = _eval_expr(node[3], b, decoded)
+    right = _eval_expr(node[3], b, cache)
     if not isinstance(left, pd.Series) and not isinstance(right, pd.Series):
         # scalar⊕scalar: numpy semantics (inf/nan, no ZeroDivisionError)
         left, right = np.float64(left), np.float64(right)
@@ -372,16 +381,22 @@ def _eval_expr(node, b: pa.Table, decoded=None):
         return left % right
 
 
-def _expr_series(node, b: pa.Table, decoded=None) -> pd.Series:
-    v = _eval_expr(node, b, decoded)
+def _expr_series(node, b: pa.Table, cache=None) -> pd.Series:
+    v = _eval_expr(node, b, cache)
     if not isinstance(v, pd.Series):
         v = pd.Series(np.full(b.num_rows, float(v)))
     return v
 
 
 # ------------------------------------------------------------ execution
-def _resolve_key(b: pa.Table, key: str, decoded=None, now=None):
+def _resolve_key(b: pa.Table, key: str, cache=None, now=None):
     """Column values for a record key (fixed → promoted → fields).
+
+    ``cache`` is a PER-BATCH memo dict threaded through
+    _eval_cond/_eval_expr and the execution kernels: the ``fields``
+    JSON column is decoded at most ONCE per batch regardless of how
+    many keys/conditions/aggregates touch it (previously every
+    fields-key lookup re-decoded the whole column).
 
     NOW()/UNIX_TIMESTAMP() (reference flb_sp_func_time.c:96) take the
     injected deterministic ``now`` epoch-seconds value — the reference
@@ -402,9 +417,12 @@ def _resolve_key(b: pa.Table, key: str, decoded=None, now=None):
     if f"p_{key}" in b.column_names:
         return b.column(f"p_{key}").to_pandas()
     if FIELDS_COL in b.column_names:
+        decoded = cache.get("decoded") if cache is not None else None
         if decoded is None:
             decoded = [fields_loads(v)
                        for v in b.column(FIELDS_COL).to_pylist()]
+            if cache is not None:
+                cache["decoded"] = decoded
         if "." in key:  # subkey path a.b.c into the nested record map
             parts = key.split(".")
 
@@ -446,30 +464,30 @@ def _cmp_series(a: pd.Series, c, op: str):
     return r.fillna(False).to_numpy(dtype=bool)
 
 
-def _eval_cond(node, b: pa.Table, decoded=None) -> np.ndarray:
+def _eval_cond(node, b: pa.Table, cache=None) -> np.ndarray:
     kind = node[0]
     if kind == "and":
-        return _eval_cond(node[1], b, decoded) & _eval_cond(node[2], b, decoded)
+        return _eval_cond(node[1], b, cache) & _eval_cond(node[2], b, cache)
     if kind == "or":
-        return _eval_cond(node[1], b, decoded) | _eval_cond(node[2], b, decoded)
+        return _eval_cond(node[1], b, cache) | _eval_cond(node[2], b, cache)
     if kind == "not":
-        return ~_eval_cond(node[1], b, decoded)
+        return ~_eval_cond(node[1], b, cache)
     if kind == "isnull":
-        return _resolve_key(b, node[1], decoded).isna().to_numpy()
+        return _resolve_key(b, node[1], cache).isna().to_numpy()
     if kind == "notnull":
-        return _resolve_key(b, node[1], decoded).notna().to_numpy()
+        return _resolve_key(b, node[1], cache).notna().to_numpy()
     if kind == "cmpexpr":
         _, op, lt, rt = node
-        sa = _expr_series(lt, b, decoded)
-        sb = _expr_series(rt, b, decoded)
+        sa = _expr_series(lt, b, cache)
+        sb = _expr_series(rt, b, cache)
         with np.errstate(invalid="ignore"):
             r = _cmp_series(sa, sb, op)
         valid = (sa.notna() & sb.notna()).to_numpy()
         return r & valid
     if kind == "cmpkey":
         _, op, ka, kb = node
-        sa = _resolve_key(b, ka, decoded)
-        sb = _resolve_key(b, kb, decoded)
+        sa = _resolve_key(b, ka, cache)
+        sb = _resolve_key(b, kb, cache)
         # numeric comparison when both coerce; else string compare
         na = pd.to_numeric(sa, errors="coerce")
         nb = pd.to_numeric(sb, errors="coerce")
@@ -481,7 +499,7 @@ def _eval_cond(node, b: pa.Table, decoded=None) -> np.ndarray:
         valid = (sa.notna() & sb.notna()).to_numpy()
         return r & valid
     _, op, key, lit = node
-    s = _resolve_key(b, key, decoded)
+    s = _resolve_key(b, key, cache)
     if isinstance(lit, bool):  # boolean literal: raw equality semantics
         r = (s == lit) if op == "=" else (s != lit)
         return r.fillna(False).to_numpy(dtype=bool)
@@ -576,7 +594,7 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
         if q.from_tag and TAG_COL in b.column_names:
             mask &= match_mask(b.column(TAG_COL), q.from_tag)
         if q.where is not None:
-            mask &= _eval_cond(q.where, b)
+            mask &= _eval_cond(q.where, b, {})
         return b.filter(pa.array(mask))
 
     ds = ds.map_batches(filter_fn, batch_format="pyarrow")
@@ -588,16 +606,23 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
             if any(s["kind"] == "star" for s in sel):
                 return b
             cols, names = [], []
+            cache: dict = {}  # per-batch fields-decode memo
             for s in sel:
                 if s["kind"] == "expr":
-                    v = _expr_series(s["expr"], b)
+                    v = _expr_series(s["expr"], b, cache)
                 else:
-                    v = _resolve_key(b, s["key"], now=now)
+                    v = _resolve_key(b, s["key"], cache, now=now)
                 cols.append(pa.array(v))
                 names.append(s["alias"])
             return pa.table(dict(zip(names, cols)))
 
-        return ds.map_batches(project, batch_format="pyarrow")
+        out_ds = ds.map_batches(project, batch_format="pyarrow")
+        if q.limit is not None:
+            # deterministic order contract: global sort on every
+            # output column, then the first n (see sp_parse)
+            cols = out_ds.schema().names
+            out_ds = out_ds.sort(cols).limit(q.limit)
+        return out_ds
 
     # ---------------- aggregate path: partials then groupby
     aggs = [s for s in q.select if s["kind"] == "agg"]
@@ -608,6 +633,7 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
         if b.num_rows == 0:
             return _empty_partial(aggs, gkeys, window)
         data = {}
+        cache: dict = {}  # per-batch fields-decode memo
         if window:
             ts = b.column(ts_col).cast(pa.timestamp("ns")).cast(pa.int64()) \
                 .to_numpy() // 1_000_000_000
@@ -627,7 +653,7 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
                 b = b.take(pa.array(idx))
                 data["_w"] = starts
         for g in gkeys:
-            data[g] = _resolve_key(b, g).to_numpy(dtype=object)
+            data[g] = _resolve_key(b, g, cache).to_numpy(dtype=object)
         for i, a in enumerate(aggs):
             if a["fn"] in ("FORECAST", "FORECAST_R"):
                 xk = a["key_x"]
@@ -636,8 +662,10 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
                         b.column(ts_col).cast(pa.timestamp("ns"))
                         .cast(pa.int64()).to_numpy() / 1e9)
                 else:
-                    xs = pd.to_numeric(_resolve_key(b, xk), errors="coerce")
-                ys = pd.to_numeric(_resolve_key(b, a["key"]), errors="coerce")
+                    xs = pd.to_numeric(_resolve_key(b, xk, cache),
+                                       errors="coerce")
+                ys = pd.to_numeric(_resolve_key(b, a["key"], cache),
+                                   errors="coerce")
                 ok = (xs.notna() & ys.notna()).to_numpy()
                 x = np.where(ok, xs.to_numpy(dtype=float), 0.0)
                 y = np.where(ok, ys.to_numpy(dtype=float), 0.0)
@@ -652,9 +680,9 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
                 data[f"_n{i}"] = np.ones(b.num_rows)
             else:
                 if "expr" in a:
-                    vals = _expr_series(a["expr"], b)
+                    vals = _expr_series(a["expr"], b, cache)
                 else:
-                    vals = pd.to_numeric(_resolve_key(b, a["key"]),
+                    vals = pd.to_numeric(_resolve_key(b, a["key"], cache),
                                          errors="coerce")
                 data[f"_v{i}"] = vals.to_numpy(dtype=float)
                 data[f"_n{i}"] = vals.notna().to_numpy(dtype=float)
@@ -739,6 +767,11 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
     sort_cols = (["window_start"] if window else []) + gkeys
     if sort_cols:
         res = res.sort_values(sort_cols).reset_index(drop=True)
+    if q.limit is not None:
+        # groups are unique per (window, keys), so the sorted head is
+        # deterministic; a global aggregate has one row anyway
+        res = res.sort_values(list(res.columns)).head(q.limit) \
+            .reset_index(drop=True)
     return res
 
 

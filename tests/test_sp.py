@@ -356,3 +356,29 @@ def test_expression_hypothesis_vs_pandas():
         assert ((g == w) | (np.isnan(g) & np.isnan(w))).all(), (e, g, w)
 
     check()
+
+
+def test_sp_limit_projection_and_aggregate():
+    tagged_ds = mk_ds()
+    # projection LIMIT: deterministic order contract — sorted by all
+    # output columns, first n
+    out = sp_execute(tagged_ds,
+                     "SELECT role, p_dur AS d FROM TAG:'transcript.*' "
+                     "WHERE p_code = 200 LIMIT 3").to_pandas()
+    assert len(out) == 3
+    full = sp_execute(tagged_ds,
+                      "SELECT role, p_dur AS d FROM TAG:'transcript.*' "
+                      "WHERE p_code = 200").to_pandas()
+    exp = full.sort_values(["role", "d"]).head(3)
+    assert out.sort_values(["role", "d"]).values.tolist() == \
+        exp.values.tolist()
+    # aggregate LIMIT caps emitted group rows after the key sort
+    agg = sp_execute(tagged_ds,
+                     "SELECT role, COUNT(*) AS n FROM TAG:'transcript.*' "
+                     "GROUP BY role LIMIT 2")
+    agg_full = sp_execute(tagged_ds,
+                          "SELECT role, COUNT(*) AS n "
+                          "FROM TAG:'transcript.*' GROUP BY role")
+    assert len(agg) == 2
+    assert agg["role"].tolist() == \
+        sorted(agg_full["role"].tolist())[:2]
