@@ -1,31 +1,72 @@
 """Benchmark harness.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <headline sec>, "unit": "sec",
-   "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+  {"metric": ..., "value": <headline median sec>, "unit": "sec",
+   "queries": {...medians...}, "queries_best": {...}, "reps": R,
+   "ab_ref": <calibration sec>, "sf": ..., "num_cpus": N,
+   "turns_per_sec": ...}
 
 Headline = the flagship parse→enrich→route→aggregate pipeline over the
 synthetic transcript table at $GRAFT_SF_DIR scale (default sf0.1,
 600k turns), consumed via per-sink counts + flowcounter (no driver
 materialization of the row stream).
 
---scaling: runs the headline twice in FRESH processes at
-$SCALING_LO (default 8) and $SCALING_HI (default 32) CPUs on the same
-input and reports both throughputs + efficiency = T_hi/(ratio*T_lo).
+Noise armor (this host shows ±25% CPU-steal drift): every benchmark
+runs $BENCH_REPS (default 3) INTERLEAVED passes — pass k runs every
+query once, so a bad host minute hits all queries alike — and reports
+the per-query MEDIAN (plus best). ``ab_ref`` is a PINNED single-core
+numpy calibration workload (fixed size, never changes across rounds)
+measured in the same process-minute: compare ab_ref across BENCH_r*.json
+files to separate host-speed drift from real code regressions.
+
+--scaling: runs the full bench twice in FRESH processes at $SCALING_LO
+(default 4) and $SCALING_HI (default 16) CPUs on the same input and
+reports headline + PER-QUERY throughput at both levels plus scaling
+efficiency. The dedup-family queries run against the driver's
+documents.parquet when present, else a deterministic synthetic table
+at the matching scale (fluent_bit_ray/sources/documents.py), so the
+dataops pipelines get scaling evidence at sf1 too.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
 
 
+def _calibration_sec() -> float:
+    """Pinned single-core workload (NEVER change: cross-round host
+    speed reference). ~0.2 s on a quiet core."""
+    import numpy as np
+    a = np.random.RandomState(0).rand(384, 384)
+    t0 = time.perf_counter()
+    x = a
+    for _ in range(60):
+        x = x @ a
+        x /= np.abs(x).max()
+    return round(time.perf_counter() - t0, 4)
+
+
+def _docs_path(sf_dir: str) -> str | None:
+    p = f"{sf_dir}/documents.parquet"
+    if os.path.exists(p):
+        return p
+    try:
+        from fluent_bit_ray.sources.documents import ensure_documents
+        from fluent_bit_ray.sources.transcripts import sf_from_dir
+        return ensure_documents(sf_from_dir(sf_dir))
+    except Exception:
+        return None
+
+
 def run_bench() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("BENCH_REPS", "3"))
 
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
@@ -38,10 +79,11 @@ def run_bench() -> None:
     from fluent_bit_ray.pipelines.flagship import build_flagship
     from fluent_bit_ray.sinks import flowcounter
     from fluent_bit_ray.sources.transcripts import (ensure_transcripts,
-                                                    n_rows_for_sf, sf_from_dir)
+                                                    n_rows_for_sf,
+                                                    read_transcripts,
+                                                    sf_from_dir)
 
-    from fluent_bit_ray.sources.transcripts import read_transcripts
-    path = ensure_transcripts(sf_dir)
+    ensure_transcripts(sf_dir)
     n_rows = n_rows_for_sf(sf_from_dir(sf_dir))
 
     # warm: OS page cache AND the Ray worker pool (the first executed
@@ -51,75 +93,82 @@ def run_bench() -> None:
     read_transcripts(sf_dir).count()
     build_flagship().run(read_transcripts(sf_dir)).sink_counts()
 
-    queries: dict[str, float] = {}
+    counts_box: dict = {}
 
-    def timed(name, fn, repeats: int = 1):
-        best, out = None, None
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = fn()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        queries[name] = round(best, 3)
-        return out
-
-    # headline: full flagship with rewrite-tag loop + enrich, consumed by
-    # the counter oracle (single pass); best-of-2 to shave scheduler noise
     def headline():
         routed = build_flagship().run(read_transcripts(sf_dir))
-        return routed.sink_counts()
+        counts_box["counts"] = routed.sink_counts()
+        return counts_box["counts"]
 
-    counts = timed("flagship_e2e", headline, repeats=2)
-
-    # … plus component benchmarks
     def bench_parse_only():
         routed = build_flagship(with_rewrite=False, with_enrich=False,
-                                emit_fields=False).run(read_transcripts(sf_dir))
+                                emit_fields=False) \
+            .run(read_transcripts(sf_dir))
         return routed.ds.count()
-
-    timed("parse_route_count", bench_parse_only)
 
     def bench_flowcounter():
         routed = build_flagship(with_rewrite=False, with_enrich=False,
-                                emit_fields=False).run(read_transcripts(sf_dir))
+                                emit_fields=False) \
+            .run(read_transcripts(sf_dir))
         return flowcounter(routed.ds, unit="minute", combine="driver")
 
-    timed("flowcounter", bench_flowcounter)
-
-    # operator benchmarks (additive; headline above is unchanged)
     def bench_multiline():
         from fluent_bit_ray.stages import build_stage
         st = build_stage({"type": "multiline",
                           "firstline": r"^(\d|\{|CALL )"})
         return st.apply(read_transcripts(sf_dir)).count()
 
-    timed("multiline", bench_multiline)
+    docs = _docs_path(sf_dir)
 
     def bench_dedup_exact():
         from fluent_bit_ray.dataops import exact_dedup
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
-        return exact_dedup(ds).count()
+        return exact_dedup(rd.read_parquet(docs)).count()
 
     def bench_minhash():
         from fluent_bit_ray.dataops import minhash_dup_pair_counts
-        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
-        return len(minhash_dup_pair_counts(ds))
+        return len(minhash_dup_pair_counts(rd.read_parquet(docs)))
 
-    if os.path.exists(f"{sf_dir}/documents.parquet"):
-        timed("dedup_exact_docs", bench_dedup_exact)
-        timed("minhash_pairs", bench_minhash)
+    def bench_simhash():
+        from fluent_bit_ray.dataops.dedup import simhash_ds
+        return simhash_ds(rd.read_parquet(docs)).count()
 
+    benches = [("flagship_e2e", headline),
+               ("parse_route_count", bench_parse_only),
+               ("flowcounter", bench_flowcounter),
+               ("multiline", bench_multiline)]
+    if docs:
+        benches += [("dedup_exact_docs", bench_dedup_exact),
+                    ("minhash_pairs", bench_minhash),
+                    ("simhash", bench_simhash)]
+
+    # interleaved passes: one full sweep per rep so a bad host minute
+    # lands on every query equally, medians across passes
+    times: dict[str, list[float]] = {name: [] for name, _ in benches}
+    ab: list[float] = []
+    for _ in range(reps):
+        ab.append(_calibration_sec())
+        for name, fn in benches:
+            t0 = time.perf_counter()
+            fn()
+            times[name].append(time.perf_counter() - t0)
+
+    queries = {n: round(statistics.median(ts), 3) for n, ts in times.items()}
+    queries_best = {n: round(min(ts), 3) for n, ts in times.items()}
     headline_sec = queries["flagship_e2e"]
     print(json.dumps({
-        "metric": "flagship parse→enrich→route→aggregate e2e (turns/sec in turns_per_sec)",
+        "metric": "flagship parse→enrich→route→aggregate e2e "
+                  "(turns/sec in turns_per_sec)",
         "value": headline_sec,
         "unit": "sec",
         "queries": queries,
+        "queries_best": queries_best,
+        "reps": reps,
+        "ab_ref": round(statistics.median(ab), 4),
         "sf": sf_from_dir(sf_dir),
         "rows": n_rows,
         "turns_per_sec": round(n_rows / headline_sec, 1),
         "num_cpus": num_cpus,
-        "sink_counts": counts,
+        "sink_counts": counts_box.get("counts"),
     }))
     ray.shutdown()
 
@@ -129,18 +178,21 @@ def run_scaling() -> None:
     hi = int(os.environ.get("SCALING_HI", "16"))
     # N=4 vs 4N=16 on sf1 (6M turns): enough work to amortize the ~1.5s
     # fixed per-execution overhead, and within the 32-core host's memory
-    # bandwidth at both levels (measured 0.807 efficiency; 8→32 measures
-    # 0.73-0.78 because all-32-core runs are bandwidth-saturated).
+    # bandwidth at both levels (8→32 measures lower because all-32-core
+    # runs are bandwidth-saturated — see BASELINE.md).
     # Input is synthesized+cached up front so neither child pays generation.
     sf_dir = os.environ.get("SCALING_SF_DIR", "/root/testdata/sf1")
     from fluent_bit_ray.sources.transcripts import ensure_transcripts
     ensure_transcripts(sf_dir)
+    _docs_path(sf_dir)  # pre-cache the synthetic documents table too
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   BENCH_REPS=os.environ.get("SCALING_BENCH_REPS", "1"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
-                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+                             check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     # the sandbox host shows CPU-steal noise: interleave lo/hi runs and
@@ -154,6 +206,17 @@ def run_scaling() -> None:
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     ratio = hi / lo
+
+    def best_q(runs, q):
+        return min(r["queries"][q] for r in runs if q in r["queries"])
+
+    per_query = {}
+    for q in r_hi["queries"]:
+        ql = best_q(runs_lo, q)
+        qh = best_q(runs_hi, q)
+        per_query[q] = {"sec_lo": ql, "sec_hi": qh,
+                        "efficiency": round((ql / qh) / ratio, 3)}
+
     eff = (t_lo / t_hi) / ratio
     print(json.dumps({
         "metric": f"scaling efficiency {lo}→{hi} cpus",
@@ -162,6 +225,8 @@ def run_scaling() -> None:
         "turns_per_sec_lo": r_lo["turns_per_sec"],
         "turns_per_sec_hi": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "per_query": per_query,
+        "ab_ref_lo": r_lo.get("ab_ref"), "ab_ref_hi": r_hi.get("ab_ref"),
         "sf": r_hi["sf"], "rows": r_hi["rows"],
     }))
 
