@@ -443,6 +443,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["vec_id", "tf0", "tf1"]]
         return out.sort_values("vec_id").reset_index(drop=True)
 
+    def doc_redact(sf_dir: str):
+        """PII redaction sweep over the transcript corpus (vectorized
+        sequential RE2 replace, dataops/redact.py): apache lines carry
+        IPv4s, so the scrub has real hits. Full oracle: the same
+        ordered pattern chain as nested regexp_replace CTEs."""
+        from fluent_bit_ray.dataops.redact import redact_ds
+        out = redact_ds(read_transcripts(sf_dir)).to_pandas()
+        out["turn_idx"] = out["turn_idx"].astype("int64")
+        out = out[["conv_id", "turn_idx", "text_redacted", "n_redactions"]]
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    def vocab_top(sf_dir: str):
+        """Corpus vocabulary top-k (partial counts per batch → groupby
+        sum → driver-side final top-k on the vocab-sized merge)."""
+        from fluent_bit_ray.dataops import vocab_topk
+        return vocab_topk(_docs(sf_dir), k=100)
+
     # -- ua_enrich: browser counts over apache rows (regex-table lookup)
     def ua_browser_counts(sf_dir: str):
         routed = _routed(sf_dir, with_rewrite=False, with_enrich=True)
@@ -710,6 +727,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dup_pairs": emb_dup_pairs,
         "ann_topk": ann_topk,
         "tf_score": tf_score,
+        "doc_redact": doc_redact,
+        "vocab_top": vocab_top,
         "ua_browser_counts": ua_browser_counts,
         "multiline_segments": multiline_segments,
         "multiline_segments_gap": multiline_segments_gap,
@@ -772,6 +791,26 @@ def _minhash_oracle_sql() -> str:
         SELECT key_a, key_b, inter, uni FROM verified
         WHERE inter * 10 >= uni * 7 ORDER BY key_a, key_b
     """
+
+
+def _redact_oracle_sql(t: str) -> str:
+    """The engine's ordered PII pattern chain (dataops/redact.py
+    PII_PATTERNS — identical strings) as chained regexp_replace CTEs;
+    counts measured on each step's INPUT text, exactly like the
+    engine's sequential count-then-replace."""
+    from fluent_bit_ray.dataops.redact import PII_PATTERNS
+    sql = (f"WITH t AS ({t}),\n"
+           "s0 AS (SELECT conv_id, turn_idx, text AS cur,"
+           " 0::BIGINT AS n FROM t)")
+    for i, (_name, pat, repl) in enumerate(PII_PATTERNS):
+        sql += (f",\ns{i + 1} AS (SELECT conv_id, turn_idx, "
+                f"regexp_replace(cur, '{pat}', '{repl}', 'g') AS cur, "
+                f"n + len(regexp_extract_all(cur, '{pat}'))::BIGINT AS n "
+                f"FROM s{i})")
+    sql += (f"\nSELECT conv_id, turn_idx, cur AS text_redacted, "
+            f"n AS n_redactions FROM s{len(PII_PATTERNS)} "
+            "ORDER BY conv_id, turn_idx")
+    return sql
 
 
 def _tf_oracle_sql() -> str:
@@ -1021,6 +1060,14 @@ def oracle_sql() -> dict[str, str]:
         # filter_tensorflow analogue: the deterministic integer MLP
         # forward pass re-run entirely in SQL (exact — no float sums)
         "tf_score": _tf_oracle_sql(),
+        # sequential PII scrub: same ordered RE2 patterns as the engine
+        "doc_redact": _redact_oracle_sql(t),
+        "vocab_top": r"""
+            WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+'))
+                       AS token FROM documents)
+            SELECT token, count(*)::BIGINT AS n FROM w
+            GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
         "ua_browser_counts": f"""
             WITH t AS ({t}),
             apache AS (

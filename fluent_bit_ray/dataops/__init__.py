@@ -1,4 +1,6 @@
-from .textstats import fingerprint_ds, langid_ds, quality_ds, token_count_ds  # noqa: F401
+from .textstats import (fingerprint_ds, langid_ds, quality_ds,  # noqa: F401
+                        token_count_ds, vocab_topk)
+from .redact import redact_ds  # noqa: F401
 from .dedup import (  # noqa: F401
     embedding_dup_pairs,
     exact_dedup,

@@ -145,3 +145,31 @@ def langid_ds(ds, text_col: str = "text"):
 
 def fingerprint_ds(ds, text_col: str = "text"):
     return _apply(ds, fingerprint_batch, text_col=text_col)
+
+
+def vocab_topk(ds, text_col: str = "text", k: int = 100) -> pd.DataFrame:
+    """Corpus vocabulary top-k — the classic 100 TB partial-aggregation
+    shape: per-batch token counts (explode + value_counts, no Python
+    loop) shrink each batch to its DISTINCT (token, n) pairs BEFORE the
+    shuffle, a Ray groupby-sum merges the partials, and only the merged
+    (vocab-sized, ≪ corpus) table reaches the driver for the final
+    top-k. Ties break by token ascending (deterministic).
+
+    Tokens are whitespace runs (``\\S+``) — the same split every other
+    textstats op uses, reproducible as regexp_extract_all in SQL.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split().explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "n": vc.to_numpy(dtype="int64")})
+
+    merged = (ds.map_batches(partial, batch_format="pandas")
+              .groupby("token").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    merged["n"] = merged["n"].astype("int64")
+    out = merged.sort_values(["n", "token"],
+                             ascending=[False, True]).head(k)
+    return out[["token", "n"]].reset_index(drop=True)

@@ -336,3 +336,45 @@ def test_simhash_vectorized_chunked_matches_reference(monkeypatch):
     out = stage(df)
     expect = [int(np.uint64(simhash64(t)).astype("int64")) for t in texts]
     assert out["simhash"].tolist() == expect
+
+
+def test_redact_batch_sequential_semantics():
+    import pyarrow as pa
+
+    from fluent_bit_ray.dataops.redact import redact_batch, redact_ds
+
+    b = pa.table({"text": pa.array([
+        "contact bob@example.com from 10.1.2.3 now",
+        "ssn 123-45-6789 phone 555-123-4567",
+        "plain line, nothing to scrub",
+        "ip inside mail a@1.2.3.4 stays part of the email",
+    ])})
+    out = redact_batch(b)
+    got = out.column("text_redacted").to_pylist()
+    n = out.column("n_redactions").to_pylist()
+    assert got[0] == "contact <EMAIL> from <IP> now"
+    assert n[0] == 2
+    assert got[1] == "ssn <SSN> phone <PHONE>"
+    assert n[1] == 2
+    assert got[2] == "plain line, nothing to scrub" and n[2] == 0
+    # a numeric domain is NOT an email (TLD must be alphabetic), so the
+    # IP pattern fires on the remaining text — sequential, no double
+    # count
+    assert got[3] == "ip inside mail a@<IP> stays part of the email"
+    assert n[3] == 1
+    # dataset wrapper keeps original columns and appends the two new
+    ds = rd.from_arrow(b)
+    cols = set(redact_ds(ds).schema().names)
+    assert cols == {"text", "text_redacted", "n_redactions"}
+
+
+def test_vocab_topk_partial_aggregation():
+    from fluent_bit_ray.dataops import vocab_topk
+
+    texts = ["a b b c", "b c c", "a", "d d d d"]
+    out = vocab_topk(docs_ds(texts), k=3)
+    assert out["token"].tolist() == ["d", "b", "c"]  # 4, 3, 3 (tie: b<c)
+    assert out["n"].tolist() == [4, 3, 3]
+    full = vocab_topk(docs_ds(texts), k=100)
+    assert dict(zip(full["token"], full["n"])) == \
+        {"a": 2, "b": 3, "c": 3, "d": 4}
