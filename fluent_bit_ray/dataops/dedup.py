@@ -45,19 +45,28 @@ def _md5_hex(s: str) -> str:
 
 # ------------------------------------------------------------- exact
 def exact_dedup(ds, key: str = "doc_id", text_col: str = "text"):
-    """Representative (min key) per distinct text. Returns Dataset[key]."""
-    from ray.data.aggregate import Min
+    """Representative (min key) per distinct text. Returns Dataset[key].
+
+    Per-batch PARTIAL min-by-hash first (each batch shrinks to its
+    distinct hashes), then a coarse-partitioned exchange with an
+    in-task vectorized groupby-min — the same shape as `_bucket_pairs`
+    (Ray's sort-based groupby().aggregate() measured ~2 s fixed cost
+    per partition, absurd for the small post-partial exchange)."""
+    from ..shuffle import coarse_partition_apply
 
     def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+        part = pd.DataFrame({
             "h": df[text_col].astype(str).map(_md5_hex),
             key: df[key],
         })
+        return part.groupby("h", sort=False, as_index=False)[key].min()
 
-    return (ds.map_batches(hash_batch, batch_format="pandas")
-              .groupby("h")
-              .aggregate(Min(key, alias_name=key))
-              .select_columns([key]))
+    hashed = ds.map_batches(hash_batch, batch_format="pandas")
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("h", sort=False, as_index=False)[key].min()[[key]]
+
+    return coarse_partition_apply(hashed, "h", pick)
 
 
 # ----------------------------------------------------------- shingles
@@ -206,15 +215,23 @@ def _bucket_pairs(ds_banded, key: str, max_bucket: int = 64,
             for a, b in itertools.combinations(ks, 2):
                 rows_a.append(a)
                 rows_b.append(b)
-        return pd.DataFrame({"key_a": rows_a, "key_b": rows_b})
+        # local dedupe shrinks the exchange (same pair from several
+        # buckets of one partition)
+        return pd.DataFrame({"key_a": rows_a,
+                             "key_b": rows_b}).drop_duplicates()
 
     cand = (ds_banded.map_batches(add_hb, batch_format="pandas")
             .groupby("hb")
             .map_groups(pairs_of_partition, batch_format="pandas"))
-    # dedupe pairs produced by multiple bands
-    from ray.data.aggregate import Count
-    return (cand.groupby(["key_a", "key_b"])
-                .aggregate(Count(alias_name="nbands")))
+    # global dedupe of pairs produced by multiple bands: coarse
+    # partition by pair identity + in-task drop_duplicates. (A Ray
+    # groupby(key_a,key_b).aggregate here measured ~2 s of fixed cost
+    # PER PARTITION on a 20k-row pair set — the sort-aggregate path is
+    # built for big data, not tiny exchanges.)
+    from ..shuffle import coarse_partition_apply
+    return coarse_partition_apply(
+        cand, ["key_a", "key_b"],
+        lambda g: g.drop_duplicates(["key_a", "key_b"]))
 
 
 def _join_verify(ds, cand_ds, key: str, text_col: str, shingle_n: int,
@@ -301,7 +318,7 @@ def _banded_candidates(ds, key, text_col, num_perm, bands, shingle_n):
         _MinhashBands, fn_constructor_kwargs=dict(
             key=key, text_col=text_col, num_perm=num_perm, bands=bands,
             shingle_n=shingle_n),
-        batch_format="pandas", concurrency=(1, 8))
+        batch_format="pandas", concurrency=(1, 64))
     return _bucket_pairs(banded, key).materialize()
 
 
@@ -523,7 +540,7 @@ class _SimhashBatch:
 def simhash_ds(ds, key: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(
         _SimhashBatch, fn_constructor_kwargs=dict(key=key, text_col=text_col),
-        batch_format="pandas", concurrency=(1, 8))
+        batch_format="pandas", concurrency=(1, 64))
 
 
 def simhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",

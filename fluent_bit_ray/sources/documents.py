@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION_DOCS = 1
+GEN_VERSION_DOCS = 2
 
 _VOCAB = ("spark line column order small sort fast value scan hash slow "
           "group batch agg filter query big key window row part table "
@@ -68,6 +68,10 @@ def ensure_documents(sf: float) -> str:
     if not os.path.exists(path):
         os.makedirs(d, exist_ok=True)
         tmp = path + ".tmp"
-        pq.write_table(synth_documents(docs_for_sf(sf)), tmp)
+        # small row groups so Ray can split ONE file into many
+        # blocks (a single-row-group file reads as one block and
+        # serializes every downstream map stage)
+        pq.write_table(synth_documents(docs_for_sf(sf)), tmp,
+                       row_group_size=2048)
         os.replace(tmp, path)
     return path

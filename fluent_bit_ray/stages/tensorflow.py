@@ -87,7 +87,7 @@ class TensorflowStage(Stage):
                   normalization_value=self.normalization_value,
                   hidden=self.hidden, out_dim=self.out_dim, seed=self.seed)
         return ds.map_batches(_TfScoreBatch, fn_constructor_kwargs=kw,
-                              batch_format="pandas", concurrency=(1, 8))
+                              batch_format="pandas", concurrency=(1, 64))
 
 
 class _TfScoreBatch:
