@@ -52,13 +52,18 @@ def _calibration_sec() -> float:
 
 
 def _docs_path(sf_dir: str) -> str | None:
+    """documents table for the dedup-family benches: the driver's when
+    present (and no multiplier), else the deterministic synthetic one.
+    $GRAFT_DOCS_MULT scales the synthetic table (scaling mode sets 8 ⇒
+    400k docs at sf1) so sub-second jobs aren't fixed-overhead noise."""
+    mult = float(os.environ.get("GRAFT_DOCS_MULT", "1"))
     p = f"{sf_dir}/documents.parquet"
-    if os.path.exists(p):
+    if os.path.exists(p) and mult == 1:
         return p
     try:
         from fluent_bit_ray.sources.documents import ensure_documents
         from fluent_bit_ray.sources.transcripts import sf_from_dir
-        return ensure_documents(sf_from_dir(sf_dir))
+        return ensure_documents(sf_from_dir(sf_dir) * mult)
     except Exception:
         return None
 
@@ -184,11 +189,13 @@ def run_scaling() -> None:
     sf_dir = os.environ.get("SCALING_SF_DIR", "/root/testdata/sf1")
     from fluent_bit_ray.sources.transcripts import ensure_transcripts
     ensure_transcripts(sf_dir)
+    os.environ.setdefault("GRAFT_DOCS_MULT", "8")
     _docs_path(sf_dir)  # pre-cache the synthetic documents table too
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-                   BENCH_REPS=os.environ.get("SCALING_BENCH_REPS", "1"))
+                   BENCH_REPS=os.environ.get("SCALING_BENCH_REPS", "1"),
+                   GRAFT_DOCS_MULT=os.environ.get("GRAFT_DOCS_MULT", "8"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True,
