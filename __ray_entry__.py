@@ -460,6 +460,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fluent_bit_ray.dataops import vocab_topk
         return vocab_topk(_docs(sf_dir), k=100)
 
+    def doc_decontaminate(sf_dir: str):
+        """Benchmark n-gram decontamination: the 'benchmark' is the
+        deterministic doc_id % 20 == 0 slice of the corpus; its distinct
+        word-5-gram h64 hashes are collected once (benchmark-sized),
+        broadcast via ray.put, and every doc counts its DISTINCT
+        contaminated grams by searchsorted membership — the canonical
+        broadcast semi-join (no shuffle, corpus streams)."""
+        from fluent_bit_ray.dataops import (benchmark_ngram_hashes,
+                                            decontaminate)
+        docs = _docs(sf_dir)
+        bench = docs.map_batches(
+            lambda df: df[df["doc_id"] % 20 == 0], batch_format="pandas")
+        bh = benchmark_ngram_hashes(bench, ngram=5)
+        out = decontaminate(docs, bh, ngram=5).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out = out[["doc_id", "n_hits", "contaminated"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def docs_sample_mix(sf_dir: str):
+        """Deterministic weighted source mixing: per-source keep rates
+        cycle 100/50/30/10 % by source index; membership is
+        h64(md5(doc_id)) % 100 < rate — reproducible at any parallelism
+        and in SQL (no RNG)."""
+        from fluent_bit_ray.dataops import mix_by_source
+        weights = {f"src{i}": (100, 50, 30, 10)[i % 4] for i in range(64)}
+        out = mix_by_source(_docs(sf_dir), weights).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out = out[["doc_id", "source"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def doc_chunks(sf_dir: str):
+        """Fixed word-window chunking (window 32, stride 24): the
+        flat-map that turns documents into training-sequence chunks."""
+        from fluent_bit_ray.dataops import chunk_docs
+        out = chunk_docs(_docs(sf_dir), window=32, stride=24).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out = out[["doc_id", "chunk_idx", "chunk_text", "n_words_chunk"]]
+        return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+    def doc_repetition(sf_dir: str):
+        """Gopher-style repetition signals (duplicate-word fraction and
+        top-2-gram fraction, in milli-units) — vectorized explode +
+        factorize + groupby kernels."""
+        from fluent_bit_ray.dataops import repetition_stats
+        out = repetition_stats(_docs(sf_dir)).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out = out[["doc_id", "n_words", "dup_word_milli", "top2_milli"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def docs_pack(sf_dir: str):
+        """Greedy sequence packing per source (budget 128 words,
+        doc_id order): only (source, doc_id, n_words) moves through the
+        exchange; bins number per source."""
+        from fluent_bit_ray.dataops import pack_sequences
+        out = pack_sequences(_docs(sf_dir), budget=128).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out = out[["source", "doc_id", "n_words", "bin_idx"]]
+        return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
     # -- ua_enrich: browser counts over apache rows (regex-table lookup)
     def ua_browser_counts(sf_dir: str):
         routed = _routed(sf_dir, with_rewrite=False, with_enrich=True)
@@ -729,6 +788,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_score": tf_score,
         "doc_redact": doc_redact,
         "vocab_top": vocab_top,
+        "doc_decontaminate": doc_decontaminate,
+        "docs_sample_mix": docs_sample_mix,
+        "doc_chunks": doc_chunks,
+        "doc_repetition": doc_repetition,
+        "docs_pack": docs_pack,
         "ua_browser_counts": ua_browser_counts,
         "multiline_segments": multiline_segments,
         "multiline_segments_gap": multiline_segments_gap,
@@ -745,6 +809,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ------------------------------------------------------------ oracle SQL
+def _h64_sql(md5_expr: str) -> str:
+    """SQL for dataops.dedup._h64: little-endian 64-bit md5 prefix as
+    UBIGINT. ``md5_expr`` is a SQL expression yielding the md5 hex."""
+    le = "||".join(f"substr({md5_expr},{i},2)"
+                   for i in (15, 13, 11, 9, 7, 5, 3, 1))
+    return f"('0x' || {le})::UBIGINT"
+
+
 def _minhash_oracle_sql() -> str:
     """The engine's MinHash-LSH near-dup pipeline written in DuckDB SQL
     (see fluent_bit_ray/dataops/dedup.py): same shingles, same md5
@@ -1067,6 +1139,98 @@ def oracle_sql() -> dict[str, str]:
                        AS token FROM documents)
             SELECT token, count(*)::BIGINT AS n FROM w
             GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        # decontamination: same 5-gram construction as the minhash
+        # oracle's shingles (dataops/dedup._shingles), same h64 hash;
+        # n_hits counts DISTINCT contaminated gram hashes per doc
+        "doc_decontaminate": rf"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                    CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(ws) - 3),
+                         i -> array_to_string(ws[i:i+4], ' '))) END AS grams
+                   FROM w),
+            gx AS (SELECT DISTINCT doc_id, {_h64_sql('md5(s)')} AS h
+                   FROM (SELECT doc_id, unnest(grams) AS s FROM sh)),
+            bench AS (SELECT DISTINCT h FROM gx WHERE doc_id % 20 = 0),
+            hits AS (SELECT gx.doc_id, count(*)::BIGINT AS n_hits
+                     FROM gx JOIN bench USING (h) GROUP BY gx.doc_id)
+            SELECT d.doc_id, coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(hits.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "docs_sample_mix": f"""
+            WITH b AS (SELECT doc_id, source,
+                              {_h64_sql('md5(CAST(doc_id AS VARCHAR))')}
+                                % 100 AS bucket,
+                              CAST(substr(source, 4) AS INT) % 4 AS si
+                       FROM documents)
+            SELECT doc_id, source FROM b
+            WHERE bucket < CASE si WHEN 0 THEN 100 WHEN 1 THEN 50
+                                   WHEN 2 THEN 30 ELSE 10 END
+            ORDER BY doc_id
+        """,
+        "doc_chunks": r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                       FROM documents),
+            st AS (SELECT doc_id, ws, unnest(range(0, len(ws), 24)) AS start
+                   FROM w)
+            SELECT doc_id, (start // 24)::BIGINT AS chunk_idx,
+                   array_to_string(ws[start+1:start+32], ' ') AS chunk_text,
+                   least(32, len(ws) - start)::BIGINT AS n_words_chunk
+            FROM st ORDER BY doc_id, chunk_idx
+        """,
+        # repetition: milli-unit floats mirror the engine's exact IEEE
+        # expression order (see quality_milli note); pair strings are
+        # unambiguous because words contain no spaces
+        "doc_repetition": r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                       FROM documents),
+            base AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+                            len(list_distinct(ws))::BIGINT AS n_uniq
+                     FROM w),
+            pairs AS (SELECT doc_id,
+                             unnest(list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i+1])) AS p
+                      FROM w WHERE len(ws) >= 2),
+            topg AS (SELECT doc_id, max(c)::BIGINT AS top2 FROM (
+                       SELECT doc_id, p, count(*) AS c FROM pairs
+                       GROUP BY doc_id, p) GROUP BY doc_id)
+            SELECT b.doc_id, b.n_words,
+                   floor((1.0 - CAST(b.n_uniq AS DOUBLE)
+                          / CAST(greatest(b.n_words, 1) AS DOUBLE))
+                         * 1000.0 + 0.5)::BIGINT AS dup_word_milli,
+                   CASE WHEN b.n_words >= 2 THEN
+                     floor(CAST(coalesce(t.top2, 0) AS DOUBLE)
+                           / CAST(b.n_words - 1 AS DOUBLE)
+                           * 1000.0 + 0.5)::BIGINT
+                   ELSE 0 END AS top2_milli
+            FROM base b LEFT JOIN topg t ON t.doc_id = b.doc_id
+            ORDER BY b.doc_id
+        """,
+        # greedy packing is a sequential recurrence → recursive CTE
+        # stepping one row per source per iteration
+        "docs_pack": r"""
+            WITH RECURSIVE d AS (
+              SELECT source, doc_id,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT AS n,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents),
+            r AS (
+              SELECT source, doc_id, n, rn, 0::BIGINT AS bin_idx, n AS cum
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.source, d.doc_id, d.n, d.rn,
+                     CASE WHEN r.cum + d.n <= 128 THEN r.bin_idx
+                          ELSE r.bin_idx + 1 END,
+                     CASE WHEN r.cum + d.n <= 128 THEN r.cum + d.n
+                          ELSE d.n END
+              FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+            SELECT source, doc_id, n AS n_words, bin_idx
+            FROM r ORDER BY source, doc_id
         """,
         "ua_browser_counts": f"""
             WITH t AS ({t}),

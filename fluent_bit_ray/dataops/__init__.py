@@ -11,3 +11,12 @@ from .dedup import (  # noqa: F401
     simhash_dup_pairs,
 )
 from .annsearch import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401
+from .curation import (  # noqa: F401
+    benchmark_ngram_hashes,
+    chunk_docs,
+    decontaminate,
+    hash_sample,
+    mix_by_source,
+    pack_sequences,
+    repetition_stats,
+)

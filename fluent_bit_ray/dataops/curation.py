@@ -1,0 +1,254 @@
+"""Corpus-curation operators for training-data pipelines:
+benchmark decontamination, deterministic sampling / source mixing,
+document chunking, repetition stats and sequence packing.
+
+These extend the engine beyond the reference's operator set (per the
+build brief); semantics are the standard web-scale curation recipes
+(benchmark n-gram decontamination, Gopher-style repetition filters,
+fixed-window chunking, greedy sequence packing).
+
+Scale notes (100 TB framing):
+
+- ``decontaminate``: the benchmark side (a test/eval set) is SMALL by
+  construction — its distinct n-gram hashes are collected once, sorted,
+  ``ray.put`` ONCE, and every corpus batch membership-tests against the
+  shared read-only array (searchsorted, zero-copy from the object
+  store). The corpus streams; nothing all-to-all.
+- ``hash_sample`` / ``mix_by_source``: stateless per-batch filters on a
+  deterministic md5-derived bucket — no shuffle, no RNG state, and the
+  same row set at any parallelism (md5 of the key, never
+  ``Math.random``-style sampling which is not reproducible or
+  resumable).
+- ``chunk_docs``: pure flat-map; output-bound (every emitted chunk
+  character is touched once).
+- ``repetition_stats``: fully vectorized per batch (one explode +
+  factorize + scatter-add; no per-row Python beyond pandas C kernels).
+- ``pack_sequences``: packing is inherently sequential WITHIN a bin
+  stream, so the op packs per (group, shard) — ``shards`` subdivides a
+  group deterministically by key hash so one hot source does not
+  serialize the job; only (group, key, n_words) moves through the
+  shuffle (the text column is projected away before the exchange).
+
+All hashes reuse :func:`fluent_bit_ray.dataops.dedup._h64` (64-bit
+little-endian md5 prefix), reproducible in DuckDB SQL — every operator
+here has a full rows+schema+hash oracle in ``__ray_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .dedup import _h64, _shingles
+
+
+# ----------------------------------------------------- decontamination
+def benchmark_ngram_hashes(bench_ds, text_col: str = "text",
+                           ngram: int = 5) -> np.ndarray:
+    """Distinct word-``ngram`` h64 hashes of a (small) benchmark
+    Dataset, as a SORTED uint64 array ready to broadcast.
+
+    Computed distributed (per-batch distinct sets), merged on the
+    driver — the merge is benchmark-sized (eval sets are MBs), never
+    corpus-sized.
+    """
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        hs: set[int] = set()
+        for t in df[text_col].astype(str):
+            hs |= _shingles(t, ngram)
+        arr = np.fromiter(hs, dtype=np.uint64, count=len(hs))
+        return pd.DataFrame({"h": arr.view(np.int64)})
+
+    parts = bench_ds.map_batches(part, batch_format="pandas").to_pandas()
+    return np.unique(parts["h"].to_numpy().view(np.uint64))
+
+
+def decontaminate(ds, bench_hashes: np.ndarray, key: str = "doc_id",
+                  text_col: str = "text", ngram: int = 5):
+    """Flag corpus docs sharing any word-``ngram`` with the benchmark.
+
+    ``bench_hashes`` is the sorted uint64 array from
+    :func:`benchmark_ngram_hashes`; it is ``ray.put`` once and each
+    task reads it zero-copy. Returns Dataset[key, n_hits,
+    contaminated] where ``n_hits`` counts the DISTINCT contaminated
+    n-grams of the doc (``_shingles`` is a set).
+    """
+    import ray
+    bench_hashes = np.ascontiguousarray(bench_hashes, dtype=np.uint64)
+    ref = ray.put(bench_hashes)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        bh = ray.get(ref)
+        n = len(df)
+        n_hits = np.zeros(n, dtype=np.int64)
+        if len(bh):
+            for i, t in enumerate(df[text_col].astype(str).tolist()):
+                g = np.fromiter(_shingles(t, ngram), dtype=np.uint64)
+                idx = np.searchsorted(bh, g)
+                idx[idx == len(bh)] = 0
+                n_hits[i] = int((bh[idx] == g).sum())
+        return pd.DataFrame({key: df[key], "n_hits": n_hits,
+                             "contaminated": n_hits > 0})
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+# ------------------------------------------------- sampling and mixing
+def _key_bucket(s: pd.Series) -> np.ndarray:
+    """Deterministic 0..99 bucket per key: h64(str(key)) % 100 — the
+    md5 construction DuckDB reproduces, so sampling is oracle-exact
+    and identical at any parallelism / on resume."""
+    return s.astype(str).map(lambda v: _h64(v) % 100).to_numpy(
+        dtype=np.int64)
+
+
+def hash_sample(ds, rate_pct: int, key: str = "doc_id"):
+    """Keep rows whose key bucket < ``rate_pct`` (deterministic ~rate%
+    sample; no RNG, no shuffle, resumable)."""
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_key_bucket(df[key]) < rate_pct]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def mix_by_source(ds, weights: dict[str, int], source_col: str = "source",
+                  key: str = "doc_id", default_pct: int = 0):
+    """Weighted corpus mixing: per-source deterministic sampling rates
+    (percent). The standard "data mixture" step — e.g. keep 100% of
+    books, 30% of web — expressed as one stateless batch filter."""
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        pct = df[source_col].map(lambda s: weights.get(s, default_pct)) \
+            .to_numpy(dtype=np.int64)
+        return df[_key_bucket(df[key]) < pct]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# ------------------------------------------------------------ chunking
+def chunk_docs(ds, window: int = 32, stride: int = 24,
+               key: str = "doc_id", text_col: str = "text"):
+    """Split each doc into word windows of ``window`` words every
+    ``stride`` words (overlap = window - stride). Pure flat-map:
+    Dataset[key, chunk_idx, chunk_text, n_words_chunk]. Empty docs
+    emit nothing. Output-bound — each emitted character is assembled
+    once; there is no cheaper shape for a chunk-text materializer."""
+    def chunks(df: pd.DataFrame) -> pd.DataFrame:
+        keys_out: list = []
+        idx_out: list[int] = []
+        txt_out: list[str] = []
+        n_out: list[int] = []
+        for k, t in zip(df[key].tolist(), df[text_col].astype(str).tolist()):
+            words = t.split()
+            for ci, start in enumerate(range(0, len(words), stride)):
+                w = words[start:start + window]
+                keys_out.append(k)
+                idx_out.append(ci)
+                txt_out.append(" ".join(w))
+                n_out.append(len(w))
+        return pd.DataFrame({key: keys_out,
+                             "chunk_idx": np.array(idx_out, dtype=np.int64),
+                             "chunk_text": txt_out,
+                             "n_words_chunk": np.array(n_out,
+                                                       dtype=np.int64)})
+
+    return ds.map_batches(chunks, batch_format="pandas")
+
+
+# ----------------------------------------------------- repetition stats
+def repetition_stats(ds, key: str = "doc_id", text_col: str = "text"):
+    """Gopher-style within-doc repetition signals, vectorized:
+
+    - ``dup_word_milli`` = floor(1000·(1 − distinct_words/words) + .5)
+    - ``top2_milli``     = floor(1000·(max 2-gram count / 2-gram count) + .5)
+      (0 for docs with < 2 words)
+
+    One explode + one factorize per batch; per-row counts come from
+    C-level pandas groupby kernels (no per-row Python).
+    """
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        words = df[text_col].astype(str).str.split()
+        n_words = words.str.len().to_numpy(dtype=np.int64)
+        ex = words.explode()
+        ew = ex[ex.notna()]
+        pos = {idx: i for i, idx in enumerate(df.index)}
+        rowpos = np.fromiter((pos[r] for r in ew.index), dtype=np.int64,
+                             count=len(ew))
+        codes, _ = pd.factorize(ew.to_numpy())
+        # distinct words per row: drop duplicate (row, code) pairs
+        uniq = pd.DataFrame({"r": rowpos, "c": codes}) \
+            .drop_duplicates().groupby("r").size()
+        n_uniq = np.zeros(n, dtype=np.int64)
+        n_uniq[uniq.index.to_numpy()] = uniq.to_numpy()
+        # 2-gram codes: consecutive positions in the SAME row
+        same = rowpos[:-1] == rowpos[1:] if len(rowpos) else \
+            np.zeros(0, dtype=bool)
+        v = int(codes.max()) + 1 if len(codes) else 1
+        pair = codes[:-1].astype(np.int64) * v + codes[1:] if len(codes) \
+            else np.zeros(0, dtype=np.int64)
+        pr = rowpos[:-1][same] if len(rowpos) else rowpos
+        pairs = pd.DataFrame({"r": pr, "p": pair[same]})
+        top = pairs.groupby(["r", "p"]).size().groupby("r").max()
+        top2 = np.zeros(n, dtype=np.int64)
+        top2[top.index.to_numpy()] = top.to_numpy()
+        n_pairs = np.maximum(n_words - 1, 0)
+        dup_frac = 1.0 - n_uniq / np.maximum(n_words, 1)
+        top_frac = np.where(n_pairs > 0, top2 / np.maximum(n_pairs, 1), 0.0)
+        return pd.DataFrame({
+            key: df[key],
+            "n_words": n_words,
+            "dup_word_milli": np.floor(dup_frac * 1000.0 + 0.5)
+            .astype(np.int64),
+            "top2_milli": np.floor(top_frac * 1000.0 + 0.5)
+            .astype(np.int64),
+        })
+
+    return ds.map_batches(stats, batch_format="pandas")
+
+
+# ------------------------------------------------------------- packing
+def pack_sequences(ds, budget: int = 128, group_col: str = "source",
+                   key: str = "doc_id", text_col: str = "text",
+                   shards: int = 1):
+    """Greedy sequence packing: within each (group, shard), docs in
+    ``key`` order fill bins of at most ``budget`` words; a doc that
+    does not fit opens the next bin (an over-budget doc gets its own).
+    Returns Dataset[group, key, n_words, bin_idx] (plus ``shard`` when
+    ``shards`` > 1; bins are numbered per (group, shard)).
+
+    Only (group, key, n_words) moves through the exchange — the text
+    column is projected away in the first map_batches. Packing is
+    sequential per (group, shard) by nature; ``shards`` (key-hash
+    split) bounds that serialization for hot groups at scale. The
+    per-row kernel is integer-only (cumsum-with-reset).
+    """
+    from ..shuffle import coarse_group_apply
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            group_col: df[group_col],
+            key: df[key],
+            "n_words": df[text_col].astype(str).str.count(r"\S+")
+            .to_numpy(dtype=np.int64),
+        })
+        if shards > 1:
+            out["shard"] = _key_bucket(df[key]) % shards
+        return out
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(key, kind="mergesort").reset_index(drop=True)
+        n = g["n_words"].to_numpy()
+        bins = np.zeros(len(g), dtype=np.int64)
+        b, cum = 0, 0
+        for i, ni in enumerate(n):
+            if i > 0 and cum + ni > budget:
+                b += 1
+                cum = 0
+            cum += ni
+            bins[i] = b
+        g["bin_idx"] = bins
+        return g
+
+    gkey = [group_col, "shard"] if shards > 1 else group_col
+    return coarse_group_apply(
+        ds.map_batches(project, batch_format="pandas"), gkey, pack)

@@ -1,0 +1,146 @@
+"""Curation ops: decontamination, sampling/mixing, chunking,
+repetition stats, sequence packing (fluent_bit_ray/dataops/curation.py).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from fluent_bit_ray.dataops import (
+    benchmark_ngram_hashes,
+    chunk_docs,
+    decontaminate,
+    hash_sample,
+    mix_by_source,
+    pack_sequences,
+    repetition_stats,
+)
+from fluent_bit_ray.dataops.dedup import _h64, _shingles
+
+
+def docs_ds(texts, sources=None):
+    t = {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    if sources is not None:
+        t["source"] = pa.array(sources, type=pa.string())
+    return rd.from_arrow(pa.table(t))
+
+
+# ------------------------------------------------------ decontaminate
+def test_decontaminate_flags_overlap_and_counts_distinct_grams():
+    bench = docs_ds(["one two three four five six seven"])
+    corpus = docs_ds([
+        "one two three four five six seven",        # identical: all grams hit
+        "zzz one two three four five yyy xxx www",  # one shared 5-gram
+        "totally different words with no overlap at all",
+    ])
+    bh = benchmark_ngram_hashes(bench, ngram=5)
+    out = decontaminate(corpus, bh, ngram=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["contaminated"].tolist() == [True, True, False]
+    # doc 0 has 3 distinct 5-grams, all contaminated
+    assert out["n_hits"].tolist()[:2] == [3, 1]
+
+
+def test_decontaminate_empty_benchmark_flags_nothing():
+    corpus = docs_ds(["a b c d e f"])
+    out = decontaminate(corpus, np.array([], dtype=np.uint64)).to_pandas()
+    assert not out["contaminated"].any()
+
+
+def test_benchmark_hashes_match_shingles():
+    text = "alpha beta gamma delta epsilon zeta"
+    bh = benchmark_ngram_hashes(docs_ds([text]), ngram=5)
+    assert set(bh.tolist()) == _shingles(text, 5)
+
+
+# --------------------------------------------------- sampling / mixing
+def test_hash_sample_is_deterministic_and_rate_shaped():
+    texts = [f"doc {i}" for i in range(1000)]
+    a = hash_sample(docs_ds(texts), 30).to_pandas()["doc_id"]
+    b = hash_sample(docs_ds(texts), 30).to_pandas()["doc_id"]
+    assert sorted(a) == sorted(b)                       # deterministic
+    assert 200 < len(a) < 400                           # ~30%
+    # exact membership rule
+    expect = [i for i in range(1000) if _h64(str(i)) % 100 < 30]
+    assert sorted(a) == expect
+
+
+def test_mix_by_source_rates_and_default():
+    n = 600
+    sources = ["keep_all", "half", "drop"] * (n // 3)
+    ds = docs_ds([f"t {i}" for i in range(n)], sources)
+    out = mix_by_source(ds, {"keep_all": 100, "half": 50},
+                        default_pct=0).to_pandas()
+    by = out.groupby("source").size()
+    assert by.get("keep_all", 0) == n // 3              # 100% kept
+    assert "drop" not in by.index                       # default 0
+    assert 0 < by.get("half", 0) < n // 3
+
+
+# ------------------------------------------------------------ chunking
+def test_chunk_docs_windows_and_stride():
+    words = [f"w{i}" for i in range(80)]
+    out = chunk_docs(docs_ds([" ".join(words)]),
+                     window=32, stride=24).to_pandas() \
+        .sort_values("chunk_idx").reset_index(drop=True)
+    # starts 0, 24, 48, 72 → 4 chunks; sizes 32,32,32,8
+    assert out["chunk_idx"].tolist() == [0, 1, 2, 3]
+    assert out["n_words_chunk"].tolist() == [32, 32, 32, 8]
+    assert out["chunk_text"][0] == " ".join(words[:32])
+    assert out["chunk_text"][3] == " ".join(words[72:])
+    # overlap: chunk 1 starts at word 24
+    assert out["chunk_text"][1].split()[0] == "w24"
+
+
+def test_chunk_docs_short_and_empty():
+    out = chunk_docs(docs_ds(["a b c", ""]), window=32,
+                     stride=24).to_pandas()
+    assert len(out) == 1                                # empty doc drops
+    assert out["chunk_text"].iloc[0] == "a b c"
+    assert out["n_words_chunk"].iloc[0] == 3
+
+
+# ----------------------------------------------------- repetition stats
+def test_repetition_stats_values():
+    out = repetition_stats(docs_ds([
+        "a b a b a b",        # 2 uniq / 6 words; top 2-gram "a b" ×3 of 5
+        "x y z",              # all unique; every 2-gram once: top = 1/2
+        "solo",               # 1 word: no 2-grams
+    ])).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_words"].tolist() == [6, 3, 1]
+    assert out["dup_word_milli"].tolist() == [
+        round((1 - 2 / 6) * 1000), 0, 0]
+    assert out["top2_milli"].tolist() == [600, 500, 0]
+
+
+def test_repetition_stats_batch_isolation():
+    # same words in two docs must not cross-count 2-grams
+    out = repetition_stats(docs_ds(["a b", "b a"])).to_pandas()
+    assert out["top2_milli"].tolist() == [1000, 1000]
+
+
+# ------------------------------------------------------------- packing
+def test_pack_sequences_greedy_bins():
+    texts = ["w " * 50, "w " * 50, "w " * 50, "w " * 200, "w " * 10]
+    ds = docs_ds([t.strip() for t in texts], ["s"] * 5)
+    out = pack_sequences(ds, budget=128).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc order: 50+50=100 fits; +50 → 150 > 128 ⇒ new bin;
+    # 200 > 128 alone ⇒ new bin; 10 after over-budget ⇒ new bin
+    assert out["bin_idx"].tolist() == [0, 0, 1, 2, 3]
+    assert out["n_words"].tolist() == [50, 50, 50, 200, 10]
+
+
+def test_pack_sequences_per_group_and_shards():
+    texts = ["w " * 60] * 6
+    ds = docs_ds([t.strip() for t in texts], ["a", "a", "a", "b", "b", "b"])
+    out = pack_sequences(ds, budget=128).to_pandas()
+    # per source: 60+60 fit, third spills → bins [0,0,1] in each group
+    for _, g in out.groupby("source"):
+        assert sorted(g.sort_values("doc_id")["bin_idx"]) == [0, 0, 1]
+    sharded = pack_sequences(ds, budget=128, shards=4).to_pandas()
+    assert "shard" in sharded.columns
+    # every doc still packed exactly once
+    assert sorted(sharded["doc_id"]) == list(range(6))
