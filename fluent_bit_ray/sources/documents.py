@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-GEN_VERSION_DOCS = 2
+GEN_VERSION_DOCS = 3
 
 _VOCAB = ("spark line column order small sort fast value scan hash slow "
           "group batch agg filter query big key window row part table "
@@ -62,16 +62,26 @@ def synth_documents(n: int, seed: int = 17) -> pa.Table:
 
 
 def ensure_documents(sf: float) -> str:
-    """Synthesize-and-cache; returns the parquet file path."""
+    """Synthesize-and-cache; returns a parquet DIRECTORY path.
+
+    The table is written as MANY files (one read task each): a single
+    small file reads as ONE Ray task — measured: the whole simhash
+    stage ran at ~6× on 16 CPUs because every map task queued behind
+    the serial read. Multi-file is also the only realistic layout for
+    the 100 TB target, where input arrives as thousands of shards.
+    """
     d = f"/tmp/graft_docs/v{GEN_VERSION_DOCS}/sf{sf:g}"
-    path = os.path.join(d, "documents.parquet")
+    path = os.path.join(d, "documents")
     if not os.path.exists(path):
-        os.makedirs(d, exist_ok=True)
+        tab = synth_documents(docs_for_sf(sf))
+        shards = max(1, min(64, tab.num_rows // 6_000))
         tmp = path + ".tmp"
-        # small row groups so Ray can split ONE file into many
-        # blocks (a single-row-group file reads as one block and
-        # serializes every downstream map stage)
-        pq.write_table(synth_documents(docs_for_sf(sf)), tmp,
-                       row_group_size=2048)
+        os.makedirs(tmp, exist_ok=True)
+        step = -(-tab.num_rows // shards)
+        for i in range(shards):
+            part = tab.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(part, os.path.join(tmp, f"part-{i:05d}.parquet"),
+                               row_group_size=2048)
         os.replace(tmp, path)
     return path
