@@ -154,18 +154,30 @@ class MultilineStage(Stage):
             texts_np = texts.to_numpy()
 
             if not cont_parsers and fl_parser is None:
+                # Segments are CONTIGUOUS row runs after the sort (a
+                # folded run shares one run id; every solo row is its
+                # own segment), so boundary arithmetic replaces the
+                # pandas groupby: the per-group Python ``joiner.join``
+                # agg measured ~11 µs/row — the multiline wall-time
+                # hotspot at sf1 — while slice-joins only touch the
+                # minority multi-row segments.
                 seg = np.where(folded, run, run[-1] + 1 + np.arange(n))
-                gg = pd.DataFrame({key: kvals, "_seg": seg,
-                                   "_turn": g[order_col].to_numpy(),
-                                   text_col: texts_np})
-                out = gg.groupby("_seg", sort=False).agg(
-                    **{key: (key, "first"),
-                       "first_turn": ("_turn", "first"),
-                       "n_parts": (text_col, "size"),
-                       text_col: (text_col, joiner.join)}).reset_index(drop=True)
-                out["first_turn"] = out["first_turn"].astype("int64")
-                out["n_parts"] = out["n_parts"].astype("int64")
-                return out[[key, "first_turn", "n_parts", text_col]]
+                brk = np.empty(n, dtype=bool)
+                brk[0] = True
+                brk[1:] = seg[1:] != seg[:-1]
+                starts = np.flatnonzero(brk)
+                ends = np.append(starts[1:], n)
+                nparts = ends - starts
+                texts_out = texts_np[starts].copy()
+                for i in np.flatnonzero(nparts > 1):
+                    texts_out[i] = joiner.join(texts_np[starts[i]:ends[i]])
+                return pd.DataFrame({
+                    key: kvals[starts],
+                    "first_turn": g[order_col].to_numpy()[starts]
+                    .astype("int64"),
+                    "n_parts": nparts.astype("int64"),
+                    text_col: texts_out,
+                })
 
             # ---- continuation-parser path (tail_multiline.c:336-512)
             cont_rows = folded & ~isf
