@@ -105,9 +105,17 @@ def minhash_signature(sh: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if not sh:
         return np.zeros(len(a), dtype=np.uint64)
     s = np.fromiter(sh, dtype=np.uint64)
-    # (k, m) permuted hashes → min along m
-    vals = (a[:, None] * s[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-    return vals.min(axis=1)
+    # per-permutation CONTIGUOUS ops (a broadcast (k,1)×(1,m) matrix
+    # measured 30-40× slower per element than the 1-D loop form)
+    out = np.empty(len(a), dtype=np.uint64)
+    row = np.empty_like(s)
+    m = np.uint64(_MERSENNE)
+    for i in range(len(a)):
+        np.multiply(s, a[i], out=row)
+        np.add(row, b[i], out=row)
+        np.mod(row, m, out=row)
+        out[i] = row.min()
+    return out
 
 
 class _MinhashBands:
@@ -129,36 +137,38 @@ class _MinhashBands:
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
 
-    _CHUNK_SHINGLES = 400_000  # bounds the (num_perm × total) matrix
-
     def _signatures(self, texts: list[str]) -> np.ndarray:
-        """(n_docs, num_perm) uint64 signature matrix."""
+        """(n_docs, num_perm) uint64 signature matrix.
+
+        One CONTIGUOUS pass per permutation over the batch's
+        concatenated shingle stream (mul+add+mod with ``out=`` reuse,
+        then ``minimum.reduceat`` over the doc boundaries). The former
+        (num_perm × total) broadcast matrix computed identical values
+        but numpy's stride-0 broadcast loop measured 30-40× slower per
+        element than these 1-D kernels — it was the whole MinHash
+        stage's hotspot — and its memory forced chunking; the row form
+        needs only 2× the shingle stream."""
         sets = [_shingles(t, self.shingle_n) for t in texts]
         counts = np.array([len(s) for s in sets], dtype=np.int64)
         n = len(sets)
-        sigs = np.zeros((n, len(self.a)), dtype=np.uint64)
-        lo = 0
-        while lo < n:
-            hi, total = lo, 0
-            while hi < n and (hi == lo or total + counts[hi]
-                              <= self._CHUNK_SHINGLES):
-                total += counts[hi]
-                hi += 1
-            sub = [np.fromiter(s, dtype=np.uint64, count=len(s))
-                   for s in sets[lo:hi] if len(s)]
-            nonempty = counts[lo:hi] > 0
-            if sub:
-                concat = np.concatenate(sub)
-                # (k, total) permuted hashes → per-doc min via reduceat
-                vals = (self.a[:, None] * concat[None, :]
-                        + self.b[:, None]) % np.uint64(_MERSENNE)
-                bounds = np.concatenate(
-                    ([0], np.cumsum(counts[lo:hi][nonempty])[:-1]))
-                mins = np.minimum.reduceat(vals, bounds, axis=1)
-                block = sigs[lo:hi]
-                block[nonempty] = mins.T
-                sigs[lo:hi] = block
-            lo = hi
+        k = len(self.a)
+        sigs = np.zeros((n, k), dtype=np.uint64)
+        sub = [np.fromiter(s, dtype=np.uint64, count=len(s))
+               for s in sets if len(s)]
+        if not sub:
+            return sigs
+        concat = np.concatenate(sub)
+        nz = counts[counts > 0]
+        bounds = np.concatenate(([0], np.cumsum(nz)[:-1]))
+        mins = np.empty((k, len(nz)), dtype=np.uint64)
+        row = np.empty_like(concat)
+        m = np.uint64(_MERSENNE)
+        for i in range(k):
+            np.multiply(concat, self.a[i], out=row)
+            np.add(row, self.b[i], out=row)
+            np.mod(row, m, out=row)
+            mins[i] = np.minimum.reduceat(row, bounds)
+        sigs[counts > 0] = mins.T
         return sigs
 
     # FNV-style multiplier for the vectorized band-slice hash; any
@@ -204,15 +214,31 @@ def _bucket_pairs(ds_banded, key: str, max_bucket: int = 64,
         return df
 
     def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
-        rows_a: list = []
-        rows_b: list = []
-        for _, grp in g.groupby(["band", "bh"], sort=False):
-            if len(grp) < 2:
-                continue
-            ks = sorted(grp[key].tolist())
-            if len(ks) > max_bucket:
-                ks = ks[:max_bucket]
-            for a, b in itertools.combinations(ks, 2):
+        # sort by exact bucket identity (band, bh) with the key as the
+        # in-bucket order, then run-detection: buckets become contiguous
+        # row runs. Pairing is vectorized for the dominant size-2
+        # buckets; only the rare size ≥ 3 buckets loop in Python (the
+        # former per-bucket groupby iterated EVERY bucket — millions of
+        # near-singletons — in Python).
+        g = g.sort_values(["band", "bh", key], kind="mergesort")
+        band = g["band"].to_numpy()
+        bh = g["bh"].to_numpy()
+        keys_ = g[key].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"key_a": [], "key_b": []})
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        s2 = starts[sizes == 2]
+        rows_a = list(keys_[s2])
+        rows_b = list(keys_[s2 + 1])
+        for si in np.flatnonzero(sizes > 2):
+            ks = keys_[starts[si]:ends[si]][:max_bucket]
+            for a, b in itertools.combinations(ks.tolist(), 2):
                 rows_a.append(a)
                 rows_b.append(b)
         # local dedupe shrinks the exchange (same pair from several
@@ -310,15 +336,66 @@ def _join_verify(ds, cand_ds, key: str, text_col: str, shingle_n: int,
 _VERIFY_JOIN_THRESHOLD = 200_000
 
 
+def _shingle_arrays(ds, cand: pd.DataFrame, key, text_col,
+                    shingle_n) -> dict:
+    """Broadcast-verify helper: key → SORTED uint64 shingle array for
+    every candidate endpoint. Shingling (the md5-per-gram cost) runs
+    worker-side in ``map_batches``; the driver only receives the
+    candidate docs' hash arrays — it never md5s anything itself (the
+    former driver-side dict build measured 5 s serial at 86k docs)."""
+    need = set(cand["key_a"]) | set(cand["key_b"])
+
+    def sh_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[df[key].isin(need)]
+        return pd.DataFrame({
+            key: sub[key],
+            "sh": [np.fromiter(s, dtype=np.uint64, count=len(s))
+                   for s in (_shingles(str(t), shingle_n)
+                             for t in sub[text_col])],
+        })
+
+    out = ds.map_batches(sh_rows, batch_format="pandas").to_pandas()
+    return {k: np.sort(np.asarray(a, dtype=np.uint64))
+            for k, a in zip(out[key], out["sh"])}
+
+
+def _pair_inter_uni(sh: dict, cand: pd.DataFrame):
+    """(inter, uni) int64 arrays for each candidate pair from the
+    sorted shingle arrays (``intersect1d(assume_unique)`` — shingle
+    sets are sets by construction)."""
+    inter = np.empty(len(cand), dtype=np.int64)
+    uni = np.empty(len(cand), dtype=np.int64)
+    for i, (a, b) in enumerate(zip(cand["key_a"], cand["key_b"])):
+        sa, sb = sh[a], sh[b]
+        ni = len(np.intersect1d(sa, sb, assume_unique=True))
+        inter[i] = ni
+        uni[i] = len(sa) + len(sb) - ni
+    return inter, uni
+
+
+# Worker-process-level stage cache: map_batches TASKS reuse worker
+# processes, so one _MinhashBands per (params) persists per worker
+# WITHOUT an actor pool. (The autoscaling pool started at 1 actor and
+# never ramped for short jobs — the same flat-scaling pathology the
+# simhash stage hit; plain tasks use every core immediately.)
+_BANDS_CACHE: dict[tuple, "_MinhashBands"] = {}
+
+
 def _banded_candidates(ds, key, text_col, num_perm, bands, shingle_n):
     """shingle → minhash → band → bucket-join candidate pair Dataset,
     MATERIALIZED (it is the small LSH output; materializing lets the
     auto verify switch count it without re-executing the pipeline)."""
-    banded = ds.map_batches(
-        _MinhashBands, fn_constructor_kwargs=dict(
-            key=key, text_col=text_col, num_perm=num_perm, bands=bands,
-            shingle_n=shingle_n),
-        batch_format="pandas", concurrency=(1, 64))
+    params = (key, text_col, num_perm, bands, shingle_n)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        st = _BANDS_CACHE.get(params)
+        if st is None:
+            st = _BANDS_CACHE[params] = _MinhashBands(
+                key=key, text_col=text_col, num_perm=num_perm,
+                bands=bands, shingle_n=shingle_n)
+        return st(df)
+
+    banded = ds.map_batches(fn, batch_format="pandas")
     return _bucket_pairs(banded, key).materialize()
 
 
@@ -363,16 +440,10 @@ def minhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
     if len(cand) == 0:
         return pd.DataFrame({"key_a": [], "key_b": [], "jaccard": []})
 
-    need = set(cand["key_a"]) | set(cand["key_b"])
-
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df[key].isin(need)][[key, text_col]]
-
-    texts = ds.map_batches(keep, batch_format="pandas").to_pandas()
-    sh = {k: _shingles(str(t), shingle_n)
-          for k, t in zip(texts[key], texts[text_col])}
-    jac = [jaccard(sh[a], sh[b]) for a, b in zip(cand["key_a"], cand["key_b"])]
-    cand["jaccard"] = np.round(jac, round_to)
+    sh = _shingle_arrays(ds, cand, key, text_col, shingle_n)
+    inter, uni = _pair_inter_uni(sh, cand)
+    cand["jaccard"] = np.round(
+        np.where(uni > 0, inter / np.maximum(uni, 1), 1.0), round_to)
     out = cand[cand["jaccard"] >= threshold][["key_a", "key_b", "jaccard"]]
     return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
 
@@ -413,20 +484,10 @@ def minhash_dup_pair_counts(ds, key: str = "doc_id", text_col: str = "text",
     cand = cand_ds.to_pandas()
     if len(cand) == 0:
         return empty
-    need = set(cand["key_a"]) | set(cand["key_b"])
-
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df[key].isin(need)][[key, text_col]]
-
-    texts = ds.map_batches(keep, batch_format="pandas").to_pandas()
-    sh = {k: _shingles(str(t), shingle_n)
-          for k, t in zip(texts[key], texts[text_col])}
-    inter = [len(sh[x] & sh[y])
-             for x, y in zip(cand["key_a"], cand["key_b"])]
-    uni = [len(sh[x] | sh[y])
-           for x, y in zip(cand["key_a"], cand["key_b"])]
-    cand["inter"] = pd.array(inter, dtype="int64")
-    cand["uni"] = pd.array(uni, dtype="int64")
+    sh = _shingle_arrays(ds, cand, key, text_col, shingle_n)
+    inter, uni = _pair_inter_uni(sh, cand)
+    cand["inter"] = inter
+    cand["uni"] = uni
     out = cand[cand["inter"] * hi >= cand["uni"] * lo]
     out = out[["key_a", "key_b", "inter", "uni"]]
     return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
