@@ -137,6 +137,24 @@ def run_bench() -> None:
         from fluent_bit_ray.dataops.dedup import simhash_ds
         return simhash_ds(rd.read_parquet(docs)).count()
 
+    def bench_decontaminate():
+        from fluent_bit_ray.dataops import (benchmark_ngram_hashes,
+                                            decontaminate)
+        dd = rd.read_parquet(docs)
+        bench_side = dd.map_batches(
+            lambda df: df[df["doc_id"] % 20 == 0], batch_format="pandas")
+        bh = benchmark_ngram_hashes(bench_side, ngram=5)
+        return decontaminate(dd, bh, ngram=5).count()
+
+    def bench_repetition():
+        from fluent_bit_ray.dataops import repetition_stats
+        return repetition_stats(rd.read_parquet(docs)).count()
+
+    def bench_pack():
+        from fluent_bit_ray.dataops import pack_sequences
+        return pack_sequences(rd.read_parquet(docs), budget=128,
+                              shards=8).count()
+
     benches = [("flagship_e2e", headline),
                ("parse_route_count", bench_parse_only),
                ("flowcounter", bench_flowcounter),
@@ -144,7 +162,10 @@ def run_bench() -> None:
     if docs:
         benches += [("dedup_exact_docs", bench_dedup_exact),
                     ("minhash_pairs", bench_minhash),
-                    ("simhash", bench_simhash)]
+                    ("simhash", bench_simhash),
+                    ("decontaminate", bench_decontaminate),
+                    ("repetition_stats", bench_repetition),
+                    ("pack_sequences", bench_pack)]
 
     # interleaved passes: one full sweep per rep so a bad host minute
     # lands on every query equally, medians across passes
@@ -189,7 +210,10 @@ def run_scaling() -> None:
     sf_dir = os.environ.get("SCALING_SF_DIR", "/root/testdata/sf1")
     from fluent_bit_ray.sources.transcripts import ensure_transcripts
     ensure_transcripts(sf_dir)
-    os.environ.setdefault("GRAFT_DOCS_MULT", "8")
+    # 16 ⇒ 800k synthetic docs at sf1: big enough that the short dedup
+    # jobs (simhash ~16 s of total CPU at mult 8) are not dominated by
+    # the ~1 s fixed per-execution overhead at the hi level
+    os.environ.setdefault("GRAFT_DOCS_MULT", "16")
     _docs_path(sf_dir)  # pre-cache the synthetic documents table too
 
     def run(ncpu: int) -> dict:
