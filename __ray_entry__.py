@@ -509,6 +509,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["doc_id", "n_words", "dup_word_milli", "top2_milli"]]
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def doc_len_quantiles(sf_dir: str):
+        """Exact per-source length-distribution quantiles over n_chars
+        (histogram partials per batch; quantile = smallest value whose
+        cumulative count ≥ ceil(q/1000·N), exact integers end to end)."""
+        from fluent_bit_ray.dataops import column_quantiles
+        out = column_quantiles(_docs(sf_dir), "n_chars",
+                               group_col="source")
+        for c in ("q_milli", "value", "n_le"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values(["source", "q_milli"]).reset_index(drop=True)
+
     def docs_pack(sf_dir: str):
         """Greedy sequence packing per source (budget 128 words,
         doc_id order): only (source, doc_id, n_words) moves through the
@@ -793,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": doc_chunks,
         "doc_repetition": doc_repetition,
         "docs_pack": docs_pack,
+        "doc_len_quantiles": doc_len_quantiles,
         "ua_browser_counts": ua_browser_counts,
         "multiline_segments": multiline_segments,
         "multiline_segments_gap": multiline_segments_gap,
@@ -1209,6 +1221,24 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0 END AS top2_milli
             FROM base b LEFT JOIN topg t ON t.doc_id = b.doc_id
             ORDER BY b.doc_id
+        """,
+        # exact quantile rule shared with the engine: smallest value
+        # whose cumulative count ≥ ceil(q/1000·N), integer arithmetic
+        "doc_len_quantiles": """
+            WITH h AS (SELECT source, n_chars AS value, count(*) AS n
+                       FROM documents GROUP BY source, n_chars),
+            c AS (SELECT source, value, n,
+                         sum(n) OVER (PARTITION BY source ORDER BY value)
+                           AS cum,
+                         sum(n) OVER (PARTITION BY source) AS total
+                  FROM h),
+            q AS (SELECT unnest([250, 500, 750, 900, 990]) AS q_milli)
+            SELECT c.source, q.q_milli::BIGINT AS q_milli,
+                   min(c.value)::BIGINT AS value,
+                   arg_min(c.cum, c.value)::BIGINT AS n_le
+            FROM c JOIN q ON c.cum >= (q.q_milli * c.total + 999) // 1000
+            GROUP BY c.source, q.q_milli
+            ORDER BY c.source, q_milli
         """,
         # greedy packing is a sequential recurrence → recursive CTE
         # stepping one row per source per iteration

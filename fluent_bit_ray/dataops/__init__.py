@@ -14,6 +14,7 @@ from .annsearch import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401
 from .curation import (  # noqa: F401
     benchmark_ngram_hashes,
     chunk_docs,
+    column_quantiles,
     decontaminate,
     hash_sample,
     mix_by_source,

@@ -206,6 +206,56 @@ def repetition_stats(ds, key: str = "doc_id", text_col: str = "text"):
     return ds.map_batches(stats, batch_format="pandas")
 
 
+# ----------------------------------------------------------- quantiles
+def column_quantiles(ds, col: str, qs=(250, 500, 750, 900, 990),
+                     group_col: str | None = None) -> pd.DataFrame:
+    """EXACT distributed quantiles of an integer column (the corpus
+    length-distribution step), optionally per group.
+
+    Shape: per-batch ``value_counts`` collapses each batch to its
+    DISTINCT values (the histogram partial — a hot value ships one row
+    per batch, same shape as ``vocab_topk``); the merged histogram is
+    driver-sized (distinct values ≪ rows for any length-like column).
+    Quantile rule (both engine and oracle): ``qs`` are in MILLI units;
+    the q-quantile is the smallest value whose cumulative count
+    ≥ ceil(q/1000 · N) — exact integers end to end, no interpolation.
+
+    Returns (group?, q_milli, value, n_le) with ``n_le`` the cumulative
+    count at the chosen value (exactness witness).
+    """
+    cols = [col] if group_col is None else [group_col, col]
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df.groupby(cols, sort=False).size().reset_index(name="n")
+        return vc
+
+    hist = (ds.map_batches(part, batch_format="pandas").to_pandas()
+            .groupby(cols, sort=False)["n"].sum().reset_index())
+
+    def quantiles_of(h: pd.DataFrame) -> pd.DataFrame:
+        h = h.sort_values(col, kind="mergesort")
+        cum = h["n"].cumsum().to_numpy()
+        total = int(cum[-1]) if len(cum) else 0
+        if total == 0:
+            return pd.DataFrame({"q_milli": pd.array([], dtype="int64"),
+                                 "value": pd.array([], dtype="int64"),
+                                 "n_le": pd.array([], dtype="int64")})
+        vals = h[col].to_numpy()
+        rows = []
+        for q in qs:
+            rank = -(-q * total // 1000)  # ceil(q/1000 * N), exact int
+            i = int(np.searchsorted(cum, rank))
+            rows.append((int(q), int(vals[i]), int(cum[i])))
+        return pd.DataFrame(rows, columns=["q_milli", "value", "n_le"])
+
+    if group_col is None:
+        return quantiles_of(hist).reset_index(drop=True)
+    out = (hist.groupby(group_col, sort=False)
+           .apply(quantiles_of, include_groups=False).reset_index(level=0)
+           .reset_index(drop=True))
+    return out.sort_values([group_col, "q_milli"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------------- packing
 def pack_sequences(ds, budget: int = 128, group_col: str = "source",
                    key: str = "doc_id", text_col: str = "text",

@@ -144,3 +144,30 @@ def test_pack_sequences_per_group_and_shards():
     assert "shard" in sharded.columns
     # every doc still packed exactly once
     assert sorted(sharded["doc_id"]) == list(range(6))
+
+
+# ----------------------------------------------------------- quantiles
+def test_column_quantiles_exact_rule():
+    from fluent_bit_ray.dataops import column_quantiles
+    # values 1..10, N=10: q=250 → rank ceil(2.5)=3 → value 3 (cum 3);
+    # q=500 → rank 5 → value 5; q=990 → rank ceil(9.9)=10 → value 10
+    t = pa.table({"v": pa.array(list(range(1, 11)), type=pa.int64())})
+    out = column_quantiles(rd.from_arrow(t), "v", qs=(250, 500, 990))
+    assert out["value"].tolist() == [3, 5, 10]
+    assert out["n_le"].tolist() == [3, 5, 10]
+
+
+def test_column_quantiles_grouped_and_ties():
+    from fluent_bit_ray.dataops import column_quantiles
+    t = pa.table({
+        "g": pa.array(["a"] * 4 + ["b"] * 2, type=pa.string()),
+        "v": pa.array([7, 7, 7, 9, 1, 2], type=pa.int64()),
+    })
+    out = column_quantiles(rd.from_arrow(t), "v", qs=(500, 1000),
+                           group_col="g")
+    a = out[out["g"] == "a"]
+    # a: N=4; q=500 → rank 2 → value 7 (cum 3); q=1000 → rank 4 → 9
+    assert a["value"].tolist() == [7, 9]
+    assert a["n_le"].tolist() == [3, 4]
+    b = out[out["g"] == "b"]
+    assert b["value"].tolist() == [1, 2]
