@@ -54,12 +54,36 @@ def _calibration_sec() -> float:
 def _docs_path(sf_dir: str) -> str | None:
     """documents table for the dedup-family benches: the driver's when
     present (and no multiplier), else the deterministic synthetic one.
-    $GRAFT_DOCS_MULT scales the synthetic table (scaling mode sets 8 ⇒
-    400k docs at sf1) so sub-second jobs aren't fixed-overhead noise."""
+    $GRAFT_DOCS_MULT scales the synthetic table (scaling mode sets 16 ⇒
+    800k docs at sf1) so sub-second jobs aren't fixed-overhead noise.
+
+    The driver table is RE-SHARDED once into a cached multi-file copy
+    (same rows, one read task per file): Ray reads a single parquet
+    file as ONE serial task, which starves every downstream dedup
+    stage — an input-layout artifact, not an operator cost.
+    """
     mult = float(os.environ.get("GRAFT_DOCS_MULT", "1"))
     p = f"{sf_dir}/documents.parquet"
     if os.path.exists(p) and mult == 1:
-        return p
+        import pyarrow.parquet as pq
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        d = f"/tmp/graft_docs/driver_shards/{tag}"
+        if not os.path.isdir(d):
+            tab = pq.read_table(p)
+            # driver tables are small (≤50k docs): shard finer so the
+            # read still fans out across a 32-CPU node
+            shards = max(1, min(64, tab.num_rows // 1_000))
+            step = -(-tab.num_rows // shards)
+            tmp = d + ".tmp"
+            os.makedirs(tmp, exist_ok=True)
+            for i in range(shards):
+                part = tab.slice(i * step, step)
+                if part.num_rows:
+                    pq.write_table(part,
+                                   os.path.join(tmp, f"part-{i:05d}.parquet"),
+                                   row_group_size=2048)
+            os.replace(tmp, d)
+        return d
     try:
         from fluent_bit_ray.sources.documents import ensure_documents
         from fluent_bit_ray.sources.transcripts import sf_from_dir
