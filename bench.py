@@ -104,6 +104,12 @@ def run_bench() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # Ray's default read parallelism floor is 200 blocks regardless of
+    # cluster size; on these CPU-bound vectorized kernels that shreds
+    # small-table jobs into ~15 ms tasks where dispatch dominates
+    # (exact dedup measured 5.1 s wall for ~0.6 s of ideal compute).
+    # 4 blocks/CPU keeps every core busy with real work.
+    ctx.read_op_min_num_blocks = max(8, 4 * num_cpus)
 
     from fluent_bit_ray.pipelines.flagship import build_flagship
     from fluent_bit_ray.sinks import flowcounter
