@@ -357,6 +357,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["doc_id", "simhash_hex"]]
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def docs_simhash_pairs(sf_dir: str):
+        """SimHash near-dup PAIRS (hamming ≤ 3 via 4-band pigeonhole
+        blocking + in-bucket verification). The banding is lossless for
+        the radius, so the oracle is the exact quadratic rule: all
+        pairs with bit_count(xor(sig_a, sig_b)) ≤ 3 over the same
+        SQL-derived signatures."""
+        from fluent_bit_ray.dataops import simhash_dup_pairs
+        out = simhash_dup_pairs(_docs(sf_dir))
+        out["key_a"] = out["key_a"].astype("int64")
+        out["key_b"] = out["key_b"].astype("int64")
+        out["hamming"] = out["hamming"].astype("int64")
+        return out.reset_index(drop=True)
+
     def docs_minhash_pairs(sf_dir: str):
         # exact-integer (inter, uni) output so the DuckDB oracle (the
         # same 64-permutation MinHash-LSH written in SQL) hash-matches
@@ -791,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": doc_langid,
         "doc_fingerprint": doc_fingerprint,
         "doc_simhash": doc_simhash,
+        "docs_simhash_pairs": docs_simhash_pairs,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_jaccard_pairs": docs_jaccard_pairs,
         "docs_dedup_keep": docs_dedup_keep,
@@ -1585,6 +1599,44 @@ def oracle_sql() -> dict[str, str]:
                      AS simhash_hex
             FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
             ORDER BY d.doc_id
+        """,
+        # simhash pairs: the 4-band pigeonhole blocking is LOSSLESS for
+        # hamming ≤ 3, so the oracle is the quadratic exact rule over
+        # the same SQL-derived signatures (cross join is benchmark-side
+        # only — the engine never does all-pairs)
+        "docs_simhash_pairs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(text, '\S+')) AS word
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                ('0x' || substr(md5(word),15,2)||substr(md5(word),13,2)||
+                         substr(md5(word),11,2)||substr(md5(word),9,2)||
+                         substr(md5(word),7,2)||substr(md5(word),5,2)||
+                         substr(md5(word),3,2)||substr(md5(word),1,2)
+                )::UBIGINT AS hv
+              FROM w),
+            b AS (
+              SELECT doc_id, g.bit,
+                     sum(CASE WHEN (hv >> g.bit) & 1 = 1
+                         THEN 1 ELSE -1 END) AS acc
+              FROM h, generate_series(0, 63) AS g(bit)
+              GROUP BY doc_id, g.bit),
+            s AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN acc > 0
+                          THEN CAST(1 AS UBIGINT) << CAST(bit AS INT)
+                          ELSE 0 END) AS UBIGINT) AS sim
+              FROM b GROUP BY doc_id),
+            sig AS (
+              SELECT d.doc_id, coalesce(s.sim, 0) AS sim
+              FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)
+            SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+                   bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+            ORDER BY key_a, key_b
         """,
         # fingerprint: Rabin–Karp over utf-8 bytes is expressible via
         # hex(encode(text)) byte slices + list_reduce with HUGEINT
