@@ -154,10 +154,21 @@ def run_bench() -> None:
         return st.apply(read_transcripts(sf_dir)).count()
 
     docs = _docs_path(sf_dir)
+    # the cheapest dedup kernels finish in ~2 s at the hi CPU level,
+    # where the ~0.7 s fixed per-execution cost (plan + task ramp)
+    # floors measured scaling; scaling mode points them at a 4× table
+    # so the measurement reflects the operators, not session overhead
+    heavy_mult = float(os.environ.get("GRAFT_DOCS_MULT_HEAVY", "0"))
+    if docs and heavy_mult > 0:
+        from fluent_bit_ray.sources.documents import ensure_documents
+        from fluent_bit_ray.sources.transcripts import sf_from_dir
+        docs_heavy = ensure_documents(sf_from_dir(sf_dir) * heavy_mult)
+    else:
+        docs_heavy = docs
 
     def bench_dedup_exact():
         from fluent_bit_ray.dataops import exact_dedup
-        return exact_dedup(rd.read_parquet(docs)).count()
+        return exact_dedup(rd.read_parquet(docs_heavy)).count()
 
     def bench_minhash():
         from fluent_bit_ray.dataops import minhash_dup_pair_counts
@@ -165,7 +176,7 @@ def run_bench() -> None:
 
     def bench_simhash():
         from fluent_bit_ray.dataops.dedup import simhash_ds
-        return simhash_ds(rd.read_parquet(docs)).count()
+        return simhash_ds(rd.read_parquet(docs_heavy)).count()
 
     def bench_decontaminate():
         from fluent_bit_ray.dataops import (benchmark_ngram_hashes,
@@ -178,7 +189,7 @@ def run_bench() -> None:
 
     def bench_repetition():
         from fluent_bit_ray.dataops import repetition_stats
-        return repetition_stats(rd.read_parquet(docs)).count()
+        return repetition_stats(rd.read_parquet(docs_heavy)).count()
 
     def bench_pack():
         from fluent_bit_ray.dataops import pack_sequences
@@ -244,7 +255,12 @@ def run_scaling() -> None:
     # jobs (simhash ~16 s of total CPU at mult 8) are not dominated by
     # the ~1 s fixed per-execution overhead at the hi level
     os.environ.setdefault("GRAFT_DOCS_MULT", "16")
+    os.environ.setdefault("GRAFT_DOCS_MULT_HEAVY", "64")
     _docs_path(sf_dir)  # pre-cache the synthetic documents table too
+    from fluent_bit_ray.sources.documents import ensure_documents
+    from fluent_bit_ray.sources.transcripts import sf_from_dir
+    ensure_documents(sf_from_dir(sf_dir)
+                     * float(os.environ["GRAFT_DOCS_MULT_HEAVY"]))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,

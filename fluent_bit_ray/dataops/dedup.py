@@ -652,19 +652,50 @@ def simhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
     sh = simhash_ds(ds, key=key, text_col=text_col)
     banded = sh.map_batches(band_rows, batch_format="pandas")
 
+    popcnt_lut = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1)
+
+    def _hamming(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        x = np.bitwise_xor(sa, sb)
+        return popcnt_lut[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+
     def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for _, grp in g.groupby(["band", "bv"], sort=False):
-            if len(grp) < 2:
-                continue
-            recs = sorted(zip(grp[key], grp["simhash"]))
-            if len(recs) > max_bucket:  # hot-bucket cap (skew guard)
-                recs = recs[:max_bucket]
-            for (ka, sa), (kb, sb) in itertools.combinations(recs, 2):
-                ham = bin((int(sa) ^ int(sb)) & ((1 << 64) - 1)).count("1")
+        # buckets become contiguous runs after the (band, bv, key)
+        # sort; size-2 buckets (the common case) verify hamming in one
+        # vectorized LUT-popcount pass, only ≥3-member buckets loop
+        # (same run-detection shape as the MinHash `_bucket_pairs`)
+        g = g.sort_values(["band", "bv", key], kind="mergesort")
+        band = g["band"].to_numpy()
+        bv = g["bv"].to_numpy()
+        keys_ = g[key].to_numpy()
+        sims = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"key_a": [], "key_b": [], "hamming": []})
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bv[1:] != bv[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        sizes = ends - starts
+        s2 = starts[sizes == 2]
+        ham2 = _hamming(sims[s2], sims[s2 + 1]) if len(s2) else \
+            np.zeros(0, dtype=np.int64)
+        ok = ham2 <= max_hamming
+        rows_a = list(keys_[s2[ok]])
+        rows_b = list(keys_[s2[ok] + 1])
+        rows_h = [int(h) for h in ham2[ok]]
+        for si in np.flatnonzero(sizes > 2):
+            ks = keys_[starts[si]:ends[si]][:max_bucket]
+            ss = sims[starts[si]:ends[si]][:max_bucket]
+            for i, j in itertools.combinations(range(len(ks)), 2):
+                ham = int(_hamming(ss[i:i + 1], ss[j:j + 1])[0])
                 if ham <= max_hamming:
-                    rows.append((ka, kb, ham))
-        return pd.DataFrame(rows, columns=["key_a", "key_b", "hamming"])
+                    rows_a.append(ks[i])
+                    rows_b.append(ks[j])
+                    rows_h.append(ham)
+        return pd.DataFrame({"key_a": rows_a, "key_b": rows_b,
+                             "hamming": rows_h})
 
     pairs = (banded.groupby("hb")
              .map_groups(pairs_of_partition, batch_format="pandas")).to_pandas()

@@ -378,3 +378,25 @@ def test_vocab_topk_partial_aggregation():
     full = vocab_topk(docs_ds(texts), k=100)
     assert dict(zip(full["token"], full["n"])) == \
         {"a": 2, "b": 3, "c": 3, "d": 4}
+
+
+def test_simhash_pairs_match_bruteforce_hamming():
+    # pigeonhole blocking is lossless for the radius: the op must equal
+    # the quadratic rule over reference signatures
+    import itertools
+    rs = np.random.RandomState(3)
+    words = ["w%d" % i for i in range(40)]
+    texts = [" ".join(words[j] for j in rs.randint(0, 40, 12))
+             for _ in range(60)]
+    # plant near-dups: flip one word
+    for i in range(0, 20, 3):
+        t = texts[i].split(); t[0] = "w0"; texts.append(" ".join(t))
+    out = simhash_dup_pairs(docs_ds(texts), max_hamming=3)
+    sigs = [np.uint64(simhash64(t)) for t in texts]
+    expect = sorted(
+        (i, j, bin(int(sigs[i] ^ sigs[j])).count("1"))
+        for i, j in itertools.combinations(range(len(texts)), 2)
+        if bin(int(sigs[i] ^ sigs[j])).count("1") <= 3)
+    got = sorted(zip(out["key_a"].astype(int), out["key_b"].astype(int),
+                     out["hamming"].astype(int)))
+    assert got == expect
