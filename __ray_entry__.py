@@ -522,6 +522,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["doc_id", "n_words", "dup_word_milli", "top2_milli"]]
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def docs_curated(sf_dir: str):
+        """The composed curation pipeline (exact dedup → benchmark
+        decontamination → repetition/length gate → source mixing →
+        sequence packing) — one streaming filter chain plus two
+        broadcast artifacts; see dataops/curation.py:curate_corpus."""
+        from fluent_bit_ray.dataops import curate_corpus
+        weights = {f"src{i}": (100, 50, 30, 10)[i % 4] for i in range(64)}
+        out = curate_corpus(_docs(sf_dir), weights, budget=128).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out = out[["source", "doc_id", "n_words", "bin_idx"]]
+        return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
     def doc_len_quantiles(sf_dir: str):
         """Exact per-source length-distribution quantiles over n_chars
         (histogram partials per batch; quantile = smallest value whose
@@ -818,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": doc_chunks,
         "doc_repetition": doc_repetition,
         "docs_pack": docs_pack,
+        "docs_curated": docs_curated,
         "doc_len_quantiles": doc_len_quantiles,
         "ua_browser_counts": ua_browser_counts,
         "multiline_segments": multiline_segments,
@@ -1235,6 +1248,62 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0 END AS top2_milli
             FROM base b LEFT JOIN topg t ON t.doc_id = b.doc_id
             ORDER BY b.doc_id
+        """,
+        # the composed curation pipeline: each stage reuses its
+        # standalone oracle's CTE (dedup = min doc_id per md5(text);
+        # decontamination = the doc_decontaminate gram join; gates =
+        # the doc_repetition milli rule + length window; mixing = the
+        # docs_sample_mix bucket rule; packing = the docs_pack
+        # recursive recurrence over survivors)
+        "docs_curated": rf"""
+            WITH RECURSIVE keep AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                  FROM documents),
+            sh AS (SELECT doc_id,
+                    CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(ws) - 3),
+                         i -> array_to_string(ws[i:i+4], ' '))) END AS grams
+                   FROM w),
+            gx AS (SELECT DISTINCT doc_id, {_h64_sql('md5(s)')} AS h
+                   FROM (SELECT doc_id, unnest(grams) AS s FROM sh)),
+            bench AS (SELECT DISTINCT h FROM gx WHERE doc_id % 20 = 0),
+            cont AS (SELECT DISTINCT gx.doc_id FROM gx
+                     JOIN bench USING (h)),
+            rep AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+                           len(list_distinct(ws))::BIGINT AS n_uniq
+                    FROM w),
+            surv AS (
+              SELECT d.source, d.doc_id, r.n_words,
+                     row_number() OVER (PARTITION BY d.source
+                                        ORDER BY d.doc_id) AS rn
+              FROM documents d
+              JOIN keep k ON k.doc_id = d.doc_id
+              JOIN rep r ON r.doc_id = d.doc_id
+              LEFT JOIN cont c ON c.doc_id = d.doc_id
+              WHERE c.doc_id IS NULL
+                AND r.n_words BETWEEN 5 AND 80
+                AND floor((1.0 - CAST(r.n_uniq AS DOUBLE)
+                           / CAST(greatest(r.n_words, 1) AS DOUBLE))
+                          * 1000.0 + 0.5) <= 600
+                AND {_h64_sql('md5(CAST(d.doc_id AS VARCHAR))')} % 100
+                    < CASE CAST(substr(d.source, 4) AS INT) % 4
+                      WHEN 0 THEN 100 WHEN 1 THEN 50
+                      WHEN 2 THEN 30 ELSE 10 END),
+            pk AS (
+              SELECT source, doc_id, n_words, rn,
+                     0::BIGINT AS bin_idx, n_words AS cum
+              FROM surv WHERE rn = 1
+              UNION ALL
+              SELECT s.source, s.doc_id, s.n_words, s.rn,
+                     CASE WHEN pk.cum + s.n_words <= 128 THEN pk.bin_idx
+                          ELSE pk.bin_idx + 1 END,
+                     CASE WHEN pk.cum + s.n_words <= 128
+                          THEN pk.cum + s.n_words ELSE s.n_words END
+              FROM pk JOIN surv s
+                ON s.source = pk.source AND s.rn = pk.rn + 1)
+            SELECT source, doc_id, n_words, bin_idx
+            FROM pk ORDER BY source, doc_id
         """,
         # exact quantile rule shared with the engine: smallest value
         # whose cumulative count ≥ ceil(q/1000·N), integer arithmetic

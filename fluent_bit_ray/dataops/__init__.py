@@ -15,6 +15,7 @@ from .curation import (  # noqa: F401
     benchmark_ngram_hashes,
     chunk_docs,
     column_quantiles,
+    curate_corpus,
     decontaminate,
     hash_sample,
     mix_by_source,

@@ -60,6 +60,8 @@ def benchmark_ngram_hashes(bench_ds, text_col: str = "text",
         return pd.DataFrame({"h": arr.view(np.int64)})
 
     parts = bench_ds.map_batches(part, batch_format="pandas").to_pandas()
+    if "h" not in parts.columns or not len(parts):
+        return np.zeros(0, dtype=np.uint64)  # empty benchmark
     return np.unique(parts["h"].to_numpy().view(np.uint64))
 
 
@@ -155,55 +157,135 @@ def chunk_docs(ds, window: int = 32, stride: int = 24,
 
 
 # ----------------------------------------------------- repetition stats
+def _rep_signals(df: pd.DataFrame, text_col: str):
+    """(n_words, dup_word_milli, top2_milli) int64 arrays for a batch —
+    one explode + one factorize; per-row counts come from C-level
+    pandas groupby kernels (no per-row Python). Shared by
+    ``repetition_stats`` and the ``curate_corpus`` filter chain."""
+    n = len(df)
+    words = df[text_col].astype(str).str.split()
+    n_words = words.str.len().to_numpy(dtype=np.int64)
+    ex = words.explode()
+    ew = ex[ex.notna()]
+    pos = {idx: i for i, idx in enumerate(df.index)}
+    rowpos = np.fromiter((pos[r] for r in ew.index), dtype=np.int64,
+                         count=len(ew))
+    codes, _ = pd.factorize(ew.to_numpy())
+    # distinct words per row: drop duplicate (row, code) pairs
+    uniq = pd.DataFrame({"r": rowpos, "c": codes}) \
+        .drop_duplicates().groupby("r").size()
+    n_uniq = np.zeros(n, dtype=np.int64)
+    n_uniq[uniq.index.to_numpy()] = uniq.to_numpy()
+    # 2-gram codes: consecutive positions in the SAME row
+    same = rowpos[:-1] == rowpos[1:] if len(rowpos) else \
+        np.zeros(0, dtype=bool)
+    v = int(codes.max()) + 1 if len(codes) else 1
+    pair = codes[:-1].astype(np.int64) * v + codes[1:] if len(codes) \
+        else np.zeros(0, dtype=np.int64)
+    pr = rowpos[:-1][same] if len(rowpos) else rowpos
+    pairs = pd.DataFrame({"r": pr, "p": pair[same]})
+    top = pairs.groupby(["r", "p"]).size().groupby("r").max()
+    top2 = np.zeros(n, dtype=np.int64)
+    top2[top.index.to_numpy()] = top.to_numpy()
+    n_pairs = np.maximum(n_words - 1, 0)
+    dup_frac = 1.0 - n_uniq / np.maximum(n_words, 1)
+    top_frac = np.where(n_pairs > 0, top2 / np.maximum(n_pairs, 1), 0.0)
+    return (n_words,
+            np.floor(dup_frac * 1000.0 + 0.5).astype(np.int64),
+            np.floor(top_frac * 1000.0 + 0.5).astype(np.int64))
+
+
 def repetition_stats(ds, key: str = "doc_id", text_col: str = "text"):
     """Gopher-style within-doc repetition signals, vectorized:
 
     - ``dup_word_milli`` = floor(1000·(1 − distinct_words/words) + .5)
     - ``top2_milli``     = floor(1000·(max 2-gram count / 2-gram count) + .5)
       (0 for docs with < 2 words)
-
-    One explode + one factorize per batch; per-row counts come from
-    C-level pandas groupby kernels (no per-row Python).
     """
     def stats(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        words = df[text_col].astype(str).str.split()
-        n_words = words.str.len().to_numpy(dtype=np.int64)
-        ex = words.explode()
-        ew = ex[ex.notna()]
-        pos = {idx: i for i, idx in enumerate(df.index)}
-        rowpos = np.fromiter((pos[r] for r in ew.index), dtype=np.int64,
-                             count=len(ew))
-        codes, _ = pd.factorize(ew.to_numpy())
-        # distinct words per row: drop duplicate (row, code) pairs
-        uniq = pd.DataFrame({"r": rowpos, "c": codes}) \
-            .drop_duplicates().groupby("r").size()
-        n_uniq = np.zeros(n, dtype=np.int64)
-        n_uniq[uniq.index.to_numpy()] = uniq.to_numpy()
-        # 2-gram codes: consecutive positions in the SAME row
-        same = rowpos[:-1] == rowpos[1:] if len(rowpos) else \
-            np.zeros(0, dtype=bool)
-        v = int(codes.max()) + 1 if len(codes) else 1
-        pair = codes[:-1].astype(np.int64) * v + codes[1:] if len(codes) \
-            else np.zeros(0, dtype=np.int64)
-        pr = rowpos[:-1][same] if len(rowpos) else rowpos
-        pairs = pd.DataFrame({"r": pr, "p": pair[same]})
-        top = pairs.groupby(["r", "p"]).size().groupby("r").max()
-        top2 = np.zeros(n, dtype=np.int64)
-        top2[top.index.to_numpy()] = top.to_numpy()
-        n_pairs = np.maximum(n_words - 1, 0)
-        dup_frac = 1.0 - n_uniq / np.maximum(n_words, 1)
-        top_frac = np.where(n_pairs > 0, top2 / np.maximum(n_pairs, 1), 0.0)
+        n_words, dup_milli, top2_milli = _rep_signals(df, text_col)
         return pd.DataFrame({
             key: df[key],
             "n_words": n_words,
-            "dup_word_milli": np.floor(dup_frac * 1000.0 + 0.5)
-            .astype(np.int64),
-            "top2_milli": np.floor(top_frac * 1000.0 + 0.5)
-            .astype(np.int64),
+            "dup_word_milli": dup_milli,
+            "top2_milli": top2_milli,
         })
 
     return ds.map_batches(stats, batch_format="pandas")
+
+
+# ------------------------------------------------- end-to-end pipeline
+def curate_corpus(ds, weights: dict[str, int], budget: int = 128,
+                  bench_pred=None, key: str = "doc_id",
+                  text_col: str = "text", source_col: str = "source",
+                  ngram: int = 5, max_dup_word_milli: int = 600,
+                  min_words: int = 5, max_words: int = 80,
+                  default_pct: int = 0):
+    """The composed training-data curation pipeline: exact dedup →
+    benchmark decontamination → repetition + length filter → source
+    mixing → sequence packing, as ONE streaming pass over the text
+    plus the two auxiliary global artifacts it needs.
+
+    Scale shape: the corpus streams through a single fused per-batch
+    filter chain; the only global state is (a) the dedup keep-set and
+    (b) the contaminated-id set — both are ``ray.put`` ONCE and read
+    zero-copy per task (at 100 TB swap (a) for the anti-join form of
+    ``dedup_keep_list``; the brief's smallness bound is documented
+    there). The final packing exchange moves only (source, key,
+    n_words). Returns Dataset[source, key, n_words, bin_idx].
+
+    ``bench_pred``: pandas-Series→bool-mask callable selecting the
+    benchmark slice (default: ``key % 20 == 0``, the eval-set stand-in
+    used by the ``doc_decontaminate`` oracle).
+    """
+    import ray
+
+    if bench_pred is None:
+        def bench_pred(s):  # noqa: E306
+            return s % 20 == 0
+
+    # (a) dedup keep-set: representative (min key) per distinct text
+    from .dedup import exact_dedup
+    keep_ids = exact_dedup(ds, key=key, text_col=text_col).to_pandas()
+    keep_ref = ray.put(np.sort(keep_ids[key].to_numpy()))
+
+    # (b) contaminated ids vs the benchmark slice of the FULL corpus
+    bench = ds.map_batches(lambda df: df[bench_pred(df[key])],
+                           batch_format="pandas")
+    bh = benchmark_ngram_hashes(bench, text_col=text_col, ngram=ngram)
+    flags = decontaminate(ds, bh, key=key, text_col=text_col,
+                          ngram=ngram).to_pandas()
+    cont_ref = ray.put(np.sort(
+        flags.loc[flags["contaminated"], key].to_numpy()))
+
+    def _member(sorted_arr: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        if not len(sorted_arr):
+            return np.zeros(len(ids), dtype=bool)
+        idx = np.searchsorted(sorted_arr, ids)
+        idx[idx == len(sorted_arr)] = 0
+        return sorted_arr[idx] == ids
+
+    def keep_batch(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[key].to_numpy()
+        m = _member(ray.get(keep_ref), ids) \
+            & ~_member(ray.get(cont_ref), ids)
+        df = df[m]
+        if not len(df):
+            return df.iloc[:0]
+        # repetition + length gate (same vectorized kernel as
+        # repetition_stats — explode + factorize, no per-row Python)
+        n_words, dup_milli, _ = _rep_signals(df, text_col)
+        ok = ((n_words >= min_words) & (n_words <= max_words)
+              & (dup_milli <= max_dup_word_milli))
+        df = df[ok]
+        # deterministic source mixing
+        pct = df[source_col].map(
+            lambda s: weights.get(s, default_pct)).to_numpy(dtype=np.int64)
+        return df[_key_bucket(df[key]) < pct]
+
+    survivors = ds.map_batches(keep_batch, batch_format="pandas")
+    return pack_sequences(survivors, budget=budget, group_col=source_col,
+                          key=key, text_col=text_col)
 
 
 # ----------------------------------------------------------- quantiles

@@ -171,3 +171,37 @@ def test_column_quantiles_grouped_and_ties():
     assert a["n_le"].tolist() == [3, 4]
     b = out[out["g"] == "b"]
     assert b["value"].tolist() == [1, 2]
+
+
+# ------------------------------------------------------ full pipeline
+def test_curate_corpus_stage_semantics():
+    from fluent_bit_ray.dataops import curate_corpus
+    texts = [
+        "alpha beta gamma delta epsilon zeta",     # 0: survives
+        "alpha beta gamma delta epsilon zeta",     # 1: exact dup of 0 → dropped
+        "one two three four five six seven",       # 2: survives
+        "short",                                   # 3: < 5 words → dropped
+        "rep rep rep rep rep rep rep rep",         # 4: dup_milli 875 → dropped
+    ]
+    ds = docs_ds(texts, ["s"] * 5)
+    out = curate_corpus(
+        ds, weights={"s": 100}, budget=10,
+        bench_pred=lambda s: s < 0,  # empty benchmark → no contamination
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 2]
+    # budget 10 < 6+7 ⇒ second doc opens a new bin
+    assert out["bin_idx"].tolist() == [0, 1]
+
+
+def test_curate_corpus_decontaminates_benchmark_overlap():
+    from fluent_bit_ray.dataops import curate_corpus
+    texts = ["w%d w%d w%d w%d w%d w%d" % (i, i+1, i+2, i+3, i+4, i+5)
+             for i in range(8)]
+    ds = docs_ds(texts, ["s"] * 8)
+    # benchmark = doc 0; docs 0 and 1 share the 5-gram w1..w5 → both drop
+    out = curate_corpus(ds, weights={"s": 100}, budget=100,
+                        bench_pred=lambda s: s == 0) \
+        .to_pandas().sort_values("doc_id")
+    assert 0 not in set(out["doc_id"])
+    assert 1 not in set(out["doc_id"])
+    assert 2 in set(out["doc_id"])
