@@ -196,6 +196,12 @@ def run_bench() -> None:
         return pack_sequences(rd.read_parquet(docs), budget=128,
                               shards=8).count()
 
+    def bench_curated():
+        from fluent_bit_ray.dataops import curate_corpus
+        weights = {f"src{i}": (100, 50, 30, 10)[i % 4] for i in range(64)}
+        return curate_corpus(rd.read_parquet(docs), weights,
+                             budget=128).count()
+
     benches = [("flagship_e2e", headline),
                ("parse_route_count", bench_parse_only),
                ("flowcounter", bench_flowcounter),
@@ -206,7 +212,8 @@ def run_bench() -> None:
                     ("simhash", bench_simhash),
                     ("decontaminate", bench_decontaminate),
                     ("repetition_stats", bench_repetition),
-                    ("pack_sequences", bench_pack)]
+                    ("pack_sequences", bench_pack),
+                    ("curated_pipeline", bench_curated)]
 
     # interleaved passes: one full sweep per rep so a bad host minute
     # lands on every query equally, medians across passes
