@@ -205,3 +205,34 @@ def test_curate_corpus_decontaminates_benchmark_overlap():
     assert 0 not in set(out["doc_id"])
     assert 1 not in set(out["doc_id"])
     assert 2 in set(out["doc_id"])
+
+
+# --------------------------------------------------------- invariants
+def test_pack_sequences_budget_invariant():
+    from fluent_bit_ray.dataops import pack_sequences
+    rs = np.random.RandomState(11)
+    texts = ["w " * int(n) for n in rs.randint(1, 60, 200)]
+    ds = docs_ds([t.strip() for t in texts],
+                 [f"s{i%3}" for i in range(200)])
+    out = pack_sequences(ds, budget=100).to_pandas()
+    # per (source, bin): total words ≤ budget unless the bin is a
+    # single over-budget doc; bins numbered contiguously from 0
+    for src, g in out.groupby("source"):
+        sums = g.groupby("bin_idx")["n_words"].agg(["sum", "size"])
+        for b, row in sums.iterrows():
+            assert row["sum"] <= 100 or row["size"] == 1
+        bins = sorted(g["bin_idx"].unique())
+        assert bins == list(range(len(bins)))
+
+
+def test_column_quantiles_matches_sorted_rank_definition():
+    from fluent_bit_ray.dataops import column_quantiles
+    rs = np.random.RandomState(5)
+    vals = rs.randint(0, 50, 777)
+    t = pa.table({"v": pa.array(vals, type=pa.int64())})
+    qs = (100, 250, 500, 750, 999)
+    out = column_quantiles(rd.from_arrow(t), "v", qs=qs)
+    sv = np.sort(vals)
+    for q, got in zip(qs, out["value"].tolist()):
+        rank = -(-q * len(sv) // 1000)  # ceil
+        assert got == sv[rank - 1]
