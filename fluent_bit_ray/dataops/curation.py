@@ -220,18 +220,20 @@ def curate_corpus(ds, weights: dict[str, int], budget: int = 128,
                   text_col: str = "text", source_col: str = "source",
                   ngram: int = 5, max_dup_word_milli: int = 600,
                   min_words: int = 5, max_words: int = 80,
-                  default_pct: int = 0):
+                  default_pct: int = 0, dedup_mode: str = "broadcast"):
     """The composed training-data curation pipeline: exact dedup →
     benchmark decontamination → repetition + length filter → source
     mixing → sequence packing, as ONE streaming pass over the text
-    plus the two auxiliary global artifacts it needs.
+    plus the auxiliary global artifacts it needs.
 
     Scale shape: the corpus streams through a single fused per-batch
-    filter chain; the only global state is (a) the dedup keep-set and
-    (b) the contaminated-id set — both are ``ray.put`` ONCE and read
-    zero-copy per task (at 100 TB swap (a) for the anti-join form of
-    ``dedup_keep_list``; the brief's smallness bound is documented
-    there). The final packing exchange moves only (source, key,
+    filter chain; global state is the contaminated-id set (``ray.put``
+    once, benchmark-sized by construction) and — in the default
+    ``dedup_mode="broadcast"`` — the dedup keep-set. At 100 TB use
+    ``dedup_mode="exchange"``: dedup then runs as a coarse-partitioned
+    text-hash exchange that KEEPS the surviving rows in-stream (the
+    corpus text moves once; no driver keep-set at all). Results are
+    identical. The final packing exchange moves only (source, key,
     n_words). Returns Dataset[source, key, n_words, bin_idx].
 
     ``bench_pred``: pandas-Series→bool-mask callable selecting the
@@ -244,10 +246,12 @@ def curate_corpus(ds, weights: dict[str, int], budget: int = 128,
         def bench_pred(s):  # noqa: E306
             return s % 20 == 0
 
-    # (a) dedup keep-set: representative (min key) per distinct text
-    from .dedup import exact_dedup
-    keep_ids = exact_dedup(ds, key=key, text_col=text_col).to_pandas()
-    keep_ref = ray.put(np.sort(keep_ids[key].to_numpy()))
+    keep_ref = None
+    if dedup_mode == "broadcast":
+        # dedup keep-set: representative (min key) per distinct text
+        from .dedup import exact_dedup
+        keep_ids = exact_dedup(ds, key=key, text_col=text_col).to_pandas()
+        keep_ref = ray.put(np.sort(keep_ids[key].to_numpy()))
 
     # (b) contaminated ids vs the benchmark slice of the FULL corpus
     bench = ds.map_batches(lambda df: df[bench_pred(df[key])],
@@ -267,8 +271,9 @@ def curate_corpus(ds, weights: dict[str, int], budget: int = 128,
 
     def keep_batch(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[key].to_numpy()
-        m = _member(ray.get(keep_ref), ids) \
-            & ~_member(ray.get(cont_ref), ids)
+        m = ~_member(ray.get(cont_ref), ids)
+        if keep_ref is not None:
+            m &= _member(ray.get(keep_ref), ids)
         df = df[m]
         if not len(df):
             return df.iloc[:0]
@@ -283,7 +288,33 @@ def curate_corpus(ds, weights: dict[str, int], budget: int = 128,
             lambda s: weights.get(s, default_pct)).to_numpy(dtype=np.int64)
         return df[_key_bucket(df[key]) < pct]
 
-    survivors = ds.map_batches(keep_batch, batch_format="pandas")
+    src = ds
+    if dedup_mode == "exchange":
+        # in-stream exact dedup: coarse-partition by text hash, keep
+        # the min-key row of each distinct text — the corpus text
+        # moves through ONE exchange and no keep-set ever exists
+        from ..shuffle import coarse_partition_apply
+        from .dedup import _md5_hex
+
+        def add_th(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_th"] = df[text_col].astype(str).map(_md5_hex)
+            return df
+
+        def pick_first(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["_th", key], kind="mergesort")
+            th = g["_th"].to_numpy()
+            first = np.empty(len(g), dtype=bool)
+            if len(g):
+                first[0] = True
+                first[1:] = th[1:] != th[:-1]
+            return g[first].drop(columns=["_th"])
+
+        src = coarse_partition_apply(
+            ds.map_batches(add_th, batch_format="pandas"), "_th",
+            pick_first)
+
+    survivors = src.map_batches(keep_batch, batch_format="pandas")
     return pack_sequences(survivors, budget=budget, group_col=source_col,
                           key=key, text_col=text_col)
 

@@ -236,3 +236,21 @@ def test_column_quantiles_matches_sorted_rank_definition():
     for q, got in zip(qs, out["value"].tolist()):
         rank = -(-q * len(sv) // 1000)  # ceil
         assert got == sv[rank - 1]
+
+
+def test_curate_corpus_exchange_mode_equals_broadcast():
+    from fluent_bit_ray.dataops import curate_corpus
+    rs = np.random.RandomState(7)
+    words = ["w%d" % i for i in range(30)]
+    texts = [" ".join(words[j] for j in rs.randint(0, 30, 12))
+             for _ in range(120)]
+    texts += texts[:20]  # exact dups
+    srcs = [f"src{i % 4}" for i in range(len(texts))]
+    ds = docs_ds(texts, srcs)
+    weights = {f"src{i}": (100, 50, 30, 10)[i % 4] for i in range(4)}
+    a = curate_corpus(ds, weights, budget=64).to_pandas() \
+        .sort_values(["source", "doc_id"]).reset_index(drop=True)
+    b = curate_corpus(ds, weights, budget=64, dedup_mode="exchange") \
+        .to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
