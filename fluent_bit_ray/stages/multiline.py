@@ -209,16 +209,21 @@ class MultilineStage(Stage):
             # continuations; parsed lines contribute fields instead
             in_text = ~in_seg | isf | unparsed_cont
 
-            gg = pd.DataFrame({key: kvals, "_seg": seg,
-                               "_turn": g[order_col].to_numpy(),
-                               "_intext": in_text, text_col: texts_np})
-            out = gg.groupby("_seg", sort=False).agg(
-                **{key: (key, "first"),
-                   "first_turn": ("_turn", "first"),
-                   "n_parts": (text_col, "size")}).reset_index()
-            txt = (gg[gg["_intext"]].groupby("_seg", sort=False)[text_col]
-                   .agg(joiner.join))
-            out[text_col] = out["_seg"].map(txt).fillna("")
+            # segments are contiguous row runs (same argument as the
+            # parserless path) — boundary arithmetic, slice-joins over
+            # the in_text mask; Python only touches parsed rows (the
+            # per-segment dict merge, inherent) and multi-row joins
+            brk = np.empty(n, dtype=bool)
+            brk[0] = True
+            brk[1:] = seg[1:] != seg[:-1]
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], n)
+            nparts = ends - starts
+            texts_out = np.where(in_text[starts], texts_np[starts], "")
+            texts_out = texts_out.astype(object)
+            for i in np.flatnonzero(nparts > 1):
+                sl = slice(starts[i], ends[i])
+                texts_out[i] = joiner.join(texts_np[sl][in_text[sl]])
             # merge parsed maps per segment in line order (firstline
             # seed first — it is its run's first row; later same-named
             # keys overwrite)
@@ -226,11 +231,15 @@ class MultilineStage(Stage):
             acc: dict = {}
             for i in np.nonzero(rowmap != None)[0]:  # noqa: E711
                 acc.setdefault(seg[i], {}).update(rowmap[i])
-            out["fields"] = [fields_dumps(acc.get(s, {}))
-                             for s in out["_seg"]]
-            out["first_turn"] = out["first_turn"].astype("int64")
-            out["n_parts"] = out["n_parts"].astype("int64")
-            return out[[key, "first_turn", "n_parts", text_col, "fields"]]
+            return pd.DataFrame({
+                key: kvals[starts],
+                "first_turn": g[order_col].to_numpy()[starts]
+                .astype("int64"),
+                "n_parts": nparts.astype("int64"),
+                text_col: texts_out,
+                "fields": [fields_dumps(acc.get(s, {}))
+                           for s in seg[starts]],
+            })
 
         import zlib
 
