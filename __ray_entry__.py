@@ -503,6 +503,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["doc_id", "source"]]
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def docs_sampled(sf_dir: str):
+        """Deterministic ~37% corpus sample: md5-bucket rule, no RNG —
+        identical at any parallelism and on resume."""
+        from fluent_bit_ray.dataops import hash_sample
+        out = hash_sample(_docs(sf_dir), rate_pct=37).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
+
     def doc_chunks(sf_dir: str):
         """Fixed word-window chunking (window 32, stride 24): the
         flat-map that turns documents into training-sequence chunks."""
@@ -827,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top": vocab_top,
         "doc_decontaminate": doc_decontaminate,
         "docs_sample_mix": docs_sample_mix,
+        "docs_sampled": docs_sampled,
         "doc_chunks": doc_chunks,
         "doc_repetition": doc_repetition,
         "docs_pack": docs_pack,
@@ -1209,6 +1218,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM b
             WHERE bucket < CASE si WHEN 0 THEN 100 WHEN 1 THEN 50
                                    WHEN 2 THEN 30 ELSE 10 END
+            ORDER BY doc_id
+        """,
+        "docs_sampled": f"""
+            SELECT doc_id FROM documents
+            WHERE {_h64_sql('md5(CAST(doc_id AS VARCHAR))')} % 100 < 37
             ORDER BY doc_id
         """,
         "doc_chunks": r"""
