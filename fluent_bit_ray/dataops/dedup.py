@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import os
 
 import numpy as np
 import pandas as pd
@@ -78,12 +79,31 @@ def _h64(s: str) -> int:
                           "little")
 
 
+# Worker-process-level gram→h64 cache (same pattern as the simhash
+# word cache): md5 costs ~700 ns per gram vs ~50 ns for a dict hit,
+# and real corpora repeat grams heavily across documents. Bounded so
+# a 100 TB vocabulary cannot OOM a worker (~4M entries ≈ 300 MB).
+_SHINGLE_CACHE: dict[str, int] = {}
+_SHINGLE_CACHE_MAX = int(os.environ.get("GRAFT_SHINGLE_CACHE", "4000000"))
+
+
 def _shingles(text: str, n: int = 3) -> set[int]:
     words = text.split()
+    cache = _SHINGLE_CACHE
     if len(words) < n:
-        return {_h64(" ".join(words))}
-    return {_h64(" ".join(words[i:i + n]))
-            for i in range(len(words) - n + 1)}
+        grams = [" ".join(words)]
+    else:
+        grams = [" ".join(words[i:i + n])
+                 for i in range(len(words) - n + 1)]
+    out = set()
+    for g in grams:
+        v = cache.get(g)
+        if v is None:
+            v = _h64(g)
+            if len(cache) < _SHINGLE_CACHE_MAX:
+                cache[g] = v
+        out.add(v)
+    return out
 
 
 def jaccard(a: set, b: set) -> float:
