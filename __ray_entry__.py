@@ -430,6 +430,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["q", "vec_id", "cos_r4"]]
         return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
 
+    def ann_topk_ivf(sf_dir: str):
+        """IVF path under the exact oracle: with n_probe = n_centroids
+        every inverted list is probed, so the result must equal the
+        brute-force top-k — this puts the IVF plumbing (k-means train
+        on a bounded sample, centroid broadcast, per-list scoring,
+        local-topk merge) under the same rows+schema+hash gate."""
+        from fluent_bit_ray.dataops import ivf_topk
+        embs = _embs(sf_dir)
+        qdf = embs.to_pandas().sort_values("vec_id").head(5)
+        qvecs = np.stack(qdf["embedding"].to_numpy())
+        out = ivf_topk(embs, qvecs, k=10, n_centroids=16, n_probe=16)
+        out["cos_r4"] = np.round(out["cosine"], 4)
+        out = out[["q", "vec_id", "cos_r4"]]
+        return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
+
     def tf_score(sf_dir: str):
         """filter_tensorflow analogue end-to-end under a FULL oracle:
         embeddings are integer-quantized (floor(x*128 + 0.5) — exact,
@@ -830,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_keep": docs_dedup_keep,
         "emb_dup_pairs": emb_dup_pairs,
         "ann_topk": ann_topk,
+        "ann_topk_ivf": ann_topk_ivf,
         "tf_score": tf_score,
         "doc_redact": doc_redact,
         "vocab_top": vocab_top,
@@ -1164,6 +1180,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY vec_id_a, vec_id_b
         """,
         "ann_topk": """
+            WITH q AS (SELECT vec_id AS q, embedding FROM embeddings
+                       WHERE vec_id < 5),
+            scored AS (
+              SELECT q.q, e.vec_id,
+                     list_cosine_similarity(q.embedding, e.embedding) AS cos,
+                     row_number() OVER (
+                       PARTITION BY q.q
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                DESC, e.vec_id) AS rk
+              FROM q CROSS JOIN embeddings e)
+            SELECT q, vec_id, round(cos, 4) AS cos_r4 FROM scored
+            WHERE rk <= 10 ORDER BY q, vec_id
+        """,
+        "ann_topk_ivf": """
             WITH q AS (SELECT vec_id AS q, embedding FROM embeddings
                        WHERE vec_id < 5),
             scored AS (
