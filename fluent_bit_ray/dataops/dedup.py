@@ -989,4 +989,6 @@ def embedding_dup_pairs(ds, key: str = "vec_id", col: str = "embedding",
                              "cosine": rows_c})
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if len(out) == 0:  # all-empty batches lose their column schema
+        return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
     return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
