@@ -445,6 +445,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["q", "vec_id", "cos_r4"]]
         return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
 
+    def orders_enriched(sf_dir: str):
+        """Large⋈large fact/dim join through the engine's hash_join
+        (Ray native hash-shuffle exchange) with column-pruned reads —
+        the docs↔embeddings↔scores shape of a training pipeline."""
+        from fluent_bit_ray.joins import hash_join
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderpriority",
+                     "o_totalprice"])
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_mktsegment", "c_nationkey"])
+        out = hash_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                        num_partitions=16).to_pandas()
+        out = out[["o_orderkey", "o_orderpriority", "o_totalprice",
+                   "c_mktsegment", "c_nationkey"]]
+        return out.sort_values("o_orderkey").reset_index(drop=True)
+
+    def orders_semi_negbal(sf_dir: str):
+        """left_semi hash join: orders whose customer has a negative
+        account balance (EXISTS shape — keep-list membership at scale)."""
+        from fluent_bit_ray.joins import hash_join
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_acctbal"])
+        neg = cust.map_batches(lambda df: df[df["c_acctbal"] < 0],
+                               batch_format="pandas")
+        out = hash_join(orders, neg, on="o_custkey", right_on="c_custkey",
+                        how="left_semi", num_partitions=8).to_pandas()
+        return out.sort_values("o_orderkey").reset_index(drop=True)
+
+    def purchase_asof_view(sf_dir: str):
+        """As-of join (engine extension — Ray Data has none): each
+        purchase event matched to the user's most recent view event at
+        or before it, co-partitioned by user through one coarse
+        exchange. Ties at equal (user, ts) resolve to max event_id in
+        BOTH engines (tie_break here, max_by-dedup in the oracle)."""
+        import pandas as pd
+
+        from fluent_bit_ray.joins import asof_join
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+        p = ev.map_batches(
+            lambda df: df[df["event_type"] == "purchase"]
+            [["event_id", "ts", "user_id"]], batch_format="pandas")
+
+        def views(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_type"] == "view"]
+            return pd.DataFrame({"ts": df["ts"], "user_id": df["user_id"],
+                                 "v_event_id": df["event_id"],
+                                 "v_ts": df["ts"]})
+
+        v = ev.map_batches(views, batch_format="pandas")
+        out = asof_join(p, v, on="ts", by="user_id",
+                        tie_break="v_event_id", how="inner",
+                        partitions=16).to_pandas()
+        gap = (out["ts"].to_numpy() - out["v_ts"].to_numpy()) \
+            .astype("timedelta64[us]").astype(np.int64)
+        res = pd.DataFrame({"p_event_id": out["event_id"],
+                            "user_id": out["user_id"],
+                            "v_event_id": out["v_event_id"],
+                            "gap_us": gap})
+        return res.sort_values("p_event_id").reset_index(drop=True)
+
+    def docs_src_bjoin(sf_dir: str):
+        """Broadcast join against a driver-built dimension frame
+        (ray.put once, per-batch vectorized merge, zero shuffle)."""
+        import pandas as pd
+
+        from fluent_bit_ray.joins import broadcast_join
+        dim = pd.DataFrame({
+            "source": [f"src{i}" for i in range(20)],
+            "src_rank": list(range(20)),
+            "tier": ["low" if i < 7 else ("mid" if i < 14 else "high")
+                     for i in range(20)],
+        })
+        docs = _docs(sf_dir).select_columns(["doc_id", "source"])
+        out = broadcast_join(docs, dim, on="source").to_pandas()
+        out = out[["doc_id", "source", "src_rank", "tier"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def tf_score(sf_dir: str):
         """filter_tensorflow analogue end-to-end under a FULL oracle:
         embeddings are integer-quantized (floor(x*128 + 0.5) — exact,
@@ -846,6 +931,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dup_pairs": emb_dup_pairs,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
+        "orders_enriched": orders_enriched,
+        "orders_semi_negbal": orders_semi_negbal,
+        "purchase_asof_view": purchase_asof_view,
+        "docs_src_bjoin": docs_src_bjoin,
         "tf_score": tf_score,
         "doc_redact": doc_redact,
         "vocab_top": vocab_top,
@@ -1206,6 +1295,45 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN embeddings e)
             SELECT q, vec_id, round(cos, 4) AS cos_r4 FROM scored
             WHERE rk <= 10 ORDER BY q, vec_id
+        """,
+        "orders_enriched": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   c_mktsegment, c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey
+        """,
+        "orders_semi_negbal": """
+            SELECT o_orderkey, o_custkey, o_orderpriority
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_acctbal < 0)
+            ORDER BY o_orderkey
+        """,
+        # DuckDB ASOF JOIN is the reference semantics; the right side
+        # is pre-deduped to max(event_id) per (user, ts) — the same
+        # tie the engine resolves with tie_break="v_event_id"
+        "purchase_asof_view": """
+            WITH p AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase'),
+            v AS (SELECT user_id, ts, max(event_id) AS v_event_id
+                  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+            SELECT p.event_id AS p_event_id, p.user_id, v.v_event_id,
+                   date_diff('microsecond', v.ts, p.ts) AS gap_us
+            FROM p ASOF JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY p_event_id
+        """,
+        "docs_src_bjoin": """
+            WITH dim AS (
+              SELECT 'src' || CAST(i AS VARCHAR) AS source,
+                     i AS src_rank,
+                     CASE WHEN i < 7 THEN 'low'
+                          WHEN i < 14 THEN 'mid' ELSE 'high' END AS tier
+              FROM range(20) t(i))
+            SELECT doc_id, d.source, src_rank, tier
+            FROM documents d JOIN dim ON d.source = dim.source
+            ORDER BY doc_id
         """,
         # filter_tensorflow analogue: the deterministic integer MLP
         # forward pass re-run entirely in SQL (exact — no float sums)

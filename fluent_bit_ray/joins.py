@@ -1,0 +1,227 @@
+"""Distributed join operators.
+
+The reference engine has NO join plugin (SURVEY §2.7): its only
+"join" is small-side lookup enrichment (``plugins/filter_geoip2``,
+``plugins/filter_kubernetes``-style dimension lookups), which this
+repo covers with broadcast dictionaries in ``stages/enrich.py``.
+Training-data pipelines need real joins (docs ↔ embeddings ↔ scores,
+fact ↔ dimension), so the engine provides three, each with a distinct
+scale shape:
+
+- :func:`broadcast_join` — one side is small (a dimension table, a
+  keep-list). It is prepared once, ``ray.put`` once, and every task
+  merges against the shared read-only frame; the big side streams with
+  NO shuffle. The 100 TB default whenever one side fits a worker heap.
+- :func:`hash_join` — both sides large. Delegates to Ray Data's native
+  hash-shuffle join (``Dataset.join``): each side is hash-partitioned
+  on the key and moves exactly once to ``num_partitions`` aggregators.
+  Supports inner/outer/semi/anti. Size ``num_partitions`` so one
+  partition of the LARGER side fits an aggregator's heap
+  (~ total_bytes / num_partitions); a pathologically hot key must be
+  salted upstream — measure skew before using.
+- :func:`asof_join` — Ray Data has no as-of join. Implemented as ONE
+  coarse co-partitioned exchange on the equality key: both sides are
+  tagged and unioned with Arrow-typed null-fill (so int64/timestamp
+  dtypes survive the union — the partition kernel splits the sides
+  back out while still in Arrow, keeping each side's own columns
+  null-free and exactly typed), then a vectorized ``pd.merge_asof``
+  per partition. Partitioning assumption: all rows of one ``by`` key
+  land in one partition (guaranteed by the hash exchange) and one
+  key's rows fit a worker — true for per-user / per-conversation
+  event streams, where a key's volume is bounded by its own history.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _listify(x) -> list[str]:
+    return [x] if isinstance(x, str) else list(x)
+
+
+# ------------------------------------------------------ broadcast join
+def broadcast_join(ds, small, on, right_on=None, how: str = "inner",
+                   suffix: str = "_r"):
+    """Join a streaming Dataset against a SMALL pandas frame.
+
+    ``small`` is normalized once on the driver (right key renamed to
+    the left key name, colliding payload columns suffixed per batch),
+    shipped to the object store once, and each batch does a vectorized
+    ``pd.merge``. ``how`` is "inner" or "left". No shuffle; the big
+    side never materializes.
+    """
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join supports inner/left, got {how!r}")
+    on_l = _listify(on)
+    on_r = _listify(right_on) if right_on is not None else on_l
+    if hasattr(small, "to_pandas") and not isinstance(small, pd.DataFrame):
+        small = small.to_pandas()
+    small = small.rename(columns=dict(zip(on_r, on_l)))
+    small_ref = ray.put(small)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        sm = ray.get(small_ref)
+        clash = {c: c + suffix for c in sm.columns
+                 if c not in on_l and c in df.columns}
+        if clash:
+            sm = sm.rename(columns=clash)
+        return df.merge(sm, on=on_l, how=how, sort=False)
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+# ----------------------------------------------------------- hash join
+def hash_join(left, right, on, right_on=None, how: str = "inner",
+              num_partitions: int = 64, left_suffix: str | None = None,
+              right_suffix: str | None = "_r"):
+    """Large ⋈ large hash-shuffle join via Ray Data's native
+    ``Dataset.join`` (both sides exchanged once, joined per
+    partition). ``how`` ∈ inner, left_outer, right_outer, full_outer,
+    left_semi, right_semi, left_anti, right_anti.
+    """
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=tuple(_listify(on)),
+        right_on=tuple(_listify(right_on)) if right_on is not None else None,
+        left_suffix=left_suffix,
+        right_suffix=right_suffix,
+    )
+
+
+# ---------------------------------------------------------- as-of join
+_SIDE = "_asof_side"
+_HP = "_asof_hp"
+_MARK = "_asof_m"
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset; pandas-block datasets (from_pandas
+    in tests) expose a PandasBlockSchema that is converted field-wise
+    (object dtype → string, the pandas text convention)."""
+    s = ds.schema().base_schema
+    if isinstance(s, pa.Schema):
+        return s
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append((n, t))
+        else:
+            dt = np.dtype(t)
+            fields.append((n, pa.string() if dt == np.dtype(object)
+                           else pa.from_numpy_dtype(dt)))
+    return pa.schema(fields)
+
+
+def _hp_of(t: pa.Table, by_l: list[str], partitions: int) -> np.ndarray:
+    """Deterministic crc32 partition id per ``by`` value, hashed once
+    per DISTINCT value via factorize (same construction as
+    ``shuffle.coarse_partition_apply``)."""
+    s = t[by_l[0]].to_pandas().astype(str)
+    for k in by_l[1:]:
+        s = s + "\x1f" + t[k].to_pandas().astype(str)
+    codes, uniques = pd.factorize(s)
+    hp = np.fromiter(
+        (zlib.crc32(str(u).encode("utf-8")) % partitions for u in uniques),
+        dtype=np.int64, count=len(uniques))
+    return hp[codes]
+
+
+def asof_join(left, right, on: str, by, direction: str = "backward",
+              how: str = "inner", suffix: str = "_r",
+              tie_break=None, partitions: int = 64, tolerance=None):
+    """As-of join: each left row picks the right row of the same
+    ``by`` key whose ``on`` value is nearest under ``direction``
+    (backward = largest right.on ≤ left.on, the event-stream default;
+    forward / nearest as in ``pd.merge_asof``).
+
+    Output = left columns + right payload columns (colliding names
+    suffixed). The right's ``on``/``by`` columns are consumed by the
+    match — copy them to new right columns first if the matched values
+    are needed downstream. Ties (several right rows with equal
+    (by, on)) resolve to the row with the greatest ``tie_break``
+    column(s); default = right input order (last wins).
+
+    ``how="inner"`` drops unmatched left rows (payload dtypes
+    preserved exactly); ``how="left"`` keeps them with null payload
+    (integer payloads widen to float, the pandas null convention).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports inner/left, got {how!r}")
+    by_l = _listify(by)
+    tie_cols = _listify(tie_break) if tie_break is not None else []
+
+    l_schema = _arrow_schema(left)
+    r_schema = _arrow_schema(right)
+    l_names = list(l_schema.names)
+    keep_r = [n for n in r_schema.names if n != on and n not in by_l]
+    r_out = {n: (n + suffix if n in l_names else n) for n in keep_r}
+    r_payload = [r_out[n] for n in keep_r]
+
+    fields = [(n, l_schema.field(n).type) for n in l_names]
+    fields += [(r_out[n], r_schema.field(n).type) for n in keep_r]
+    fields += [(_SIDE, pa.int8()), (_HP, pa.int64())]
+    target = pa.schema(fields)
+
+    def project(side: int, src_of: dict[str, str]):
+        """Emit the union schema; this side's columns filled from
+        ``src_of``, the other side's filled with typed nulls."""
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = []
+            for f in target:
+                if f.name == _SIDE:
+                    cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+                elif f.name == _HP:
+                    cols.append(pa.array(_hp_of(t, by_l, partitions)))
+                elif f.name in src_of:
+                    cols.append(t[src_of[f.name]].combine_chunks()
+                                .cast(f.type))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.table(cols, names=target.names)
+        return fn
+
+    l_src = {n: n for n in l_names}
+    r_src = {r_out[n]: n for n in keep_r}
+    r_src[on] = on
+    for k in by_l:
+        r_src[k] = k
+    tagged = (left.map_batches(project(0, l_src), batch_format="pyarrow")
+              .union(right.map_batches(project(1, r_src),
+                                       batch_format="pyarrow")))
+
+    out_names = l_names + r_payload
+
+    def kernel(t: pa.Table) -> pa.Table:
+        side = t[_SIDE].to_numpy(zero_copy_only=False)
+        lpd = t.filter(pa.array(side == 0)).select(l_names).to_pandas()
+        rpd = (t.filter(pa.array(side == 1))
+               .select([on, *by_l, *r_payload]).to_pandas())
+        if not len(lpd):
+            return pa.table(
+                [pa.nulls(0, target.field(c).type) for c in out_names],
+                names=out_names)
+        r_dtypes = {c: rpd[c].dtype for c in r_payload}
+        rpd[_MARK] = np.int8(1)
+        lpd = lpd.sort_values(on, kind="mergesort")
+        rpd = rpd.sort_values([on, *tie_cols] if tie_cols else [on],
+                              kind="mergesort")
+        merged = pd.merge_asof(lpd, rpd, on=on, by=by_l,
+                               direction=direction, tolerance=tolerance)
+        if how == "inner":
+            merged = merged[merged[_MARK].notna()]
+            for c, dt in r_dtypes.items():
+                merged[c] = merged[c].astype(dt)
+        return pa.Table.from_pandas(merged.drop(columns=[_MARK]),
+                                    preserve_index=False)
+
+    return tagged.groupby(_HP).map_groups(kernel, batch_format="pyarrow")
