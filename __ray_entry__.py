@@ -445,6 +445,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["q", "vec_id", "cos_r4"]]
         return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
 
+    def emb_kmeans(sf_dir: str):
+        """Distributed integer-exact k-means over the embedding table
+        (dataops/cluster.py): quantize → deterministic init → 2 Lloyd
+        passes (centroids broadcast, k×dim partial sums per batch) →
+        final assignment. The oracle replays every iteration in
+        long-form SQL — argmin, floor-division centroid update and
+        empty-cluster carry-forward are all integer-exact."""
+        from fluent_bit_ray.dataops.cluster import kmeans
+        out, _ = kmeans(_embs(sf_dir), k=8, iters=2)
+        return out
+
     def orders_enriched(sf_dir: str):
         """Large⋈large fact/dim join through the engine's hash_join
         (Ray native hash-shuffle exchange) with column-pruned reads —
@@ -931,6 +942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dup_pairs": emb_dup_pairs,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
+        "emb_kmeans": emb_kmeans,
         "orders_enriched": orders_enriched,
         "orders_semi_negbal": orders_semi_negbal,
         "purchase_asof_view": purchase_asof_view,
@@ -1036,6 +1048,11 @@ def _redact_oracle_sql(t: str) -> str:
             f"n AS n_redactions FROM s{len(PII_PATTERNS)} "
             "ORDER BY conv_id, turn_idx")
     return sql
+
+
+def _kmeans_oracle() -> str:
+    from fluent_bit_ray.dataops.cluster import kmeans_oracle_sql
+    return kmeans_oracle_sql(k=8, iters=2)
 
 
 def _tf_oracle_sql() -> str:
@@ -1296,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, vec_id, round(cos, 4) AS cos_r4 FROM scored
             WHERE rk <= 10 ORDER BY q, vec_id
         """,
+        "emb_kmeans": _kmeans_oracle(),
         "orders_enriched": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,
                    c_mktsegment, c_nationkey

@@ -1,0 +1,54 @@
+"""Distributed integer k-means (dataops/cluster.py)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from fluent_bit_ray.dataops.cluster import kmeans
+
+
+def _embs_df(vecs):
+    return pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [np.asarray(v, dtype=np.float32) for v in vecs],
+    })
+
+
+def test_kmeans_recovers_planted_clusters():
+    rng = np.random.default_rng(5)
+    centers = np.array([[0.0] * 8, [1.0] * 8, [-1.0] * 8])
+    # first k rows must seed distinct clusters: lay one point of each
+    # center first, then the noisy rest
+    vecs = list(centers)
+    labels = [0, 1, 2]
+    for _ in range(60):
+        c = int(rng.integers(0, 3))
+        vecs.append(centers[c] + rng.normal(0, 0.05, 8))
+        labels.append(c)
+    out, cent = kmeans(rd.from_pandas(_embs_df(vecs)), k=3, iters=2)
+    got = out["cluster"].to_numpy()
+    # planted label == seeded cluster id by construction
+    assert (got == np.array(labels)).all()
+    assert cent.shape == (3, 8)
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid():
+    # vec 1 and vec 2 identical -> during the update pass cluster 2 is
+    # never the argmin (ties resolve to the lower id), so it ends the
+    # iteration empty and must keep its init centroid ([128,128] =
+    # floor(1*128+0.5)); cluster 1's centroid moves off it. (In the
+    # FINAL assignment the carried centroid legitimately wins the
+    # duplicate points back — exactly what the SQL oracle's
+    # carry-forward reproduces.)
+    vecs = [[0.0, 0.0], [1.0, 1.0], [1.0, 1.0], [0.1, 0.0], [0.9, 1.0]]
+    out, cent = kmeans(rd.from_pandas(_embs_df(vecs)), k=3, iters=1)
+    assert (cent[2] == np.array([128, 128])).all()
+    assert not (cent[1] == np.array([128, 128])).all()
+    assert out.loc[out["vec_id"] == 1, "cluster"].item() == 2
+
+
+def test_kmeans_zero_iters_assigns_to_init():
+    vecs = [[0.0, 0.0], [1.0, 1.0], [0.2, 0.1], [0.8, 0.9]]
+    out, cent = kmeans(rd.from_pandas(_embs_df(vecs)), k=2, iters=0)
+    assert out["cluster"].tolist() == [0, 1, 0, 1]
+    assert out["dist"].tolist()[0] == 0
