@@ -445,6 +445,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["q", "vec_id", "cos_r4"]]
         return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
 
+    def docs_topk_per_source(sf_dir: str):
+        """Grouped top-k selection ("best docs per domain"): per-batch
+        partial top-k, then one coarse exchange — only k×groups rows
+        move. Deterministic tie-break by doc_id."""
+        from fluent_bit_ray.dataops import grouped_topk
+        docs = _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"])
+        out = grouped_topk(docs, "source", "n_chars", k=3,
+                           tie_col="doc_id").to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def emb_kmeans(sf_dir: str):
         """Distributed integer-exact k-means over the embedding table
         (dataops/cluster.py): quantize → deterministic init → 2 Lloyd
@@ -942,6 +952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dup_pairs": emb_dup_pairs,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
+        "docs_topk_per_source": docs_topk_per_source,
         "emb_kmeans": emb_kmeans,
         "orders_enriched": orders_enriched,
         "orders_semi_negbal": orders_semi_negbal,
@@ -1312,6 +1323,14 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN embeddings e)
             SELECT q, vec_id, round(cos, 4) AS cos_r4 FROM scored
             WHERE rk <= 10 ORDER BY q, vec_id
+        """,
+        "docs_topk_per_source": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents) WHERE rk <= 3
+            ORDER BY doc_id
         """,
         "emb_kmeans": _kmeans_oracle(),
         "orders_enriched": """

@@ -17,6 +17,7 @@ from .curation import (  # noqa: F401
     column_quantiles,
     curate_corpus,
     decontaminate,
+    grouped_topk,
     hash_sample,
     mix_by_source,
     pack_sequences,

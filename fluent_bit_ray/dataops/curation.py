@@ -436,3 +436,29 @@ def pack_sequences(ds, budget: int = 128, group_col: str = "source",
     gkey = [group_col, "shard"] if shards > 1 else group_col
     return coarse_group_apply(
         ds.map_batches(project, batch_format="pandas"), gkey, pack)
+
+
+# -------------------------------------------------------- grouped top-k
+def grouped_topk(ds, group_col: str, order_col: str, k: int = 5,
+                 ascending: bool = False, tie_col: str | None = None):
+    """Top-``k`` rows per group by ``order_col`` (the "best docs per
+    domain" selection step). Deterministic: ties on ``order_col``
+    resolve by ``tie_col`` ascending (required for reproducible
+    output — pass the row key).
+
+    Scale shape: each batch first reduces to its OWN top-k per group
+    (the partial), so the exchange moves at most k × (groups present
+    in the batch) rows per batch — never the corpus; the identical
+    kernel then runs once per coarse partition for the global answer.
+    """
+    from ..shuffle import coarse_partition_apply
+
+    order = [group_col, order_col] + ([tie_col] if tie_col else [])
+    asc = [True, ascending] + ([True] if tie_col else [])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order, ascending=asc, kind="mergesort")
+        return df.groupby(group_col, sort=False).head(k)
+
+    partials = ds.map_batches(topk, batch_format="pandas")
+    return coarse_partition_apply(partials, group_col, topk)

@@ -254,3 +254,30 @@ def test_curate_corpus_exchange_mode_equals_broadcast():
         .to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 0
+
+
+def test_grouped_topk_matches_window_rank():
+    from fluent_bit_ray.dataops import grouped_topk
+    rs = np.random.RandomState(9)
+    df = pd.DataFrame({"g": [f"g{i%5}" for i in range(300)],
+                       "v": rs.randint(0, 40, 300),
+                       "k": np.arange(300)})
+    got = grouped_topk(rd.from_pandas(df), "g", "v", k=4,
+                       tie_col="k").to_pandas()
+    exp = (df.sort_values(["g", "v", "k"], ascending=[True, False, True],
+                          kind="mergesort")
+           .groupby("g", sort=False).head(4))
+    got = got.sort_values(["g", "k"]).reset_index(drop=True)
+    exp = exp.sort_values(["g", "k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["g", "v", "k"]], exp[["g", "v", "k"]])
+
+
+def test_grouped_topk_ascending():
+    from fluent_bit_ray.dataops import grouped_topk
+    df = pd.DataFrame({"g": ["a"] * 5 + ["b"] * 5,
+                       "v": [5, 1, 3, 2, 4, 9, 7, 8, 6, 5],
+                       "k": np.arange(10)})
+    got = grouped_topk(rd.from_pandas(df), "g", "v", k=2, ascending=True,
+                       tie_col="k").to_pandas()
+    assert sorted(got.loc[got["g"] == "a", "v"].tolist()) == [1, 2]
+    assert sorted(got.loc[got["g"] == "b", "v"].tolist()) == [5, 6]
