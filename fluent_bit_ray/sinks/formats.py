@@ -526,6 +526,39 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
             "logGroupName": cw.get("log_group", "fluent-bit"),
             "logStreamName": cw.get("log_stream", "default"),
             "logEvents": events}))
+    elif fmt == "nats":
+        # out_nats: per tag, one wire payload "PUB <subject> <len>\r\n"
+        # + a single JSON array of [ts_double, {"tag": tag, ...record}]
+        # pairs (nats.c:102-133 — tag key injected first, subject =
+        # the chunk's tag, nats.c:193)
+        tags = cols.get("tag", [None] * n)
+        by_tag: dict[str, list] = {}
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            epoch = (t.timestamp() if hasattr(t, "timestamp") else 0.0)
+            by_tag.setdefault(tags[i] or "", []).append(
+                [epoch, {"tag": tags[i] or "", **m}])
+        for subject, pairs in by_tag.items():
+            body = _dumps(pairs)
+            out.append(f"PUB {subject} {len(body.encode())}\r\n{body}")
+    elif fmt == "kafka":
+        # out_kafka json format: per record, the map with the
+        # timestamp injected under timestamp_key (kafka.c:118-152 —
+        # double epoch, or iso8601 with microsecond ".%06uZ" suffix)
+        kf = fmt_opts or {}
+        ts_key = kf.get("timestamp_key", "@timestamp")
+        iso = kf.get("timestamp_format") == "iso8601"
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            if iso:
+                stamp = (t.strftime("%Y-%m-%dT%H:%M:%S")
+                         + f".{t.microsecond:06d}Z"
+                         if hasattr(t, "strftime") else "")
+            else:
+                stamp = (t.timestamp() if hasattr(t, "timestamp") else 0.0)
+            out.append(_dumps({ts_key: stamp, **m}))
     elif fmt == "msgpack_debug":
         # out_stdout default (msgpack) format: human-readable
         # "[idx] tag: [epoch, {map json}]" per record, the

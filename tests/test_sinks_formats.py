@@ -318,3 +318,34 @@ def test_msgpack_bignum_degrades_to_str():
     for v in (2 ** 64 - 1, -(2 ** 63)):
         (out,) = msgpack_unpack_stream(msgpack_pack(v))
         assert out == v
+
+
+def test_nats_format_pub_frame_per_tag():
+    b = pa.table({
+        "text": pa.array(["a", "b", "c"]),
+        "ts": pa.array([1448403340_500000000] * 3, type=pa.timestamp("ns")),
+        "tag": pa.array(["app.x", "app.x", "app.y"]),
+    })
+    frames = format_batch(b, fmt="nats")
+    assert len(frames) == 2                     # one PUB frame per tag
+    head, _, body = frames[0].partition("\r\n")
+    subj, length = head.split()[1:]
+    assert subj == "app.x" and int(length) == len(body.encode())
+    pairs = json.loads(body)
+    assert [p[1]["text"] for p in pairs] == ["a", "b"]
+    assert pairs[0][0] == 1448403340.5          # ts double first
+    assert pairs[0][1]["tag"] == "app.x"        # tag key injected
+
+
+def test_kafka_format_timestamp_injection():
+    b = pa.table({
+        "text": pa.array(["hello"]),
+        "ts": pa.array([1448403340_500000000], type=pa.timestamp("ns")),
+    })
+    rec = json.loads(format_batch(b, fmt="kafka")[0])
+    assert rec["@timestamp"] == 1448403340.5
+    assert rec["text"] == "hello"
+    rec = json.loads(format_batch(
+        b, fmt="kafka", fmt_opts={"timestamp_format": "iso8601",
+                                  "timestamp_key": "t"})[0])
+    assert rec["t"] == "2015-11-24T22:15:40.500000Z"
