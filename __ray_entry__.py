@@ -445,6 +445,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["q", "vec_id", "cos_r4"]]
         return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
 
+    def events_user_hll(sf_dir: str):
+        """Distributed HyperLogLog distinct-user sketch per event
+        type: per-batch register partials (≤ groups×4096 ints leave a
+        task), element-wise-max merge. The register TABLE is
+        deterministic (md5-derived hash, float64-exponent rho) so the
+        oracle reproduces it bit-for-bit in SQL; only the estimate is
+        approximate (pytest asserts its accuracy separately)."""
+        from fluent_bit_ray.dataops.sketch import hll_registers
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "user_id"])
+        out = hll_registers(ev, "user_id", group_col="event_type",
+                            p=12).to_pandas()
+        return (out.sort_values(["event_type", "reg"])
+                .reset_index(drop=True))
+
     def docs_topk_per_source(sf_dir: str):
         """Grouped top-k selection ("best docs per domain"): per-batch
         partial top-k, then one coarse exchange — only k×groups rows
@@ -952,6 +967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dup_pairs": emb_dup_pairs,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
+        "events_user_hll": events_user_hll,
         "docs_topk_per_source": docs_topk_per_source,
         "emb_kmeans": emb_kmeans,
         "orders_enriched": orders_enriched,
@@ -1059,6 +1075,12 @@ def _redact_oracle_sql(t: str) -> str:
             f"n AS n_redactions FROM s{len(PII_PATTERNS)} "
             "ORDER BY conv_id, turn_idx")
     return sql
+
+
+def _hll_oracle() -> str:
+    from fluent_bit_ray.dataops.sketch import hll_oracle_sql
+    return hll_oracle_sql("user_id", "events", "event_type",
+                          _h64_sql, p=12)
 
 
 def _kmeans_oracle() -> str:
@@ -1324,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, vec_id, round(cos, 4) AS cos_r4 FROM scored
             WHERE rk <= 10 ORDER BY q, vec_id
         """,
+        "events_user_hll": _hll_oracle(),
         "docs_topk_per_source": """
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars,

@@ -1,0 +1,49 @@
+"""HyperLogLog sketch (dataops/sketch.py)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from fluent_bit_ray.dataops.sketch import (_registers_of, hll_estimate,
+                                           hll_registers)
+
+
+def test_registers_match_reference_bit_math():
+    from fluent_bit_ray.dataops.dedup import _h64
+    vals = pd.Series(["a", "b", "c", "a", "12345"])
+    codes, reg, rho = _registers_of(vals, p=12)
+    for i, v in enumerate(vals):
+        h = _h64(str(v))
+        assert reg[codes[i]] == h % 4096
+        w = h >> 12
+        expect = 53 - w.bit_length() if w else 53
+        assert rho[codes[i]] == expect
+
+
+def test_register_table_partition_independent():
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"v": rng.integers(0, 5000, 20000)})
+    one = hll_registers(rd.from_pandas(df), "v", p=10).to_pandas() \
+        .sort_values("reg").reset_index(drop=True)
+    many = hll_registers(rd.from_pandas(df).repartition(13), "v",
+                         p=10).to_pandas() \
+        .sort_values("reg").reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_estimate_accuracy_and_grouping():
+    rng = np.random.default_rng(7)
+    true_n = {"a": 4000, "b": 700, "c": 60}
+    frames = []
+    for g, n in true_n.items():
+        vals = np.arange(n) + hash(g) % 10_000_000
+        vals = np.repeat(vals, 3)  # duplicates must not matter
+        frames.append(pd.DataFrame({"g": g, "v": vals}))
+    df = pd.concat(frames, ignore_index=True).sample(frac=1,
+                                                     random_state=1)
+    regs = hll_registers(rd.from_pandas(df), "v", group_col="g",
+                         p=12).to_pandas()
+    est = hll_estimate(regs, p=12, group_col="g").set_index("g")
+    for g, n in true_n.items():
+        rel = abs(est.loc[g, "estimate"] - n) / n
+        assert rel < 0.1, (g, n, est.loc[g, "estimate"])
