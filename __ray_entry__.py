@@ -445,6 +445,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["q", "vec_id", "cos_r4"]]
         return out.sort_values(["q", "vec_id"]).reset_index(drop=True)
 
+    def docs_stratified(sf_dir: str):
+        """Exactly-n-per-stratum deterministic sample (n smallest
+        h64(doc_id) per source — no RNG, parallelism-independent)."""
+        from fluent_bit_ray.dataops import stratified_sample
+        docs = _docs(sf_dir).select_columns(["doc_id", "source"])
+        out = stratified_sample(docs, "source", "doc_id", n=5).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def events_user_hll(sf_dir: str):
         """Distributed HyperLogLog distinct-user sketch per event
         type: per-batch register partials (≤ groups×4096 ints leave a
@@ -967,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dup_pairs": emb_dup_pairs,
         "ann_topk": ann_topk,
         "ann_topk_ivf": ann_topk_ivf,
+        "docs_stratified": docs_stratified,
         "events_user_hll": events_user_hll,
         "docs_topk_per_source": docs_topk_per_source,
         "emb_kmeans": emb_kmeans,
@@ -1345,6 +1354,16 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN embeddings e)
             SELECT q, vec_id, round(cos, 4) AS cos_r4 FROM scored
             WHERE rk <= 10 ORDER BY q, vec_id
+        """,
+        "docs_stratified": f"""
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {_h64_sql("md5(CAST(doc_id AS VARCHAR))")},
+                                doc_id) AS rk
+              FROM documents) WHERE rk <= 5
+            ORDER BY doc_id
         """,
         "events_user_hll": _hll_oracle(),
         "docs_topk_per_source": """

@@ -22,4 +22,5 @@ from .curation import (  # noqa: F401
     mix_by_source,
     pack_sequences,
     repetition_stats,
+    stratified_sample,
 )

@@ -462,3 +462,21 @@ def grouped_topk(ds, group_col: str, order_col: str, k: int = 5,
 
     partials = ds.map_batches(topk, batch_format="pandas")
     return coarse_partition_apply(partials, group_col, topk)
+
+
+def stratified_sample(ds, group_col: str, key: str, n: int = 5):
+    """EXACTLY ``n`` rows per stratum (vs the ~rate% of
+    :func:`hash_sample`), chosen deterministically as the n smallest
+    h64(key) values — no RNG, identical at any parallelism, and the
+    standard eval-set construction step. Same partial-top-k exchange
+    shape as :func:`grouped_topk` (at most n×groups rows move)."""
+    def add_rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_hr"] = df[key].astype(str).map(_h64).astype(np.uint64)
+        return df
+
+    ranked = ds.map_batches(add_rank, batch_format="pandas")
+    out = grouped_topk(ranked, group_col, "_hr", k=n, ascending=True,
+                       tie_col=key)
+    return out.map_batches(lambda df: df.drop(columns=["_hr"]),
+                           batch_format="pandas")

@@ -281,3 +281,16 @@ def test_grouped_topk_ascending():
                        tie_col="k").to_pandas()
     assert sorted(got.loc[got["g"] == "a", "v"].tolist()) == [1, 2]
     assert sorted(got.loc[got["g"] == "b", "v"].tolist()) == [5, 6]
+
+
+def test_stratified_sample_exact_n_and_partition_independent():
+    from fluent_bit_ray.dataops import stratified_sample
+    df = pd.DataFrame({"g": [f"g{i%4}" for i in range(200)],
+                       "k": np.arange(200)})
+    one = stratified_sample(rd.from_pandas(df), "g", "k", n=7) \
+        .to_pandas().sort_values(["g", "k"]).reset_index(drop=True)
+    many = stratified_sample(rd.from_pandas(df).repartition(11), "g",
+                             "k", n=7) \
+        .to_pandas().sort_values(["g", "k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)
+    assert (one.groupby("g").size() == 7).all()
