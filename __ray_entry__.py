@@ -881,6 +881,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res["load_i"] = res["load_i"].round().astype("int64")
         return res.sort_values("role").reset_index(drop=True)
 
+    def sp_contains(sf_dir: str):
+        """Reference record functions in WHERE (sql.y:535-544):
+        @RECORD.CONTAINS(key) presence test composed with a TIME()
+        lower bound (epoch-seconds double, flb_sp_func_record.c)."""
+        from fluent_bit_ray.sp import sp_execute
+        routed = _routed(sf_dir, with_rewrite=False, with_enrich=False)
+        res = sp_execute(
+            routed.ds,
+            "SELECT role, COUNT(*) AS n FROM TAG:'transcript.*' "
+            "WHERE @RECORD.CONTAINS(level) AND @RECORD.TIME() >= 1 "
+            "GROUP BY role")
+        res["n"] = res["n"].astype("int64")
+        return res.sort_values("role").reset_index(drop=True)
+
     # ---------------- throttle / throttle_size (event-time determinized)
     def throttle_kept(sf_dir: str):
         from fluent_bit_ray.stages import build_stage
@@ -1001,6 +1015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sp_count_window": sp_count_window,
         "sp_hopping": sp_hopping,
         "sp_arith": sp_arith,
+        "sp_contains": sp_contains,
         "sp_limit": sp_limit,
         "sp_snapshot_flush": sp_snapshot_flush,
         "sp_forecast": sp_forecast,
@@ -1817,6 +1832,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM hop WHERE code = 200 AND es < ws + 120
             GROUP BY 1, 2 ORDER BY role, window_start
+        """,
+        "sp_contains": f"""
+            WITH t AS ({t})
+            SELECT role, count(*)::BIGINT AS n FROM t
+            WHERE level IS NOT NULL AND epoch(ts) >= 1
+            GROUP BY role ORDER BY role
         """,
         "sp_arith": f"""
             WITH t AS ({t}),

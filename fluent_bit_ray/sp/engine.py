@@ -189,7 +189,10 @@ def _split_commas(s: str) -> list[str]:
 # ----------------------------------------------------------- conditions
 _TOKEN = re.compile(
     r"\s*(\(|\)|AND\b|OR\b|NOT\b|IS\s+NOT\s+NULL|IS\s+NULL|"
+    r"@RECORD\.CONTAINS\(\s*[\w.]+\s*\)|@RECORD\.TIME\(\s*\)|"
     r">=|<=|!=|<>|=|<|>|[+\-*/%]|'(?:[^'\\]|\\.)*'|[\w.]+)", re.IGNORECASE)
+
+_CONTAINS_RE = re.compile(r"@RECORD\.CONTAINS\(\s*([\w.]+)\s*\)", re.I)
 
 _CMP_OPS = (">=", "<=", "!=", "<>", "=", "<", ">")
 _ARITH_OPS = ("+", "-", "*", "/", "%")
@@ -269,6 +272,10 @@ class _CondParser:
             self.i = save
         left = self.parse_expr()
         nxt = self.peek()
+        if left[0] == "contains" and (nxt is None
+                                      or nxt not in _CMP_OPS):
+            # bare record_func ≡ comparison against TRUE (sql.y:495-501)
+            return left
         if left[0] == "key":
             if nxt and re.match(r"IS\s+NOT\s+NULL", nxt, re.I):
                 self.eat()
@@ -322,6 +329,11 @@ class _CondParser:
         tok = self.eat()
         if tok is None:
             raise ValueError("unexpected end of expression")
+        m = _CONTAINS_RE.fullmatch(tok)
+        if m:  # @RECORD.CONTAINS(key) — sql.y:537-539 record_func
+            return ("contains", m.group(1))
+        if tok.upper().replace(" ", "").startswith("@RECORD.TIME("):
+            return ("rectime",)  # sql.y:543-544
         if tok.startswith("'"):
             return ("lit", tok[1:-1])
         if tok.upper() in ("TRUE", "FALSE"):
@@ -349,6 +361,43 @@ def parse_expression(s: str):
     return node
 
 
+def _record_contains(b: pa.Table, key: str, cache=None) -> np.ndarray:
+    """Per-row key presence in the record map (flb_sp_func_record.c
+    contains): fixed/promoted columns count when non-null; fields-map
+    keys by dict membership (dotted paths walk the nesting)."""
+    if key in b.column_names:
+        return b.column(key).to_pandas().notna().to_numpy()
+    if f"p_{key}" in b.column_names:
+        return b.column(f"p_{key}").to_pandas().notna().to_numpy()
+    if FIELDS_COL in b.column_names:
+        decoded = cache.get("decoded") if cache is not None else None
+        if decoded is None:
+            decoded = [fields_loads(v)
+                       for v in b.column(FIELDS_COL).to_pylist()]
+            if cache is not None:
+                cache["decoded"] = decoded
+        parts = key.split(".")
+
+        def has(d) -> bool:
+            for p in parts[:-1]:
+                if isinstance(d, dict):
+                    d = d.get(p)
+                else:
+                    return False
+            return isinstance(d, dict) and parts[-1] in d
+
+        return np.fromiter((has(d) for d in decoded), dtype=bool,
+                           count=len(decoded))
+    return np.zeros(b.num_rows, dtype=bool)
+
+
+def _record_time(b: pa.Table) -> pd.Series:
+    """@RECORD.TIME(): the record timestamp as epoch seconds (double),
+    comparable with numeric literals."""
+    ts = b.column("ts").to_pandas()
+    return pd.Series(ts.astype("datetime64[ns]").astype("int64") / 1e9)
+
+
 def _eval_expr(node, b: pa.Table, cache=None):
     """Evaluate an expression tree → pd.Series (float) or scalar.
 
@@ -358,6 +407,11 @@ def _eval_expr(node, b: pa.Table, cache=None):
     kind = node[0]
     if kind == "lit":
         return node[1]
+    if kind == "contains":
+        return pd.Series(_record_contains(b, node[1], cache)
+                         .astype(np.float64))
+    if kind == "rectime":
+        return _record_time(b)
     if kind == "key":
         return pd.to_numeric(_resolve_key(b, node[1], cache),
                              errors="coerce")
@@ -472,6 +526,8 @@ def _eval_cond(node, b: pa.Table, cache=None) -> np.ndarray:
         return _eval_cond(node[1], b, cache) | _eval_cond(node[2], b, cache)
     if kind == "not":
         return ~_eval_cond(node[1], b, cache)
+    if kind == "contains":
+        return _record_contains(b, node[1], cache)
     if kind == "isnull":
         return _resolve_key(b, node[1], cache).isna().to_numpy()
     if kind == "notnull":

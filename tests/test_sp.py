@@ -382,3 +382,46 @@ def test_sp_limit_projection_and_aggregate():
     assert len(agg) == 2
     assert agg["role"].tolist() == \
         sorted(agg_full["role"].tolist())[:2]
+
+
+def mk_fields_ds():
+    import json
+    ts = pd.to_datetime(1_448_403_340 + np.arange(6), unit="s")
+    fields = [json.dumps(d) for d in [
+        {"level": "info"}, {}, {"nest": {"level": "warn"}},
+        {"level": None}, {"other": 1}, {"level": "error"},
+    ]]
+    return rd.from_arrow(pa.table({
+        "tag": pa.array(["transcript.user"] * 6),
+        "role": pa.array(list("abcdef")),
+        "fields": pa.array(fields),
+        "ts": pa.array(ts, type=pa.timestamp("ns")),
+    }))
+
+
+def test_record_contains_function():
+    ds = mk_fields_ds()
+    # fields-map key membership: present even when the value is null
+    # (rows 0, 3, 5), dotted path walks nesting (row 2)
+    out = sp_execute(ds, "SELECT role FROM TAG:'*' "
+                         "WHERE @RECORD.CONTAINS(level)").to_pandas()
+    assert sorted(out["role"]) == ["a", "d", "f"]
+    out = sp_execute(ds, "SELECT role FROM TAG:'*' "
+                         "WHERE @RECORD.CONTAINS(nest.level)").to_pandas()
+    assert sorted(out["role"]) == ["c"]
+    # promoted/fixed column: presence = non-null; composition with NOT
+    out = sp_execute(mk_ds(6), "SELECT role FROM TAG:'*' "
+                               "WHERE NOT @RECORD.CONTAINS(p_code)") \
+        .to_pandas()
+    assert len(out) == 0
+
+
+def test_record_time_function():
+    ds = mk_fields_ds()
+    out = sp_execute(ds, "SELECT role FROM TAG:'*' "
+                         "WHERE @RECORD.TIME() >= 1448403342").to_pandas()
+    assert sorted(out["role"]) == ["c", "d", "e", "f"]
+    out = sp_execute(ds, "SELECT role FROM TAG:'*' "
+                         "WHERE @RECORD.CONTAINS(level) "
+                         "AND @RECORD.TIME() < 1448403341").to_pandas()
+    assert sorted(out["role"]) == ["a"]
