@@ -50,7 +50,8 @@ _SNAP_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 _SQL_RE = re.compile(
-    r"^\s*(?:CREATE\s+STREAM\s+(?P<stream>\w+)\s+AS\s+)?"
+    r"^\s*(?:CREATE\s+STREAM\s+(?P<stream>\w+)"
+    r"(?:\s+WITH\s*\((?P<props>[^)]*)\))?\s+AS\s+)?"
     r"SELECT\s+(?P<select>.+?)\s+FROM\s+"
     r"(?:STREAM:(?P<from_stream>\w+)|TAG:'(?P<from_tag>[^']*)')"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
@@ -84,6 +85,23 @@ class SPQuery:
         self.window = None  # (type, size_s, advance_s)
         self.group_by: list[str] = []
         self.limit: int | None = None
+        # CREATE STREAM WITH(...) properties (sql.y:117,146-160;
+        # consumed: tag → re-ingestion tag, routable → router opt-out,
+        # flb_sp_stream.c:88-117)
+        self.props: dict[str, str] = {}
+
+    @property
+    def stream_tag(self) -> str | None:
+        """Tag the created stream's records re-ingest under: the tag
+        property, else the stream name (the in_stream_processor
+        instance alias becomes the default tag)."""
+        if self.stream is None:
+            return None
+        return self.props.get("tag", self.stream)
+
+    @property
+    def routable(self) -> bool:
+        return self.props.get("routable", "true").lower() != "false"
 
     @property
     def has_aggregates(self) -> bool:
@@ -96,6 +114,10 @@ def sp_parse(sql: str) -> SPQuery:
         raise ValueError(f"cannot parse SP query: {sql!r}")
     q = SPQuery()
     q.stream = m.group("stream")
+    if m.group("props"):
+        for pair in m.group("props").split(","):
+            k, _, v = pair.partition("=")
+            q.props[k.strip().lower()] = v.strip().strip("'\"")
     q.from_stream = m.group("from_stream")
     q.from_tag = m.group("from_tag")
     for part in _split_commas(m.group("select")):
@@ -673,6 +695,19 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
             return pa.table(dict(zip(names, cols)))
 
         out_ds = ds.map_batches(project, batch_format="pyarrow")
+        if q.stream is not None:
+            # re-ingestion tag (flb_sp_stream.c:88-103): WITH(tag=...)
+            # or the stream name (instance-alias default)
+            new_tag = q.stream_tag
+
+            def retag(b: pa.Table) -> pa.Table:
+                col = pa.array([new_tag] * b.num_rows, type=pa.string())
+                if TAG_COL in b.column_names:
+                    return b.set_column(
+                        b.column_names.index(TAG_COL), TAG_COL, col)
+                return b.append_column(TAG_COL, col)
+
+            out_ds = out_ds.map_batches(retag, batch_format="pyarrow")
         if q.limit is not None:
             # deterministic order contract: global sort on every
             # output column, then the first n (see sp_parse)
@@ -828,6 +863,8 @@ def sp_execute(ds, sql: str, streams: dict | None = None,
         # deterministic; a global aggregate has one row anyway
         res = res.sort_values(list(res.columns)).head(q.limit) \
             .reset_index(drop=True)
+    if q.stream is not None:
+        res[TAG_COL] = q.stream_tag
     return res
 
 

@@ -425,3 +425,22 @@ def test_record_time_function():
                          "WHERE @RECORD.CONTAINS(level) "
                          "AND @RECORD.TIME() < 1448403341").to_pandas()
     assert sorted(out["role"]) == ["a"]
+
+
+def test_create_stream_with_properties():
+    q = sp_parse("CREATE STREAM s WITH (tag='mydata', routable=false) AS "
+                 "SELECT role FROM TAG:'*'")
+    assert q.props == {"tag": "mydata", "routable": "false"}
+    assert q.stream_tag == "mydata" and not q.routable
+    # default tag = stream name (instance-alias default); routable on
+    q2 = sp_parse("CREATE STREAM s AS SELECT role FROM TAG:'*'")
+    assert q2.stream_tag == "s" and q2.routable
+    # execution re-tags the emitted records
+    ds = mk_ds(6)
+    out = sp_execute(ds, "CREATE STREAM s WITH (tag='mydata') AS "
+                         "SELECT role, tag FROM TAG:'*'").to_pandas()
+    assert (out["tag"] == "mydata").all() and len(out) == 6
+    agg = sp_execute(ds, "CREATE STREAM s AS "
+                         "SELECT role, COUNT(*) AS n FROM TAG:'*' "
+                         "GROUP BY role")
+    assert (agg["tag"] == "s").all()
