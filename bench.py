@@ -202,6 +202,37 @@ def run_bench() -> None:
         return curate_corpus(rd.read_parquet(docs), weights,
                              budget=128).count()
 
+    def bench_hash_join():
+        from fluent_bit_ray.joins import hash_join
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+        cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"])
+        return hash_join(orders, cust, on="o_custkey",
+                         right_on="c_custkey",
+                         num_partitions=num_cpus).count()
+
+    def bench_asof_join():
+        from fluent_bit_ray.joins import asof_join
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+        p = ev.map_batches(
+            lambda df: df[df["event_type"] == "purchase"]
+            [["event_id", "ts", "user_id"]], batch_format="pandas")
+        v = ev.map_batches(
+            lambda df: df[df["event_type"] == "view"]
+            [["ts", "user_id"]].assign(v=1), batch_format="pandas")
+        return asof_join(p, v, on="ts", by="user_id",
+                         partitions=num_cpus).count()
+
+    def bench_hll():
+        from fluent_bit_ray.dataops.sketch import hll_registers
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "user_id"])
+        return hll_registers(ev, "user_id",
+                             group_col="event_type").count()
+
     benches = [("flagship_e2e", headline),
                ("parse_route_count", bench_parse_only),
                ("flowcounter", bench_flowcounter),
@@ -214,6 +245,10 @@ def run_bench() -> None:
                     ("repetition_stats", bench_repetition),
                     ("pack_sequences", bench_pack),
                     ("curated_pipeline", bench_curated)]
+    if os.path.exists(f"{sf_dir}/orders.parquet"):
+        benches += [("hash_join", bench_hash_join),
+                    ("asof_join", bench_asof_join),
+                    ("hll_sketch", bench_hll)]
 
     # interleaved passes: one full sweep per rep so a bad host minute
     # lands on every query equally, medians across passes
