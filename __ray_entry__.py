@@ -557,6 +557,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             "gap_us": gap})
         return res.sort_values("p_event_id").reset_index(drop=True)
 
+    def purchase_in_error_window(sf_dir: str):
+        """Range join (engine extension — Ray Data has none): each
+        purchase matched to every error of the same user whose
+        1-hour window contains it, via one co-partitioned exchange
+        on user_id (a true 1-to-many interval join)."""
+        import pandas as pd
+
+        from fluent_bit_ray.joins import range_join
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+        p = ev.map_batches(
+            lambda df: df[df["event_type"] == "purchase"]
+            [["event_id", "ts", "user_id"]], batch_format="pandas")
+
+        def errs(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_type"] == "error"]
+            return pd.DataFrame({
+                "user_id": df["user_id"],
+                "lo": df["ts"],
+                "hi": df["ts"] + pd.Timedelta(hours=1),
+                "err_event_id": df["event_id"]})
+
+        e = ev.map_batches(errs, batch_format="pandas")
+        out = range_join(p, e, "ts", "lo", "hi", by="user_id",
+                         partitions=16).to_pandas()
+        if len(out) == 0:  # all-empty partitions lose the schema
+            return pd.DataFrame({
+                "p_event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "err_event_id": pd.Series(dtype="int64")})
+        res = out.rename(columns={"event_id": "p_event_id"})
+        res = res[["p_event_id", "user_id", "err_event_id"]]
+        return res.sort_values(["p_event_id", "err_event_id"]) \
+            .reset_index(drop=True)
+
     def docs_src_bjoin(sf_dir: str):
         """Broadcast join against a driver-built dimension frame
         (ray.put once, per-batch vectorized merge, zero shuffle)."""
@@ -996,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_enriched": orders_enriched,
         "orders_semi_negbal": orders_semi_negbal,
         "purchase_asof_view": purchase_asof_view,
+        "purchase_in_error_window": purchase_in_error_window,
         "docs_src_bjoin": docs_src_bjoin,
         "tf_score": tf_score,
         "doc_redact": doc_redact,
@@ -1417,6 +1454,17 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF JOIN v
               ON p.user_id = v.user_id AND p.ts >= v.ts
             ORDER BY p_event_id
+        """,
+        "purchase_in_error_window": """
+            WITH p AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase'),
+            e AS (SELECT event_id AS err_event_id, user_id, ts AS lo,
+                         ts + INTERVAL 1 HOUR AS hi
+                  FROM events WHERE event_type = 'error')
+            SELECT p.event_id AS p_event_id, p.user_id, e.err_event_id
+            FROM p JOIN e ON p.user_id = e.user_id
+                         AND p.ts >= e.lo AND p.ts < e.hi
+            ORDER BY p_event_id, err_event_id
         """,
         "docs_src_bjoin": """
             WITH dim AS (

@@ -207,9 +207,17 @@ def asof_join(left, right, on: str, by, direction: str = "backward",
         rpd = (t.filter(pa.array(side == 1))
                .select([on, *by_l, *r_payload]).to_pandas())
         if not len(lpd):
-            return pa.table(
-                [pa.nulls(0, target.field(c).type) for c in out_names],
-                names=out_names)
+            # schema parity with non-empty partitions: inner keeps
+            # source types; left widens integer payloads to float64
+            # (the pandas null convention)
+            def etype(c):
+                t = target.field(c).type
+                if (how == "left" and c in r_payload
+                        and pa.types.is_integer(t)):
+                    return pa.float64()
+                return t
+            return pa.table([pa.nulls(0, etype(c)) for c in out_names],
+                            names=out_names)
         r_dtypes = {c: rpd[c].dtype for c in r_payload}
         rpd[_MARK] = np.int8(1)
         lpd = lpd.sort_values(on, kind="mergesort")
@@ -221,7 +229,136 @@ def asof_join(left, right, on: str, by, direction: str = "backward",
             merged = merged[merged[_MARK].notna()]
             for c, dt in r_dtypes.items():
                 merged[c] = merged[c].astype(dt)
-        return pa.Table.from_pandas(merged.drop(columns=[_MARK]),
-                                    preserve_index=False)
+        tbl = pa.Table.from_pandas(merged.drop(columns=[_MARK]),
+                                   preserve_index=False)
+        if how == "inner":
+            # one schema per partition (pandas round-trips timestamps
+            # to ns; the empty branch uses the source types)
+            tbl = tbl.select(out_names).cast(pa.schema(
+                [(c, target.field(c).type) for c in out_names]))
+        return tbl
+
+    return tagged.groupby(_HP).map_groups(kernel, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- range join
+def range_join(left, right, left_val: str, right_lo: str, right_hi: str,
+               by=None, suffix: str = "_r", partitions: int = 64,
+               bucket=None):
+    """Interval join: each left row matches every right interval
+    ``[right_lo, right_hi)`` containing ``left_val`` (a true join —
+    one left row can emit several matches). Ray Data has no range
+    join; two partitioning strategies:
+
+    - ``by`` given (equality key, e.g. user/conv): ONE co-partitioned
+      exchange on the key, per-partition vectorized merge-on-key +
+      containment mask. Assumption: one key's rows fit a partition
+      (per-user/conv event streams — same bound as :func:`asof_join`).
+    - ``by=None``: value-bucketed. Bucket width = the LARGEST interval
+      span (one tiny aggregate pass over the interval side, or pass
+      ``bucket``), so each interval overlaps at most 2 buckets and is
+      replicated to exactly those; each left row goes to its value's
+      single bucket, so no match is ever seen twice. Assumption: left
+      values spread across buckets (event-time data does); one hot
+      bucket means one task owns that bucket's work.
+
+    Output = left columns + right payload columns (``right_lo/hi``
+    included; colliding names suffixed). Value columns are numeric or
+    timestamps (compared as int64 ns internally).
+    """
+    by_l = _listify(by) if by is not None else []
+
+    l_schema = _arrow_schema(left)
+    r_schema = _arrow_schema(right)
+    l_names = list(l_schema.names)
+    keep_r = [n for n in r_schema.names if n not in by_l]
+    r_out = {n: (n + suffix if n in l_names else n) for n in keep_r}
+    r_payload = [r_out[n] for n in keep_r]
+
+    fields = [(n, l_schema.field(n).type) for n in l_names]
+    fields += [(r_out[n], r_schema.field(n).type) for n in keep_r]
+    fields += [(_SIDE, pa.int8()), (_HP, pa.int64())]
+    target = pa.schema(fields)
+    lo_c, hi_c = r_out[right_lo], r_out[right_hi]
+
+    def _as_i64(s: pd.Series | np.ndarray) -> np.ndarray:
+        v = s.to_numpy() if hasattr(s, "to_numpy") else s
+        if np.issubdtype(v.dtype, np.datetime64):
+            return v.astype("datetime64[ns]").view(np.int64)
+        return v.astype(np.int64)
+
+    if not by_l:
+        if bucket is None:
+            # one tiny pass over the (small) interval side: max span
+            def span(df: pd.DataFrame) -> pd.DataFrame:
+                s = _as_i64(df[right_hi]) - _as_i64(df[right_lo])
+                return pd.DataFrame(
+                    {"s": [int(np.max(s))] if len(s) else []})
+
+            spans = right.map_batches(
+                span, batch_format="pandas").to_pandas()
+            bucket = max(int(spans["s"].max()), 1) if len(spans) else 1
+        bucket = int(bucket)
+
+    def project(side: int, src_of: dict[str, str]):
+        def fn(t: pa.Table) -> pa.Table:
+            if by_l:
+                hp = _hp_of(t, by_l, partitions)
+            elif side == 0:
+                hp = (_as_i64(t[left_val].to_pandas())
+                      // bucket) % partitions
+            else:
+                # replicate each interval into every bucket it
+                # overlaps (≤ 2, since span ≤ bucket width)
+                lo_b = _as_i64(t[right_lo].to_pandas()) // bucket
+                hi_b = (_as_i64(t[right_hi].to_pandas()) - 1) // bucket
+                second = np.flatnonzero(hi_b > lo_b)
+                idx = np.concatenate([np.arange(len(t)), second])
+                hp = np.concatenate([lo_b, lo_b[second] + 1]) % partitions
+                t = t.take(pa.array(idx))
+            n = len(t)
+            cols = []
+            for f in target:
+                if f.name == _SIDE:
+                    cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+                elif f.name == _HP:
+                    cols.append(pa.array(hp.astype(np.int64)))
+                elif f.name in src_of:
+                    cols.append(t[src_of[f.name]].combine_chunks()
+                                .cast(f.type))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.table(cols, names=target.names)
+        return fn
+
+    l_src = {n: n for n in l_names}
+    r_src = {r_out[n]: n for n in keep_r}
+    for k in by_l:
+        r_src[k] = k
+    tagged = (left.map_batches(project(0, l_src), batch_format="pyarrow")
+              .union(right.map_batches(project(1, r_src),
+                                       batch_format="pyarrow")))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        side = t[_SIDE].to_numpy(zero_copy_only=False)
+        lpd = t.filter(pa.array(side == 0)).select(l_names).to_pandas()
+        rpd = (t.filter(pa.array(side == 1))
+               .select([*by_l, *r_payload]).to_pandas())
+        out_names = l_names + r_payload
+        if not len(lpd) or not len(rpd):
+            return pa.table([pa.nulls(0, target.field(c).type)
+                             for c in out_names], names=out_names)
+        if by_l:
+            merged = lpd.merge(rpd, on=by_l, how="inner", sort=False)
+            merged = merged[out_names]
+        else:
+            merged = lpd.merge(rpd, how="cross")[out_names]
+        v = _as_i64(merged[left_val])
+        keep = (v >= _as_i64(merged[lo_c])) & (v < _as_i64(merged[hi_c]))
+        tbl = pa.Table.from_pandas(merged[keep], preserve_index=False)
+        # every partition must emit ONE schema (pandas round-trips
+        # timestamps to ns; the empty branch uses the source types)
+        return tbl.select(out_names).cast(pa.schema(
+            [(c, target.field(c).type) for c in out_names]))
 
     return tagged.groupby(_HP).map_groups(kernel, batch_format="pyarrow")

@@ -134,3 +134,65 @@ def test_asof_join_string_by_key():
                     by="u", tie_break="reid", partitions=4).to_pandas()
     exp = _asof_truth(lhs, rhs)
     pd.testing.assert_frame_equal(_norm(got), _norm(exp))
+
+
+def _ranges(seed=11, n=300, m=80, users=6):
+    rng = np.random.default_rng(seed)
+    lhs = pd.DataFrame({"u": rng.integers(0, users, n),
+                        "t": rng.integers(0, 5000, n).astype("int64"),
+                        "eid": np.arange(n)})
+    lo = rng.integers(0, 4900, m).astype("int64")
+    rhs = pd.DataFrame({"u": rng.integers(0, users, m), "lo": lo,
+                        "hi": lo + rng.integers(1, 100, m),
+                        "iid": np.arange(m)})
+    return lhs, rhs
+
+
+def test_range_join_by_key_matches_pandas():
+    from fluent_bit_ray.joins import range_join
+    lhs, rhs = _ranges()
+    got = range_join(rd.from_pandas(lhs), rd.from_pandas(rhs), "t",
+                     "lo", "hi", by="u", partitions=5).to_pandas()
+    exp = lhs.merge(rhs, on="u", how="inner")
+    exp = exp[(exp.t >= exp.lo) & (exp.t < exp.hi)]
+    cols = ["u", "t", "eid", "lo", "hi", "iid"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(["eid", "iid"]).reset_index(drop=True)[cols],
+        exp.sort_values(["eid", "iid"]).reset_index(drop=True)[cols])
+
+
+def test_range_join_bucketed_no_key():
+    from fluent_bit_ray.joins import range_join
+    lhs, rhs = _ranges()
+    rhs = rhs.drop(columns=["u"])
+    got = range_join(rd.from_pandas(lhs), rd.from_pandas(rhs), "t",
+                     "lo", "hi", partitions=7).to_pandas()
+    exp = lhs.merge(rhs, how="cross")
+    exp = exp[(exp.t >= exp.lo) & (exp.t < exp.hi)]
+    cols = ["u", "t", "eid", "lo", "hi", "iid"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(["eid", "iid"]).reset_index(drop=True)[cols],
+        exp.sort_values(["eid", "iid"]).reset_index(drop=True)[cols])
+    # an interval spanning a bucket boundary still matches exactly once
+    wide = pd.DataFrame({"lo": [95], "hi": [105], "iid": [0]})
+    pts = pd.DataFrame({"t": [94, 95, 99, 100, 104, 105],
+                        "eid": np.arange(6)})
+    got2 = range_join(rd.from_pandas(pts), rd.from_pandas(wide), "t",
+                      "lo", "hi", partitions=3, bucket=10).to_pandas()
+    assert sorted(got2["eid"]) == [1, 2, 3, 4]
+
+
+def test_range_join_timestamps_and_empty():
+    from fluent_bit_ray.joins import range_join
+    lhs, rhs = _ranges()
+    lts = lhs.assign(t=pd.to_datetime(lhs.t, unit="s"))
+    rts = rhs.assign(lo=pd.to_datetime(rhs.lo, unit="s"),
+                     hi=pd.to_datetime(rhs.hi, unit="s"))
+    got = range_join(rd.from_pandas(lts), rd.from_pandas(rts), "t",
+                     "lo", "hi", by="u", partitions=4).to_pandas()
+    exp = lhs.merge(rhs, on="u", how="inner")
+    assert len(got) == len(exp[(exp.t >= exp.lo) & (exp.t < exp.hi)])
+    got0 = range_join(rd.from_pandas(lts), rd.from_pandas(rts.iloc[:0]),
+                      "t", "lo", "hi", by="u", partitions=4,
+                      bucket=1).to_pandas()
+    assert len(got0) == 0
