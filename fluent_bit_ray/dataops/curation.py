@@ -83,12 +83,26 @@ def decontaminate(ds, bench_hashes: np.ndarray, key: str = "doc_id",
         bh = ray.get(ref)
         n = len(df)
         n_hits = np.zeros(n, dtype=np.int64)
-        if len(bh):
-            for i, t in enumerate(df[text_col].astype(str).tolist()):
-                g = np.fromiter(_shingles(t, ngram), dtype=np.uint64)
-                idx = np.searchsorted(bh, g)
+        if len(bh) and n:
+            # ONE membership pass for the whole batch: concatenate all
+            # docs' gram sets, one searchsorted, per-doc counts via
+            # reduceat over the doc boundaries (was 3 numpy calls per
+            # doc — call overhead dominated after the md5 work)
+            sets = [_shingles(t, ngram)
+                    for t in df[text_col].astype(str).tolist()]
+            counts = np.fromiter((len(s) for s in sets), np.int64,
+                                 count=n)
+            total = int(counts.sum())
+            if total:
+                allg = np.fromiter((h for s in sets for h in s),
+                                   np.uint64, count=total)
+                idx = np.searchsorted(bh, allg)
                 idx[idx == len(bh)] = 0
-                n_hits[i] = int((bh[idx] == g).sum())
+                hit = (bh[idx] == allg).astype(np.int64)
+                nz = counts > 0
+                cnz = counts[nz]
+                bounds = np.concatenate(([0], np.cumsum(cnz)[:-1]))
+                n_hits[nz] = np.add.reduceat(hit, bounds)
         return pd.DataFrame({key: df[key], "n_hits": n_hits,
                              "contaminated": n_hits > 0})
 
@@ -299,13 +313,23 @@ def curate_corpus(ds, weights: dict[str, int], budget: int = 128,
         # expensive one and now runs on the fewest rows
         bh_arr = ray.get(bh_ref)
         if len(bh_arr):
+            # one batched membership pass (see decontaminate.flag)
+            sets = [_shingles(t, ngram)
+                    for t in df[text_col].astype(str).tolist()]
+            counts = np.fromiter((len(s) for s in sets), np.int64,
+                                 count=len(sets))
+            total = int(counts.sum())
             hit = np.zeros(len(df), dtype=bool)
-            for i, t in enumerate(df[text_col].astype(str).tolist()):
-                g = np.fromiter(_shingles(t, ngram), dtype=np.uint64)
-                if len(g):
-                    idx = np.searchsorted(bh_arr, g)
-                    idx[idx == len(bh_arr)] = 0
-                    hit[i] = bool((bh_arr[idx] == g).any())
+            if total:
+                allg = np.fromiter((h for s in sets for h in s),
+                                   np.uint64, count=total)
+                idx = np.searchsorted(bh_arr, allg)
+                idx[idx == len(bh_arr)] = 0
+                m = (bh_arr[idx] == allg).astype(np.int64)
+                nz = counts > 0
+                bounds = np.concatenate(([0],
+                                         np.cumsum(counts[nz])[:-1]))
+                hit[nz] = np.add.reduceat(m, bounds) > 0
             df = df[~hit]
         return df
 
