@@ -77,6 +77,11 @@ def kmeans(embs, k: int = 8, iters: int = 1, col: str = "embedding",
     init = qds.map_batches(lambda df: df[df[key] < k],
                            batch_format="pandas").to_pandas()
     init = init.sort_values(key).head(k)
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans init needs rows with {key} < k={k} (contiguous-id "
+            f"corpora); found {len(init)}. For arbitrary keys, remap "
+            "ids first (e.g. rank by key) so the k seed rows exist.")
     cent = np.stack(init["q"].to_numpy()).astype(np.int64)
 
     for _ in range(iters):

@@ -52,3 +52,11 @@ def test_kmeans_zero_iters_assigns_to_init():
     out, cent = kmeans(rd.from_pandas(_embs_df(vecs)), k=2, iters=0)
     assert out["cluster"].tolist() == [0, 1, 0, 1]
     assert out["dist"].tolist()[0] == 0
+
+
+def test_kmeans_missing_seed_rows_raises():
+    import pytest
+    df = _embs_df([[0.0, 0.0], [1.0, 1.0]])
+    df["vec_id"] = df["vec_id"] + 100  # no ids < k
+    with pytest.raises(ValueError, match="kmeans init"):
+        kmeans(rd.from_pandas(df), k=2, iters=1)
