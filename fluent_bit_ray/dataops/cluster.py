@@ -76,7 +76,8 @@ def kmeans(embs, k: int = 8, iters: int = 1, col: str = "embedding",
     # key < k). Tiny filter result; never the corpus.
     init = qds.map_batches(lambda df: df[df[key] < k],
                            batch_format="pandas").to_pandas()
-    init = init.sort_values(key).head(k)
+    if len(init):  # an all-empty result loses its column schema
+        init = init.sort_values(key).head(k)
     if len(init) < k:
         raise ValueError(
             f"kmeans init needs rows with {key} < k={k} (contiguous-id "
