@@ -45,7 +45,7 @@ def _tpath(sf_dir: str) -> str:
 # json, logfmt, ltsv; only json/logfmt/ltsv rows carry a level key).
 _LEVEL_SQL = """
     CASE
-      WHEN text LIKE '{%' THEN json_extract_string(text, '$.level')
+      WHEN text LIKE '{%' THEN json_extract_string(TRY_CAST(text AS JSON), '$.level')
       WHEN text LIKE 'CALL %' THEN NULL
       WHEN regexp_matches(text, 'level=') THEN regexp_extract(text, 'level=(\\w+)', 1)
       WHEN contains(text, chr(9)) AND regexp_matches(text, 'level:')
@@ -1262,14 +1262,14 @@ def oracle_sql() -> dict[str, str]:
             parsed AS (
               SELECT role, ts,
                 CASE
-                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.code') AS BIGINT)
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(TRY_CAST(text AS JSON), '$.code') AS BIGINT)
                   WHEN text LIKE 'CALL %' THEN NULL
                   WHEN regexp_matches(text, 'code=') THEN TRY_CAST(regexp_extract(text, 'code=(\\d+)', 1) AS BIGINT)
                   WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'code:(\\d+)', 1) AS BIGINT)
                   WHEN regexp_matches(text, '^[0-9.]+ - ') THEN TRY_CAST(regexp_extract(text, '" (\\d+) ', 1) AS BIGINT)
                 END AS code,
                 CASE
-                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.dur') AS DOUBLE)
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(TRY_CAST(text AS JSON), '$.dur') AS DOUBLE)
                   WHEN regexp_matches(text, 'dur=') THEN TRY_CAST(regexp_extract(text, 'dur=([0-9.]+)', 1) AS DOUBLE)
                   WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'dur:([0-9.]+)', 1) AS DOUBLE)
                 END AS dur
@@ -1310,12 +1310,12 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS ({t})
             SELECT conv_id, turn_idx,
                    CASE
-                     WHEN text LIKE '{{%' THEN json_extract_string(text, '$.msg')
+                     WHEN text LIKE '{{%' THEN json_extract_string(TRY_CAST(text AS JSON), '$.msg')
                      WHEN regexp_matches(text, 'msg="') THEN regexp_extract(text, 'msg="([^"]*)"', 1)
                      WHEN contains(text, chr(9)) THEN regexp_extract(text, 'msg:([^\t]*)', 1)
                    END AS message
             FROM t
-            WHERE (text LIKE '{{%' AND json_extract_string(text, '$.msg') IS NOT NULL)
+            WHERE (text LIKE '{{%' AND json_extract_string(TRY_CAST(text AS JSON), '$.msg') IS NOT NULL)
                OR regexp_matches(text, 'msg="')
                OR (contains(text, chr(9)) AND regexp_matches(text, 'msg:'))
             ORDER BY conv_id, turn_idx
@@ -1323,11 +1323,11 @@ def oracle_sql() -> dict[str, str]:
         "nested_log_seq": f"""
             WITH t AS ({t})
             SELECT conv_id, turn_idx,
-                   CAST(json_extract_string(json_extract_string(text, '$.log'),
+                   CAST(json_extract_string(TRY_CAST(json_extract_string(TRY_CAST(text AS JSON), '$.log') AS JSON),
                         '$.seq') AS BIGINT) AS seq
             FROM t
             WHERE text LIKE '{{%'
-              AND json_extract_string(text, '$.log') IS NOT NULL
+              AND json_extract_string(TRY_CAST(text AS JSON), '$.log') IS NOT NULL
             ORDER BY conv_id, turn_idx
         """,
         "dedup_exact_transcripts": f"""
@@ -1788,7 +1788,7 @@ def oracle_sql() -> dict[str, str]:
             parsed AS (
               SELECT role, ts,
                 CASE
-                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.code') AS BIGINT)
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(TRY_CAST(text AS JSON), '$.code') AS BIGINT)
                   WHEN text LIKE 'CALL %' THEN NULL
                   WHEN regexp_matches(text, 'code=') THEN TRY_CAST(regexp_extract(text, 'code=(\\d+)', 1) AS BIGINT)
                   WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'code:(\\d+)', 1) AS BIGINT)
@@ -1812,7 +1812,7 @@ def oracle_sql() -> dict[str, str]:
             parsed AS (
               SELECT conv_id, turn_idx,
                 CASE
-                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.code') AS BIGINT)
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(TRY_CAST(text AS JSON), '$.code') AS BIGINT)
                   WHEN text LIKE 'CALL %' THEN NULL
                   WHEN regexp_matches(text, 'code=') THEN TRY_CAST(regexp_extract(text, 'code=(\\d+)', 1) AS BIGINT)
                   WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'code:(\\d+)', 1) AS BIGINT)
@@ -1828,14 +1828,14 @@ def oracle_sql() -> dict[str, str]:
             parsed AS (
               SELECT role, ts,
                 CASE
-                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.code') AS BIGINT)
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(TRY_CAST(text AS JSON), '$.code') AS BIGINT)
                   WHEN text LIKE 'CALL %' THEN NULL
                   WHEN regexp_matches(text, 'code=') THEN TRY_CAST(regexp_extract(text, 'code=(\\d+)', 1) AS BIGINT)
                   WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'code:(\\d+)', 1) AS BIGINT)
                   WHEN regexp_matches(text, '^[0-9.]+ - ') THEN TRY_CAST(regexp_extract(text, '" (\\d+) ', 1) AS BIGINT)
                 END AS code,
                 CASE
-                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.dur') AS DOUBLE)
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(TRY_CAST(text AS JSON), '$.dur') AS DOUBLE)
                   WHEN regexp_matches(text, 'dur=') THEN TRY_CAST(regexp_extract(text, 'dur=([0-9.]+)', 1) AS DOUBLE)
                   WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'dur:([0-9.]+)', 1) AS DOUBLE)
                 END AS dur
@@ -1860,7 +1860,7 @@ def oracle_sql() -> dict[str, str]:
             parsed AS (
               SELECT role, ts,
                 CASE
-                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.code') AS BIGINT)
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(TRY_CAST(text AS JSON), '$.code') AS BIGINT)
                   WHEN text LIKE 'CALL %' THEN NULL
                   WHEN regexp_matches(text, 'code=') THEN TRY_CAST(regexp_extract(text, 'code=(\\d+)', 1) AS BIGINT)
                   WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'code:(\\d+)', 1) AS BIGINT)
@@ -1892,14 +1892,14 @@ def oracle_sql() -> dict[str, str]:
             parsed AS (
               SELECT role, turn_idx,
                 CASE
-                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.code') AS BIGINT)
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(TRY_CAST(text AS JSON), '$.code') AS BIGINT)
                   WHEN text LIKE 'CALL %' THEN NULL
                   WHEN regexp_matches(text, 'code=') THEN TRY_CAST(regexp_extract(text, 'code=(\\d+)', 1) AS BIGINT)
                   WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'code:(\\d+)', 1) AS BIGINT)
                   WHEN regexp_matches(text, '^[0-9.]+ - ') THEN TRY_CAST(regexp_extract(text, '" (\\d+) ', 1) AS BIGINT)
                 END AS code,
                 CASE
-                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(text, '$.dur') AS DOUBLE)
+                  WHEN text LIKE '{{%' THEN TRY_CAST(json_extract_string(TRY_CAST(text AS JSON), '$.dur') AS DOUBLE)
                   WHEN regexp_matches(text, 'dur=') THEN TRY_CAST(regexp_extract(text, 'dur=([0-9.]+)', 1) AS DOUBLE)
                   WHEN contains(text, chr(9)) THEN TRY_CAST(regexp_extract(text, 'dur:([0-9.]+)', 1) AS DOUBLE)
                 END AS dur
