@@ -135,6 +135,61 @@ def _hp_of(t: pa.Table, by_l: list[str], partitions: int) -> np.ndarray:
     return hp[codes]
 
 
+def _union_plan(left, right, by_l: list[str], suffix: str,
+                exclude_r: tuple = ()):
+    """Shared planning for co-partitioned two-sided exchanges
+    (asof/range): output naming (right collisions suffixed) and the
+    Arrow union schema both sides project into."""
+    l_schema = _arrow_schema(left)
+    r_schema = _arrow_schema(right)
+    l_names = list(l_schema.names)
+    keep_r = [n for n in r_schema.names
+              if n not in by_l and n not in exclude_r]
+    r_out = {n: (n + suffix if n in l_names else n) for n in keep_r}
+    fields = [(n, l_schema.field(n).type) for n in l_names]
+    fields += [(r_out[n], r_schema.field(n).type) for n in keep_r]
+    fields += [(_SIDE, pa.int8()), (_HP, pa.int64())]
+    return l_names, keep_r, r_out, pa.schema(fields)
+
+
+def _tagged_union(left, right, target: pa.Schema, l_src: dict,
+                  r_src: dict, hp_prep):
+    """Project both sides into ``target`` (own columns cast, the
+    other side's filled with typed nulls, side tag + partition id
+    appended) and union them. ``hp_prep(t, side) -> (t, hp)`` may
+    transform the table (e.g. interval replication) and returns the
+    partition id per row."""
+    def project(side: int, src_of: dict[str, str]):
+        def fn(t: pa.Table) -> pa.Table:
+            t, hp = hp_prep(t, side)
+            n = len(t)
+            cols = []
+            for f in target:
+                if f.name == _SIDE:
+                    cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+                elif f.name == _HP:
+                    cols.append(pa.array(hp.astype(np.int64)))
+                elif f.name in src_of:
+                    cols.append(t[src_of[f.name]].combine_chunks()
+                                .cast(f.type))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.table(cols, names=target.names)
+        return fn
+
+    return (left.map_batches(project(0, l_src), batch_format="pyarrow")
+            .union(right.map_batches(project(1, r_src),
+                                     batch_format="pyarrow")))
+
+
+def _as_i64(s) -> np.ndarray:
+    """Order-preserving int64 view of a numeric / timestamp column."""
+    v = s.to_numpy() if hasattr(s, "to_numpy") else s
+    if np.issubdtype(v.dtype, np.datetime64):
+        return v.astype("datetime64[ns]").view(np.int64)
+    return v.astype(np.int64)
+
+
 def asof_join(left, right, on: str, by, direction: str = "backward",
               how: str = "inner", suffix: str = "_r",
               tie_break=None, partitions: int = 64, tolerance=None):
@@ -159,45 +214,18 @@ def asof_join(left, right, on: str, by, direction: str = "backward",
     by_l = _listify(by)
     tie_cols = _listify(tie_break) if tie_break is not None else []
 
-    l_schema = _arrow_schema(left)
-    r_schema = _arrow_schema(right)
-    l_names = list(l_schema.names)
-    keep_r = [n for n in r_schema.names if n != on and n not in by_l]
-    r_out = {n: (n + suffix if n in l_names else n) for n in keep_r}
+    l_names, keep_r, r_out, target = _union_plan(left, right, by_l,
+                                                 suffix, exclude_r=(on,))
     r_payload = [r_out[n] for n in keep_r]
-
-    fields = [(n, l_schema.field(n).type) for n in l_names]
-    fields += [(r_out[n], r_schema.field(n).type) for n in keep_r]
-    fields += [(_SIDE, pa.int8()), (_HP, pa.int64())]
-    target = pa.schema(fields)
-
-    def project(side: int, src_of: dict[str, str]):
-        """Emit the union schema; this side's columns filled from
-        ``src_of``, the other side's filled with typed nulls."""
-        def fn(t: pa.Table) -> pa.Table:
-            n = len(t)
-            cols = []
-            for f in target:
-                if f.name == _SIDE:
-                    cols.append(pa.array(np.full(n, side, dtype=np.int8)))
-                elif f.name == _HP:
-                    cols.append(pa.array(_hp_of(t, by_l, partitions)))
-                elif f.name in src_of:
-                    cols.append(t[src_of[f.name]].combine_chunks()
-                                .cast(f.type))
-                else:
-                    cols.append(pa.nulls(n, f.type))
-            return pa.table(cols, names=target.names)
-        return fn
 
     l_src = {n: n for n in l_names}
     r_src = {r_out[n]: n for n in keep_r}
     r_src[on] = on
     for k in by_l:
         r_src[k] = k
-    tagged = (left.map_batches(project(0, l_src), batch_format="pyarrow")
-              .union(right.map_batches(project(1, r_src),
-                                       batch_format="pyarrow")))
+    tagged = _tagged_union(
+        left, right, target, l_src, r_src,
+        lambda t, side: (t, _hp_of(t, by_l, partitions)))
 
     out_names = l_names + r_payload
 
@@ -268,24 +296,10 @@ def range_join(left, right, left_val: str, right_lo: str, right_hi: str,
     """
     by_l = _listify(by) if by is not None else []
 
-    l_schema = _arrow_schema(left)
-    r_schema = _arrow_schema(right)
-    l_names = list(l_schema.names)
-    keep_r = [n for n in r_schema.names if n not in by_l]
-    r_out = {n: (n + suffix if n in l_names else n) for n in keep_r}
+    l_names, keep_r, r_out, target = _union_plan(left, right, by_l,
+                                                 suffix)
     r_payload = [r_out[n] for n in keep_r]
-
-    fields = [(n, l_schema.field(n).type) for n in l_names]
-    fields += [(r_out[n], r_schema.field(n).type) for n in keep_r]
-    fields += [(_SIDE, pa.int8()), (_HP, pa.int64())]
-    target = pa.schema(fields)
     lo_c, hi_c = r_out[right_lo], r_out[right_hi]
-
-    def _as_i64(s: pd.Series | np.ndarray) -> np.ndarray:
-        v = s.to_numpy() if hasattr(s, "to_numpy") else s
-        if np.issubdtype(v.dtype, np.datetime64):
-            return v.astype("datetime64[ns]").view(np.int64)
-        return v.astype(np.int64)
 
     if not by_l:
         if bucket is None:
@@ -300,44 +314,26 @@ def range_join(left, right, left_val: str, right_lo: str, right_hi: str,
             bucket = max(int(spans["s"].max()), 1) if len(spans) else 1
         bucket = int(bucket)
 
-    def project(side: int, src_of: dict[str, str]):
-        def fn(t: pa.Table) -> pa.Table:
-            if by_l:
-                hp = _hp_of(t, by_l, partitions)
-            elif side == 0:
-                hp = (_as_i64(t[left_val].to_pandas())
-                      // bucket) % partitions
-            else:
-                # replicate each interval into every bucket it
-                # overlaps (≤ 2, since span ≤ bucket width)
-                lo_b = _as_i64(t[right_lo].to_pandas()) // bucket
-                hi_b = (_as_i64(t[right_hi].to_pandas()) - 1) // bucket
-                second = np.flatnonzero(hi_b > lo_b)
-                idx = np.concatenate([np.arange(len(t)), second])
-                hp = np.concatenate([lo_b, lo_b[second] + 1]) % partitions
-                t = t.take(pa.array(idx))
-            n = len(t)
-            cols = []
-            for f in target:
-                if f.name == _SIDE:
-                    cols.append(pa.array(np.full(n, side, dtype=np.int8)))
-                elif f.name == _HP:
-                    cols.append(pa.array(hp.astype(np.int64)))
-                elif f.name in src_of:
-                    cols.append(t[src_of[f.name]].combine_chunks()
-                                .cast(f.type))
-                else:
-                    cols.append(pa.nulls(n, f.type))
-            return pa.table(cols, names=target.names)
-        return fn
+    def hp_prep(t: pa.Table, side: int):
+        if by_l:
+            return t, _hp_of(t, by_l, partitions)
+        if side == 0:
+            return t, (_as_i64(t[left_val].to_pandas())
+                       // bucket) % partitions
+        # replicate each interval into every bucket it overlaps
+        # (≤ 2, since span ≤ bucket width)
+        lo_b = _as_i64(t[right_lo].to_pandas()) // bucket
+        hi_b = (_as_i64(t[right_hi].to_pandas()) - 1) // bucket
+        second = np.flatnonzero(hi_b > lo_b)
+        idx = np.concatenate([np.arange(len(t)), second])
+        hp = np.concatenate([lo_b, lo_b[second] + 1]) % partitions
+        return t.take(pa.array(idx)), hp
 
     l_src = {n: n for n in l_names}
     r_src = {r_out[n]: n for n in keep_r}
     for k in by_l:
         r_src[k] = k
-    tagged = (left.map_batches(project(0, l_src), batch_format="pyarrow")
-              .union(right.map_batches(project(1, r_src),
-                                       batch_format="pyarrow")))
+    tagged = _tagged_union(left, right, target, l_src, r_src, hp_prep)
 
     def kernel(t: pa.Table) -> pa.Table:
         side = t[_SIDE].to_numpy(zero_copy_only=False)
