@@ -211,9 +211,14 @@ def run_bench() -> None:
                                  columns=["o_orderkey", "o_custkey"])
         cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey", "c_mktsegment"])
+        # partitions sized to the DATA (one per ~20k rows), not the
+        # CPU count: each partition is a hash-aggregator actor and
+        # 32 of them cost ~6 s of spawn for a 150k-row join (measured
+        # 9.2 s at 32 vs 3.2 s at 8); at 100 TB you size partitions
+        # so one fits an aggregator heap and spawn amortizes
         return hash_join(orders, cust, on="o_custkey",
                          right_on="c_custkey",
-                         num_partitions=num_cpus).count()
+                         num_partitions=8).count()
 
     def bench_asof_join():
         from fluent_bit_ray.joins import asof_join
