@@ -468,6 +468,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values(["event_type", "reg"])
                 .reset_index(drop=True))
 
+    def sft_pairs(sf_dir: str):
+        """SFT training-pair assembly: one exchange co-locates each
+        conversation (coarse conv_id hash partitions — skew bounded by
+        conversation length), then a vectorized lag/join kernel builds
+        each assistant turn's context from the 4 preceding turns.
+        Output is ~k× the assistant text (output-bound, streams)."""
+        from fluent_bit_ray.dataops.sft import sft_examples
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "role", "text"])
+        out = sft_examples(ds, context_turns=4).to_pandas()
+        return (out.sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+
+    def collapsed_repeats(sf_dir: str):
+        """'Last message repeated N times' (rsyslog
+        $RepeatedMsgReduction): consecutive identical (role, text)
+        turns per conversation collapse to first row + run length.
+        Same conv_id exchange as sft_pairs; in-partition run detection
+        is one vectorized neighbor-compare (no per-conversation
+        Python)."""
+        from fluent_bit_ray.dataops.sft import collapse_repeats
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "role", "text"])
+        out = collapse_repeats(ds).to_pandas()
+        return (out.sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+
+    def events_user_cms(sf_dir: str):
+        """Distributed count-min frequency sketch over event user_ids:
+        per-batch register partials (≤ 4×1024 counters leave a task),
+        element-wise-SUM merge. The register TABLE is deterministic
+        (salted md5 hashes, exact sums) so the oracle reproduces it
+        bit-for-bit in SQL; only the point estimate (min over rows) is
+        approximate (pytest asserts the ≥-true-count property)."""
+        from fluent_bit_ray.dataops.sketch import cms_registers
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+        out = cms_registers(ev, "user_id", depth=4, width=1024).to_pandas()
+        return out.sort_values(["d", "w"]).reset_index(drop=True)
+
     def docs_topk_per_source(sf_dir: str):
         """Grouped top-k selection ("best docs per domain"): per-batch
         partial top-k, then one coarse exchange — only k×groups rows
@@ -1027,6 +1067,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": ann_topk_ivf,
         "docs_stratified": docs_stratified,
         "events_user_hll": events_user_hll,
+        "events_user_cms": events_user_cms,
+        "sft_pairs": sft_pairs,
+        "collapsed_repeats": collapsed_repeats,
         "docs_topk_per_source": docs_topk_per_source,
         "emb_kmeans": emb_kmeans,
         "orders_enriched": orders_enriched,
@@ -1142,6 +1185,12 @@ def _hll_oracle() -> str:
     from fluent_bit_ray.dataops.sketch import hll_oracle_sql
     return hll_oracle_sql("user_id", "events", "event_type",
                           _h64_sql, p=12)
+
+
+def _cms_oracle() -> str:
+    from fluent_bit_ray.dataops.sketch import cms_oracle_sql
+    return cms_oracle_sql("user_id", "events", _h64_sql,
+                          depth=4, width=1024)
 
 
 def _kmeans_oracle() -> str:
@@ -1418,6 +1467,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "events_user_hll": _hll_oracle(),
+        "events_user_cms": _cms_oracle(),
+        "sft_pairs": f"""
+            WITH t AS ({t}),
+            p AS (SELECT conv_id, turn_idx, role, text,
+                         role || ': ' || text AS piece FROM t),
+            c AS (SELECT conv_id, turn_idx, role, text AS target,
+                         concat_ws(chr(10),
+                           lag(piece, 4) OVER w, lag(piece, 3) OVER w,
+                           lag(piece, 2) OVER w, lag(piece, 1) OVER w)
+                           AS context
+                  FROM p
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id, turn_idx, context, target FROM c
+            WHERE role = 'assistant' ORDER BY conv_id, turn_idx
+        """,
+        "collapsed_repeats": f"""
+            WITH t AS ({t}),
+            m AS (SELECT conv_id, turn_idx, role, text,
+                         CASE WHEN lag(role) OVER w = role
+                                   AND lag(text) OVER w = text
+                              THEN 0 ELSE 1 END AS new_run
+                  FROM t
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+            r AS (SELECT conv_id, turn_idx, role, text,
+                         sum(new_run) OVER (PARTITION BY conv_id
+                                            ORDER BY turn_idx
+                                            ROWS UNBOUNDED PRECEDING)
+                           AS run_id
+                  FROM m)
+            SELECT conv_id, min(turn_idx) AS turn_idx,
+                   min(role) AS role, min(text) AS text,
+                   count(*)::BIGINT AS repeats
+            FROM r GROUP BY conv_id, run_id
+            ORDER BY conv_id, turn_idx
+        """,
         "docs_topk_per_source": """
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars,

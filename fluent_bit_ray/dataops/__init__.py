@@ -11,6 +11,13 @@ from .dedup import (  # noqa: F401
     simhash_dup_pairs,
 )
 from .annsearch import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401
+from .sft import collapse_repeats, sft_examples  # noqa: F401
+from .sketch import (  # noqa: F401
+    cms_estimate,
+    cms_registers,
+    hll_estimate,
+    hll_registers,
+)
 from .curation import (  # noqa: F401
     benchmark_ngram_hashes,
     chunk_docs,

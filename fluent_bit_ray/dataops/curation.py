@@ -65,44 +65,80 @@ def benchmark_ngram_hashes(bench_ds, text_col: str = "text",
     return np.unique(parts["h"].to_numpy().view(np.uint64))
 
 
+_BLOOM_BITS = 26  # 2^26-bit (8 MiB) pre-filter bitmap — LLC-resident
+
+
+def _bloom_bitmap(hashes: np.ndarray, bits: int = _BLOOM_BITS):
+    """One-hash Bloom bitmap over the LOW ``bits`` bits of each 64-bit
+    hash (uncorrelated with the high-bits ORDER of the sorted array).
+    Exactness-preserving pre-filter: a clear bit PROVES absence; a set
+    bit falls through to the exact searchsorted, so results never
+    change — only the memory traffic does. At 6M benchmark hashes the
+    sorted array is ~48 MB and every binary-search probe is ~23 random
+    LLC misses at full socket; the bitmap is 8 MiB (LLC-resident,
+    shared zero-copy by all workers via plasma) and resolves the ~90%
+    non-contaminated grams with ONE load each."""
+    pos = (hashes & np.uint64((1 << bits) - 1)).astype(np.int64)
+    bmp = np.zeros(1 << (bits - 3), dtype=np.uint8)
+    np.bitwise_or.at(bmp, pos >> 3,
+                     (np.uint8(1) << (pos & 7)).astype(np.uint8))
+    return bmp
+
+
+def _gram_hit_counts(texts: list[str], bh: np.ndarray,
+                     bloom: np.ndarray, ngram: int) -> np.ndarray:
+    """Per-doc DISTINCT contaminated-gram counts — ONE membership pass
+    for the whole batch: concatenate all docs' gram sets, Bloom
+    pre-filter (one 8 MiB-bitmap load per gram resolves the ~90%
+    non-members), one searchsorted over the surviving minority,
+    per-doc counts via reduceat over the doc boundaries."""
+    n = len(texts)
+    n_hits = np.zeros(n, dtype=np.int64)
+    if not len(bh) or not n:
+        return n_hits
+    sets = [_shingles(t, ngram) for t in texts]
+    counts = np.fromiter((len(s) for s in sets), np.int64, count=n)
+    total = int(counts.sum())
+    if not total:
+        return n_hits
+    allg = np.fromiter((h for s in sets for h in s), np.uint64,
+                       count=total)
+    pos = allg & np.uint64((1 << _BLOOM_BITS) - 1)
+    maybe = (bloom[(pos >> np.uint64(3)).astype(np.int64)]
+             >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+    hit = np.zeros(total, dtype=np.int64)
+    cand = np.flatnonzero(maybe)
+    if cand.size:
+        g = allg[cand]
+        idx = np.searchsorted(bh, g)
+        idx[idx == len(bh)] = 0
+        hit[cand] = bh[idx] == g
+    nz = counts > 0
+    bounds = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
+    n_hits[nz] = np.add.reduceat(hit, bounds)
+    return n_hits
+
+
 def decontaminate(ds, bench_hashes: np.ndarray, key: str = "doc_id",
                   text_col: str = "text", ngram: int = 5):
     """Flag corpus docs sharing any word-``ngram`` with the benchmark.
 
     ``bench_hashes`` is the sorted uint64 array from
-    :func:`benchmark_ngram_hashes`; it is ``ray.put`` once and each
-    task reads it zero-copy. Returns Dataset[key, n_hits,
+    :func:`benchmark_ngram_hashes`; it is ``ray.put`` once (plus an
+    8 MiB Bloom pre-filter bitmap, see :func:`_bloom_bitmap`) and each
+    task reads both zero-copy. Returns Dataset[key, n_hits,
     contaminated] where ``n_hits`` counts the DISTINCT contaminated
     n-grams of the doc (``_shingles`` is a set).
     """
     import ray
     bench_hashes = np.ascontiguousarray(bench_hashes, dtype=np.uint64)
     ref = ray.put(bench_hashes)
+    bloom_ref = ray.put(_bloom_bitmap(bench_hashes))
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
-        bh = ray.get(ref)
-        n = len(df)
-        n_hits = np.zeros(n, dtype=np.int64)
-        if len(bh) and n:
-            # ONE membership pass for the whole batch: concatenate all
-            # docs' gram sets, one searchsorted, per-doc counts via
-            # reduceat over the doc boundaries (was 3 numpy calls per
-            # doc — call overhead dominated after the md5 work)
-            sets = [_shingles(t, ngram)
-                    for t in df[text_col].astype(str).tolist()]
-            counts = np.fromiter((len(s) for s in sets), np.int64,
-                                 count=n)
-            total = int(counts.sum())
-            if total:
-                allg = np.fromiter((h for s in sets for h in s),
-                                   np.uint64, count=total)
-                idx = np.searchsorted(bh, allg)
-                idx[idx == len(bh)] = 0
-                hit = (bh[idx] == allg).astype(np.int64)
-                nz = counts > 0
-                cnz = counts[nz]
-                bounds = np.concatenate(([0], np.cumsum(cnz)[:-1]))
-                n_hits[nz] = np.add.reduceat(hit, bounds)
+        n_hits = _gram_hit_counts(df[text_col].astype(str).tolist(),
+                                  ray.get(ref), ray.get(bloom_ref),
+                                  ngram)
         return pd.DataFrame({key: df[key], "n_hits": n_hits,
                              "contaminated": n_hits > 0})
 
@@ -283,6 +319,7 @@ def curate_corpus(ds, weights: dict[str, int], budget: int = 128,
                            batch_format="pandas")
     bh = benchmark_ngram_hashes(bench, text_col=text_col, ngram=ngram)
     bh_ref = ray.put(bh)
+    bloom_ref = ray.put(_bloom_bitmap(bh))
 
     def _member(sorted_arr: np.ndarray, ids: np.ndarray) -> np.ndarray:
         if not len(sorted_arr):
@@ -313,24 +350,12 @@ def curate_corpus(ds, weights: dict[str, int], budget: int = 128,
         # expensive one and now runs on the fewest rows
         bh_arr = ray.get(bh_ref)
         if len(bh_arr):
-            # one batched membership pass (see decontaminate.flag)
-            sets = [_shingles(t, ngram)
-                    for t in df[text_col].astype(str).tolist()]
-            counts = np.fromiter((len(s) for s in sets), np.int64,
-                                 count=len(sets))
-            total = int(counts.sum())
-            hit = np.zeros(len(df), dtype=bool)
-            if total:
-                allg = np.fromiter((h for s in sets for h in s),
-                                   np.uint64, count=total)
-                idx = np.searchsorted(bh_arr, allg)
-                idx[idx == len(bh_arr)] = 0
-                m = (bh_arr[idx] == allg).astype(np.int64)
-                nz = counts > 0
-                bounds = np.concatenate(([0],
-                                         np.cumsum(counts[nz])[:-1]))
-                hit[nz] = np.add.reduceat(m, bounds) > 0
-            df = df[~hit]
+            # one batched Bloom-prefiltered membership pass
+            # (see _gram_hit_counts)
+            n_hits = _gram_hit_counts(
+                df[text_col].astype(str).tolist(), bh_arr,
+                ray.get(bloom_ref), ngram)
+            df = df[n_hits == 0]
         return df
 
     src = ds

@@ -1,0 +1,104 @@
+"""Training-example assembly from multi-turn transcripts.
+
+The transcripts-payload op every SFT data pipeline runs: turn the
+(conv_id, turn_idx, role, text) stream into (context, target) training
+pairs — for each assistant turn, the context is the k preceding turns
+rendered "role: text" and joined in turn order. Plus the syslog
+classic the reference's pipeline users know as "last message repeated
+N times" (rsyslog $RepeatedMsgReduction; no fluent-bit filter does
+this): collapse CONSECUTIVE identical (role, text) turns per
+conversation into one row with a repeat count.
+
+Scale shape (100 TB framing): both ops need one exchange that
+co-locates each conversation (coarse hash partitions over conv_id —
+the same bounded-skew story as multiline/sessionize: a conversation is
+bounded by its turn count, partitions hold many conversations). Inside
+a partition everything is vectorized run/shift arithmetic over the
+(conv_id, turn_idx)-sorted frame — no per-conversation Python. The
+SFT op's output is ~k× the assistant-turn text (output-bound, like
+chunk_docs); the collapse op's output is ≤ input.
+
+Both have full rows+schema+hash DuckDB oracles (window functions:
+lag/concat_ws for contexts, gaps-and-islands for runs) in
+``__ray_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..shuffle import coarse_partition_apply
+
+
+def _sorted_conv(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+
+
+def sft_examples(ds, context_turns: int = 4, sep: str = "\n",
+                 target_role: str = "assistant", partitions: int = 64):
+    """Dataset[conv_id, turn_idx, context, target] — one row per
+    ``target_role`` turn; ``context`` joins the up-to-``context_turns``
+    preceding turns of the SAME conversation as "role: text" lines,
+    oldest first (empty string when the target is the first turn)."""
+    k = int(context_turns)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sorted_conv(df)
+        n = len(df)
+        conv = df["conv_id"].to_numpy(dtype=object)
+        pieces = (df["role"].astype(str) + ": "
+                  + df["text"].astype(str)).to_numpy(dtype=object)
+        ctx = np.full(n, "", dtype=object)
+        # oldest lag first; a lag is valid only within the conversation
+        for j in range(k, 0, -1):
+            if j >= n:
+                continue
+            valid = np.zeros(n, dtype=bool)
+            valid[j:] = conv[j:] == conv[:-j]
+            pj = np.empty(n, dtype=object)
+            pj[j:] = pieces[:-j]
+            grow = valid & (ctx != "")
+            seed = valid & (ctx == "")
+            ctx[grow] = ctx[grow] + sep + pj[grow]
+            ctx[seed] = pj[seed]
+        m = (df["role"] == target_role).to_numpy()
+        return pd.DataFrame({
+            "conv_id": df["conv_id"].to_numpy()[m],
+            "turn_idx": df["turn_idx"].to_numpy()[m],
+            "context": ctx[m],
+            "target": df["text"].to_numpy()[m],
+        })
+
+    return coarse_partition_apply(ds, "conv_id", kernel,
+                                  partitions=partitions)
+
+
+def collapse_repeats(ds, partitions: int = 64):
+    """Dataset[conv_id, turn_idx, role, text, repeats] — consecutive
+    turns with identical (role, text) within a conversation collapse
+    to their FIRST row plus the run length ("last message repeated N
+    times")."""
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sorted_conv(df)
+        n = len(df)
+        if not n:
+            return pd.DataFrame({"conv_id": [], "turn_idx": [],
+                                 "role": [], "text": [],
+                                 "repeats": np.array([], dtype=np.int64)})
+        conv = df["conv_id"].to_numpy(dtype=object)
+        role = df["role"].to_numpy(dtype=object)
+        text = df["text"].to_numpy(dtype=object)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = ((conv[1:] != conv[:-1]) | (role[1:] != role[:-1])
+                       | (text[1:] != text[:-1]))
+        starts = np.flatnonzero(new_run)
+        reps = np.diff(np.append(starts, n)).astype(np.int64)
+        out = df.iloc[starts][["conv_id", "turn_idx", "role", "text"]]
+        out = out.reset_index(drop=True)
+        out["repeats"] = reps
+        return out
+
+    return coarse_partition_apply(ds, "conv_id", kernel,
+                                  partitions=partitions)

@@ -1,4 +1,5 @@
-"""Distributed distinct-count sketch (HyperLogLog).
+"""Distributed mergeable sketches: HyperLogLog distinct-count and
+count-min frequency estimation.
 
 The telemetry question the reference's counters cannot answer —
 "how many DISTINCT users/conversations per tag?" — at 100 TB, where
@@ -104,6 +105,102 @@ def hll_estimate(registers: pd.DataFrame, p: int = 12,
         return est(registers)
     rows = [(k, est(g)) for k, g in registers.groupby(group_col)]
     return pd.DataFrame(rows, columns=[group_col, "estimate"])
+
+
+# ------------------------------------------------- count-min sketch
+def _cms_cols(values: pd.Series, depth: int, width: int):
+    """(counts_per_distinct, register_idx[depth][n_distinct]) for a
+    batch column; md5 runs depth× per DISTINCT value (factorize first).
+    hash_d(v) = _h64(f"{d}:{v}") % width — the salt-prefix construction
+    DuckDB reproduces with md5(d || ':' || val)."""
+    codes, uniques = pd.factorize(values.astype(str))
+    per_code = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+    hs = np.empty((depth, len(uniques)), dtype=np.int64)
+    for d in range(depth):
+        pre = f"{d}:"
+        hs[d] = np.fromiter(
+            (_h64(pre + u) % width for u in uniques),
+            dtype=np.int64, count=len(uniques))
+    return per_code, hs
+
+
+def cms_registers(ds, value_col: str, depth: int = 4, width: int = 1024):
+    """Count-min sketch register table Dataset[d, w, cnt] — non-empty
+    registers only. (Cormode & Muthukrishnan, "An improved data stream
+    summary: the count-min sketch and its applications", J.Alg 2005.)
+
+    The mergeable-partial shape the reference's out_counter /
+    out_flowcounter cannot give: per-key frequency ESTIMATES from a
+    fixed depth×width table however many distinct keys the corpus has.
+    Each batch reduces to ≤ depth×width counters, merges are
+    element-wise SUM (order- and partition-independent), and the final
+    table is KB-sized at any corpus size.
+
+    Exactness contract (same as HLL): the register TABLE is
+    deterministic — hash_d(v) = _h64(f"{d}:{v}") % width, register
+    (d, w) holds the exact SUM of occurrences of all values hashing
+    there — so it has a full rows+schema+hash DuckDB oracle; only the
+    point ESTIMATE (min over d) is approximate, and that is exact
+    arithmetic over the (tiny, exact) table.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("depth/width out of range")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        per_code, hs = _cms_cols(df[value_col], depth, width)
+        # scatter-add each row's count into its register, per hash row
+        frames = []
+        for d in range(depth):
+            cnt = np.zeros(width, dtype=np.int64)
+            np.add.at(cnt, hs[d], per_code)
+            nz = np.flatnonzero(cnt)
+            frames.append(pd.DataFrame(
+                {"d": np.full(len(nz), d, dtype=np.int64), "w": nz,
+                 "cnt": cnt[nz]}))
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["d", "w"], sort=False, as_index=False)[
+            "cnt"].sum()
+
+    # final table ≤ depth×width rows — one-partition merge
+    from ..shuffle import coarse_partition_apply
+    return coarse_partition_apply(partials, "d", merge, partitions=1)
+
+
+def cms_estimate(registers: pd.DataFrame, values, depth: int = 4,
+                 width: int = 1024) -> pd.DataFrame:
+    """Point estimates (min over the depth rows; ≥ true count always)
+    for ``values`` from a register table. Returns
+    DataFrame[value, estimate]."""
+    tbl = np.zeros((depth, width), dtype=np.int64)
+    tbl[registers["d"].to_numpy(), registers["w"].to_numpy()] = \
+        registers["cnt"].to_numpy()
+    vals = [str(v) for v in values]
+    est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = np.fromiter((_h64(f"{d}:{v}") % width for v in vals),
+                          dtype=np.int64, count=len(vals))
+        np.minimum(est, tbl[d, idx], out=est)
+    return pd.DataFrame({"value": vals, "estimate": est})
+
+
+def cms_oracle_sql(value_expr: str, table: str, h64_sql,
+                   depth: int = 4, width: int = 1024) -> str:
+    """DuckDB SQL reproducing the register table bit-for-bit: exact
+    per-value counts → depth salted hashes → grouped SUM."""
+    h = h64_sql("md5(CAST(d.d AS VARCHAR) || ':' || val)")
+    return f"""
+        WITH c AS (SELECT CAST({value_expr} AS VARCHAR) AS val,
+                          count(*) AS n
+                   FROM {table} GROUP BY 1),
+        r AS (SELECT d.d, CAST({h} % {width} AS BIGINT) AS w, n
+              FROM c CROSS JOIN (SELECT unnest(range({depth})) AS d) d)
+        SELECT CAST(d AS BIGINT) AS d, w, CAST(sum(n) AS BIGINT) AS cnt
+        FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """
 
 
 def hll_oracle_sql(value_expr: str, table: str, group_col: str | None,

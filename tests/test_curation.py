@@ -294,3 +294,30 @@ def test_stratified_sample_exact_n_and_partition_independent():
         .to_pandas().sort_values(["g", "k"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(one, many)
     assert (one.groupby("g").size() == 7).all()
+
+
+def test_bloom_prefilter_exactness_properties():
+    """The Bloom bitmap may only say 'maybe' for members (no false
+    negatives); a forced false positive (same low bits, different
+    hash) must be rejected by the exact fall-through."""
+    from fluent_bit_ray.dataops.curation import _BLOOM_BITS, _bloom_bitmap
+
+    rng = np.random.default_rng(0)
+    bh = np.unique(rng.integers(0, 2**63, 50_000, dtype=np.uint64))
+    bmp = _bloom_bitmap(bh)
+    mask = np.uint64((1 << _BLOOM_BITS) - 1)
+
+    def maybe(h):
+        pos = h & mask
+        return ((bmp[(pos >> np.uint64(3)).astype(np.int64)]
+                 >> (pos & np.uint64(7)).astype(np.uint8)) & 1).astype(bool)
+
+    assert maybe(bh).all()  # zero false negatives
+
+    # forced FP: flip a bit ABOVE the bloom window; exact search rejects
+    probe = (bh[:100] ^ np.uint64(1 << 40)).astype(np.uint64)
+    assert maybe(probe).all()
+    idx = np.searchsorted(bh, probe)
+    idx[idx == len(bh)] = 0
+    hits = bh[idx] == probe
+    assert not hits.any()

@@ -1,0 +1,96 @@
+"""SFT pair assembly + consecutive-repeat collapse (dataops/sft.py)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from fluent_bit_ray.dataops.sft import collapse_repeats, sft_examples
+
+
+def _toy(n_convs=40, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = []
+    roles = ["user", "assistant", "tool"]
+    for c in range(n_convs):
+        n = int(rng.integers(1, 12))
+        for i in range(n):
+            r = roles[int(rng.integers(0, 3))]
+            # force some consecutive repeats
+            txt = f"t{int(rng.integers(0, 4))}"
+            rows.append((f"conv-{c:03d}", np.int32(i), r, txt))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                     "text"])
+    return df.sample(frac=1, random_state=seed).reset_index(drop=True)
+
+
+def _ref_sft(df, k=4, sep="\n"):
+    out = []
+    for conv, g in df.sort_values(["conv_id", "turn_idx"]).groupby(
+            "conv_id", sort=False):
+        pieces = (g["role"] + ": " + g["text"]).tolist()
+        for pos, (_, row) in enumerate(g.iterrows()):
+            if row["role"] != "assistant":
+                continue
+            ctx = sep.join(pieces[max(0, pos - k):pos])
+            out.append((conv, row["turn_idx"], ctx, row["text"]))
+    return pd.DataFrame(out, columns=["conv_id", "turn_idx", "context",
+                                      "target"])
+
+
+def test_sft_examples_matches_row_reference_across_partitions():
+    df = _toy()
+    got = sft_examples(rd.from_pandas(df).repartition(7),
+                       context_turns=4, partitions=5).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    ref = _ref_sft(df).sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"turn_idx": "int64"}),
+        ref.astype({"turn_idx": "int64"}))
+
+
+def test_sft_first_turn_has_empty_context_and_no_cross_conv_leak():
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "b"],
+        "turn_idx": np.array([0, 1, 0], dtype=np.int32),
+        "role": ["assistant", "user", "assistant"],
+        "text": ["x", "y", "z"],
+    })
+    got = sft_examples(rd.from_pandas(df), context_turns=4).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["context"].tolist() == ["", ""]  # b must not see a's turns
+    assert got["target"].tolist() == ["x", "z"]
+
+
+def _ref_collapse(df):
+    out = []
+    for conv, g in df.sort_values(["conv_id", "turn_idx"]).groupby(
+            "conv_id", sort=False):
+        run = None
+        for _, row in g.iterrows():
+            kt = (row["role"], row["text"])
+            if run is not None and kt == run[2]:
+                run[1] += 1
+            else:
+                if run is not None:
+                    out.append(run[0] + (run[1],))
+                run = [(conv, row["turn_idx"], row["role"], row["text"]),
+                       1, kt]
+        if run is not None:
+            out.append(run[0] + (run[1],))
+    return pd.DataFrame(out, columns=["conv_id", "turn_idx", "role",
+                                      "text", "repeats"])
+
+
+def test_collapse_repeats_matches_row_reference():
+    df = _toy(seed=3)
+    got = collapse_repeats(rd.from_pandas(df).repartition(6),
+                           partitions=4).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    ref = _ref_collapse(df).sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"turn_idx": "int64", "repeats": "int64"}),
+        ref.astype({"turn_idx": "int64", "repeats": "int64"}))
+    # counts conserve rows
+    assert got["repeats"].sum() == len(df)

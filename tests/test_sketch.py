@@ -1,10 +1,11 @@
-"""HyperLogLog sketch (dataops/sketch.py)."""
+"""HyperLogLog + count-min sketches (dataops/sketch.py)."""
 
 import numpy as np
 import pandas as pd
 import ray.data as rd
 
-from fluent_bit_ray.dataops.sketch import (_registers_of, hll_estimate,
+from fluent_bit_ray.dataops.sketch import (_registers_of, cms_estimate,
+                                           cms_registers, hll_estimate,
                                            hll_registers)
 
 
@@ -47,3 +48,50 @@ def test_estimate_accuracy_and_grouping():
     for g, n in true_n.items():
         rel = abs(est.loc[g, "estimate"] - n) / n
         assert rel < 0.1, (g, n, est.loc[g, "estimate"])
+
+
+# ------------------------------------------------- count-min sketch
+def test_cms_registers_match_reference_bit_math():
+    from fluent_bit_ray.dataops.dedup import _h64
+    df = pd.DataFrame({"v": ["x", "y", "x", "z", "x", "y"]})
+    regs = cms_registers(rd.from_pandas(df), "v",
+                         depth=3, width=64).to_pandas()
+    tbl = {(d, w): c for d, w, c in regs.itertuples(index=False)}
+    true = df["v"].value_counts()
+    for d in range(3):
+        expect = {}
+        for v, n in true.items():
+            w = _h64(f"{d}:{v}") % 64
+            expect[w] = expect.get(w, 0) + n
+        got = {w: c for (dd, w), c in tbl.items() if dd == d}
+        assert got == expect
+
+
+def test_cms_partition_independent_and_total_preserved():
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"v": rng.zipf(1.5, 30000) % 2000})
+    one = cms_registers(rd.from_pandas(df), "v",
+                        depth=4, width=256).to_pandas() \
+        .sort_values(["d", "w"]).reset_index(drop=True)
+    many = cms_registers(rd.from_pandas(df).repartition(11), "v",
+                         depth=4, width=256).to_pandas() \
+        .sort_values(["d", "w"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(one, many)
+    # every depth row conserves the exact total count
+    assert (one.groupby("d")["cnt"].sum() == len(df)).all()
+
+
+def test_cms_estimate_overestimates_never_under():
+    rng = np.random.default_rng(9)
+    vals = rng.zipf(1.3, 50000) % 500
+    df = pd.DataFrame({"v": vals})
+    regs = cms_registers(rd.from_pandas(df), "v",
+                         depth=4, width=1024).to_pandas()
+    true = pd.Series(vals).astype(str).value_counts()
+    est = cms_estimate(regs, true.index.tolist(),
+                       depth=4, width=1024).set_index("value")
+    for v, n in true.items():
+        e = est.loc[v, "estimate"]
+        assert e >= n, (v, n, e)
+        # standard CMS error bound: overshoot ≤ 2N/width w.h.p.
+        assert e - n <= 2 * len(df) / 1024 * 4, (v, n, e)
