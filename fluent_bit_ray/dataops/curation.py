@@ -50,7 +50,12 @@ def benchmark_ngram_hashes(bench_ds, text_col: str = "text",
 
     Computed distributed (per-batch distinct sets), merged on the
     driver — the merge is benchmark-sized (eval sets are MBs), never
-    corpus-sized.
+    corpus-sized. (A fully distributed dedup+sort — bucket by top bits,
+    per-bucket unique, driver concat — was tried and MEASURED SLOWER:
+    Ray's sort shuffle on the partial stream costs ~12 s where the
+    driver ``np.unique`` costs ~2 s even at the 64× bench table; the
+    small serial term is the right trade while the benchmark side
+    stays benchmark-sized.)
     """
     def part(df: pd.DataFrame) -> pd.DataFrame:
         hs: set[int] = set()
@@ -77,7 +82,11 @@ def _bloom_bitmap(hashes: np.ndarray, bits: int = _BLOOM_BITS):
     sorted array is ~48 MB and every binary-search probe is ~23 random
     LLC misses at full socket; the bitmap is 8 MiB (LLC-resident,
     shared zero-copy by all workers via plasma) and resolves the ~90%
-    non-contaminated grams with ONE load each."""
+    non-contaminated grams with ONE load each. Measured NEUTRAL at the
+    64× bench table (same-minute A/B best-of-3: 27.7 s vs 28.4 s at 16
+    CPUs — md5 shingling dominates there); kept because the probe cost
+    it removes grows with the benchmark-hash volume while the bitmap
+    stays fixed-size."""
     pos = (hashes & np.uint64((1 << bits) - 1)).astype(np.int64)
     bmp = np.zeros(1 << (bits - 3), dtype=np.uint8)
     np.bitwise_or.at(bmp, pos >> 3,
