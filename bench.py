@@ -241,10 +241,30 @@ def run_bench() -> None:
         return hll_registers(ev, "user_id",
                              group_col="event_type").count()
 
+    def bench_cms():
+        from fluent_bit_ray.dataops.sketch import cms_registers
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id"])
+        return cms_registers(ev, "user_id").count()
+
+    def bench_sft():
+        from fluent_bit_ray.dataops.sft import sft_examples
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "role", "text"])
+        return sft_examples(ds, context_turns=4).count()
+
+    def bench_collapse():
+        from fluent_bit_ray.dataops.sft import collapse_repeats
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "role", "text"])
+        return collapse_repeats(ds).count()
+
     benches = [("flagship_e2e", headline),
                ("parse_route_count", bench_parse_only),
                ("flowcounter", bench_flowcounter),
-               ("multiline", bench_multiline)]
+               ("multiline", bench_multiline),
+               ("sft_pairs", bench_sft),
+               ("collapse_repeats", bench_collapse)]
     if docs:
         benches += [("dedup_exact_docs", bench_dedup_exact),
                     ("minhash_pairs", bench_minhash),
@@ -256,7 +276,8 @@ def run_bench() -> None:
     if os.path.exists(f"{sf_dir}/orders.parquet"):
         benches += [("hash_join", bench_hash_join),
                     ("asof_join", bench_asof_join),
-                    ("hll_sketch", bench_hll)]
+                    ("hll_sketch", bench_hll),
+                    ("cms_sketch", bench_cms)]
 
     # interleaved passes: one full sweep per rep so a bad host minute
     # lands on every query equally, medians across passes
