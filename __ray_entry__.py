@@ -495,6 +495,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values(["conv_id", "turn_idx"])
                 .reset_index(drop=True))
 
+    def tool_transition_counts(sf_dir: str):
+        """Tool-usage Markov bigram table: which tool follows which
+        within a conversation. One coarse conv_id exchange; only
+        (tool, next_tool, n) partial counts leave each partition — the
+        merged table is ≤ |tools|² rows at any corpus size."""
+        from fluent_bit_ray.dataops.transitions import tool_transitions
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "tool"])
+        out = tool_transitions(ds).to_pandas()
+        return (out.sort_values(["tool", "next_tool"])
+                .reset_index(drop=True))
+
     def events_user_cms(sf_dir: str):
         """Distributed count-min frequency sketch over event user_ids:
         per-batch register partials (≤ 4×1024 counters leave a task),
@@ -1070,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cms": events_user_cms,
         "sft_pairs": sft_pairs,
         "collapsed_repeats": collapsed_repeats,
+        "tool_transition_counts": tool_transition_counts,
         "docs_topk_per_source": docs_topk_per_source,
         "emb_kmeans": emb_kmeans,
         "orders_enriched": orders_enriched,
@@ -1481,6 +1494,17 @@ def oracle_sql() -> dict[str, str]:
                   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
             SELECT conv_id, turn_idx, context, target FROM c
             WHERE role = 'assistant' ORDER BY conv_id, turn_idx
+        """,
+        "tool_transition_counts": f"""
+            WITH t AS ({t}),
+            tt AS (SELECT conv_id, turn_idx, tool FROM t
+                   WHERE tool IS NOT NULL AND tool <> ''),
+            s AS (SELECT tool,
+                         lead(tool) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx) AS next_tool
+                  FROM tt)
+            SELECT tool, next_tool, count(*)::BIGINT AS n FROM s
+            WHERE next_tool IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "collapsed_repeats": f"""
             WITH t AS ({t}),

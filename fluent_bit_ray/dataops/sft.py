@@ -84,9 +84,14 @@ def collapse_repeats(ds, partitions: int = 64):
         df = _sorted_conv(df)
         n = len(df)
         if not n:
-            return pd.DataFrame({"conv_id": [], "turn_idx": [],
-                                 "role": [], "text": [],
-                                 "repeats": np.array([], dtype=np.int64)})
+            # explicit dtypes: Ray unions of mismatched empty/nonempty
+            # schemas degrade silently (see joins union-plan note)
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=object),
+                "turn_idx": pd.Series([], dtype=df["turn_idx"].dtype),
+                "role": pd.Series([], dtype=object),
+                "text": pd.Series([], dtype=object),
+                "repeats": pd.Series([], dtype=np.int64)})
         conv = df["conv_id"].to_numpy(dtype=object)
         role = df["role"].to_numpy(dtype=object)
         text = df["text"].to_numpy(dtype=object)

@@ -94,3 +94,33 @@ def test_collapse_repeats_matches_row_reference():
         ref.astype({"turn_idx": "int64", "repeats": "int64"}))
     # counts conserve rows
     assert got["repeats"].sum() == len(df)
+
+
+def test_tool_transitions_matches_row_reference():
+    from fluent_bit_ray.dataops.transitions import tool_transitions
+
+    rng = np.random.default_rng(21)
+    rows = []
+    tools = ["", "", "bash", "python", "search"]
+    for c in range(30):
+        for i in range(int(rng.integers(1, 15))):
+            rows.append((f"c{c:02d}", np.int32(i), "tool",
+                         tools[int(rng.integers(0, 5))]))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role",
+                                     "tool"]) \
+        .sample(frac=1, random_state=2).reset_index(drop=True)
+
+    got = tool_transitions(rd.from_pandas(df).repartition(5),
+                           partitions=4).to_pandas() \
+        .sort_values(["tool", "next_tool"]).reset_index(drop=True)
+
+    ref = {}
+    for _, g in df.sort_values(["conv_id", "turn_idx"]).groupby(
+            "conv_id", sort=False):
+        seq = [t for t in g["tool"] if t]
+        for a, b in zip(seq, seq[1:]):
+            ref[(a, b)] = ref.get((a, b), 0) + 1
+    ref = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(ref.items())],
+        columns=["tool", "next_tool", "n"])
+    pd.testing.assert_frame_equal(got.astype({"n": "int64"}), ref)
