@@ -79,62 +79,67 @@ def _h64(s: str) -> int:
                           "little")
 
 
-# Worker-process-level gram→h64 cache, HIT-RATE ADAPTIVE. A dict hit
-# (~450 ns on a multi-M-entry dict — random memory access) only beats
-# md5 (~700 ns) when grams actually repeat; measured on the synthetic
-# documents corpus (≈90% DISTINCT grams in a single streaming pass)
-# the cache made shingling 1.8× SLOWER cold (get-miss + insert per
-# gram) and pressured worker memory. Each worker therefore runs a
-# probation window and keeps the cache only if it earns its keep
-# (repeat-heavy corpora: templated logs, candidate re-verification);
-# otherwise it is dropped and grams go straight to md5. Bounded so a
-# 100 TB vocabulary cannot OOM a worker (~4M entries ≈ 300 MB).
-_SHINGLE_CACHE: dict[str, int] = {}
-_SHINGLE_CACHE_MAX = int(os.environ.get("GRAFT_SHINGLE_CACHE", "4000000"))
-_CACHE_PROBATION = 200_000   # gets before the keep/drop decision
-_CACHE_MIN_HITRATE = 0.35    # below this the md5 path is faster
-_cache_stats = [0, 0]        # [gets, hits] during probation
-_cache_state = 1 if _SHINGLE_CACHE_MAX > 0 else -1  # 1 probe, 2 keep, -1 off
+# Worker-process-level gram→h64 cache, HIT-RATE ADAPTIVE and keyed
+# PER NGRAM SIZE. A dict hit (~450 ns on a multi-M-entry dict —
+# random memory access) only beats md5 (~700 ns) when grams actually
+# repeat; measured on the synthetic documents corpus (≈90% DISTINCT
+# grams in a single streaming pass) a cold cache made shingling 1.8×
+# SLOWER (get-miss + insert per gram) and pressured worker memory.
+# Each (worker, ngram) therefore runs its own probation window and
+# keeps its cache only while it earns its keep — the decision is
+# ROLLING, re-checked every _CACHE_WINDOW gets, and an off cache
+# re-probes after _CACHE_RETRY gets (≤4% worst-case overhead). The
+# round-3 single-global-state design caused a measured 2.4× in-session
+# pathology: a dup-heavy ngram-3 pass (minhash/simhash) locked the
+# cache into "keep", then a later ngram-5 pass (decontaminate) paid a
+# saturated-dict miss + insert for every gram, forever (fresh 28 s →
+# conditioned 66 s at the 64× table / 16 CPUs). Bounded per dict so a
+# 100 TB vocabulary cannot OOM a worker (~2M entries ≈ 150 MB each).
+_SHINGLE_CACHE_MAX = int(os.environ.get("GRAFT_SHINGLE_CACHE", "2000000"))
+_CACHE_PROBATION = 200_000     # gets before the first keep/drop call
+_CACHE_WINDOW = 1_000_000      # rolling re-check period while kept
+_CACHE_RETRY = 5_000_000       # off-state gets before re-probation
+_CACHE_MIN_HITRATE = 0.35      # below this the md5 path is faster
+# ngram → [cache dict, state (1 probe / 2 keep / -1 off), gets, hits]
+_CACHES: dict[int, list] = {}
 
 
 def _shingles(text: str, n: int = 3) -> set[int]:
-    global _cache_state
     words = text.split()
     if len(words) < n:
         grams = [" ".join(words)]
     else:
         grams = [" ".join(words[i:i + n])
                  for i in range(len(words) - n + 1)]
-    if _cache_state < 0:
+    st = _CACHES.get(n)
+    if st is None:
+        st = [{}, 1 if _SHINGLE_CACHE_MAX > 0 else -1, 0, 0]
+        _CACHES[n] = st
+    if st[1] < 0:
+        st[2] += len(grams)
+        if st[2] >= _CACHE_RETRY:  # workload may have changed: re-probe
+            st[0], st[1], st[2], st[3] = {}, 1, 0, 0
         return {_h64(g) for g in grams}
-    cache = _SHINGLE_CACHE
+    cache = st[0]
     out = set()
-    if _cache_state == 1:
-        stats = _cache_stats
-        stats[0] += len(grams)
-        for g in grams:
-            v = cache.get(g)
-            if v is None:
-                v = _h64(g)
-                if len(cache) < _SHINGLE_CACHE_MAX:
-                    cache[g] = v
-            else:
-                stats[1] += 1
-            out.add(v)
-        if stats[0] >= _CACHE_PROBATION:
-            if stats[1] < stats[0] * _CACHE_MIN_HITRATE:
-                _cache_state = -1
-                cache.clear()  # free the memory too
-            else:
-                _cache_state = 2
-        return out
+    st[2] += len(grams)
     for g in grams:
         v = cache.get(g)
         if v is None:
             v = _h64(g)
             if len(cache) < _SHINGLE_CACHE_MAX:
                 cache[g] = v
+        else:
+            st[3] += 1
         out.add(v)
+    window = _CACHE_PROBATION if st[1] == 1 else _CACHE_WINDOW
+    if st[2] >= window:
+        if st[3] >= st[2] * _CACHE_MIN_HITRATE:
+            st[1] = 2
+        else:
+            st[1] = -1
+            st[0] = {}  # free the memory too
+        st[2] = st[3] = 0
     return out
 
 

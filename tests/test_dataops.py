@@ -400,3 +400,65 @@ def test_simhash_pairs_match_bruteforce_hamming():
     got = sorted(zip(out["key_a"].astype(int), out["key_b"].astype(int),
                      out["hamming"].astype(int)))
     assert got == expect
+
+
+def test_shingle_cache_per_ngram_rolling_adaptation():
+    """A dup-heavy ngram-3 workload must not lock a 'keep' cache that
+    a later distinct-heavy ngram-5 workload then pays for: states are
+    per ngram, rolling-re-checked, and an off cache re-probes."""
+    from fluent_bit_ray.dataops import dedup as dd
+
+    saved = dict(dd._CACHES)
+    dd._CACHES.clear()
+    try:
+        # dup-heavy ngram-3: drive past probation with repeats
+        reps = dd._CACHE_PROBATION // 8 + 10
+        for _ in range(reps):
+            dd._shingles("a b c d e f g h i j", 3)
+        assert dd._CACHES[3][1] == 2  # kept
+
+        # distinct-heavy ngram-5: must get its OWN probation and drop
+        i = 0
+        while dd._CACHES.get(5, [None, 1])[1] == 1:
+            dd._shingles(" ".join(str(i * 16 + j) for j in range(16)), 5)
+            i += 1
+        assert dd._CACHES[5][1] == -1  # dropped, independent of n=3
+        assert dd._CACHES[3][1] == 2   # n=3 keep unaffected
+
+        # off state re-probes after _CACHE_RETRY gets
+        dd._CACHES[5][2] = dd._CACHE_RETRY  # fast-forward the counter
+        dd._shingles("x y z w v u", 5)
+        assert dd._CACHES[5][1] == 1  # back in probation
+
+        # kept caches are re-checked: a workload turned distinct demotes
+        dd._CACHES[3][2] = dd._CACHE_WINDOW  # window boundary
+        dd._CACHES[3][3] = 0                 # zero hits this window
+        dd._shingles("fresh words only here now", 3)
+        assert dd._CACHES[3][1] == -1
+    finally:
+        dd._CACHES.clear()
+        dd._CACHES.update(saved)
+
+
+def test_shingles_values_identical_across_cache_states():
+    from fluent_bit_ray.dataops import dedup as dd
+
+    saved = dict(dd._CACHES)
+    dd._CACHES.clear()
+    try:
+        texts = ["alpha beta gamma delta", "one two three four five",
+                 "alpha beta gamma delta"]
+        expected = [{dd._h64(" ".join(t.split()[i:i + 3]))
+                     for i in range(len(t.split()) - 2)} for t in texts]
+        # probation state
+        got1 = [dd._shingles(t, 3) for t in texts]
+        # forced keep state
+        dd._CACHES[3][1] = 2
+        got2 = [dd._shingles(t, 3) for t in texts]
+        # forced off state
+        dd._CACHES[3][1] = -1
+        got3 = [dd._shingles(t, 3) for t in texts]
+        assert got1 == got2 == got3 == expected
+    finally:
+        dd._CACHES.clear()
+        dd._CACHES.update(saved)
