@@ -1049,7 +1049,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
         return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
+    # ---------------- classic-config surface: the flagship chain built
+    # from a fluent-bit .conf + parsers.conf pair (config.build_pipeline
+    # translation of [FILTER]/[OUTPUT] sections); the per-sink counts
+    # must match the hand-built pipeline's oracle exactly
+    def config_route_counts(sf_dir: str):
+        from fluent_bit_ray.pipelines.flagship import \
+            build_flagship_from_config
+        got = build_flagship_from_config().run(
+            read_transcripts(sf_dir)).sink_counts()
+        return pd.DataFrame(
+            {"sink": sorted(got), "n": [got[k] for k in sorted(got)]})
+
     return {
+        "config_route_counts": config_route_counts,
         "route_counts": route_counts,
         "conv_stats": conv_stats,
         "hot_conversation": hot_conversation,
@@ -1255,7 +1268,26 @@ def oracle_sql() -> dict[str, str]:
     t = _transcripts_cte(SF_ORACLE_DIR)
     dim_tools = ensure_dim("dim_tools")
 
+    route_counts_sql = f"""
+            WITH t AS ({t}),
+            alerts AS (SELECT * FROM t WHERE level IN ('error','warn'))
+            SELECT * FROM (
+              SELECT 'alerts' AS sink, count(*)::BIGINT AS n FROM alerts
+              UNION ALL
+              SELECT 'all', (SELECT count(*) FROM t) + (SELECT count(*) FROM alerts)
+              UNION ALL
+              SELECT 'assistant',
+                (SELECT count(*) FROM t WHERE role = 'assistant')
+                + (SELECT count(*) FROM alerts WHERE role = 'assistant')
+              UNION ALL
+              SELECT 'tool_sink', (SELECT count(*) FROM t WHERE role = 'tool')
+            ) ORDER BY sink
+        """
+
     return {
+        # the config-built pipeline must reproduce the same routing
+        # truth table as the hand-built flagship chain
+        "config_route_counts": route_counts_sql,
         "route_counts": f"""
             WITH t AS ({t}),
             alerts AS (SELECT * FROM t WHERE level IN ('error','warn'))

@@ -71,3 +71,93 @@ def build_flagship(with_rewrite: bool = True, with_enrich: bool = True,
 def run_flagship(sf_dir: str, **kw):
     ds = read_transcripts(sf_dir)
     return build_flagship(**kw).run(ds)
+
+
+# The same chain expressed as a classic-mode fluent-bit config pair
+# (config.build_pipeline translation); routing counts must equal the
+# hand-built pipeline's exactly. Parser order matches PARSER_SPECS.
+FLAGSHIP_CONF = """\
+[SERVICE]
+    flush 1
+
+[INPUT]
+    name lib
+    tag  transcript
+
+[FILTER]
+    name parser
+    match *
+    Key_Name text
+    Parser apache
+    Parser toolcall
+    Parser json
+    Parser logfmt
+    Parser ltsv
+    Reserve_Data On
+    Preserve_Key On
+
+[FILTER]
+    name rewrite_tag
+    match transcript.*
+    Rule $level ^(error|warn)$ alert.$TAG[1] true
+
+[OUTPUT]
+    name  counter
+    alias all
+    match *
+
+[OUTPUT]
+    name  null
+    alias assistant
+    match *.assistant
+
+[OUTPUT]
+    name  file
+    alias tool_sink
+    match transcript.tool
+
+[OUTPUT]
+    name  stdout
+    alias alerts
+    match alert.*
+"""
+
+FLAGSHIP_PARSERS_CONF = f"""\
+[PARSER]
+    Name   apache
+    Format regex
+    Regex  {APACHE_PATTERN}
+    Time_Key time
+    Time_Format %d/%b/%Y:%H:%M:%S %z
+    Types  code:integer size:integer
+
+[PARSER]
+    Name   toolcall
+    Format regex
+    Regex  {TOOLCALL_PATTERN}
+
+[PARSER]
+    Name   json
+    Format json
+    Types  code:integer dur:float
+
+[PARSER]
+    Name   logfmt
+    Format logfmt
+    Types  code:integer dur:float
+
+[PARSER]
+    Name   ltsv
+    Format ltsv
+    Types  code:integer dur:float
+"""
+
+
+def build_flagship_from_config(**pipeline_kw):
+    """The flagship pipeline constructed through the classic-config
+    surface (no enrich — lookup/ua/geo are engine stages, not
+    reference config plugins)."""
+    from ..config import build_pipeline
+    pipe, _meta = build_pipeline(FLAGSHIP_CONF, FLAGSHIP_PARSERS_CONF,
+                                 **pipeline_kw)
+    return pipe

@@ -1,0 +1,245 @@
+"""Classic-mode config parsing + config→Pipeline translation."""
+
+import textwrap
+
+import pytest
+import ray.data as rd
+
+from fluent_bit_ray.config import (build_pipeline, load_classic,
+                                   multiline_parser_specs, parse_classic,
+                                   parser_specs)
+from fluent_bit_ray.pipelines.flagship import (FLAGSHIP_CONF,
+                                               FLAGSHIP_PARSERS_CONF,
+                                               build_flagship)
+from fluent_bit_ray.sources.transcripts import ensure_transcripts
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------------ parsing
+
+def test_parse_classic_basics():
+    text = textwrap.dedent("""\
+        # leading comment
+        @SET app=myapp
+
+        [SERVICE]
+            Flush     5
+            log_Level info
+
+        [INPUT]
+            Name tail
+            Tag  ${app}.logs
+            Path /var/log/${app}/*.log
+    """)
+    secs = parse_classic(text)
+    assert [s for s, _ in secs] == ["SERVICE", "INPUT"]
+    svc = dict(secs[0][1])
+    assert svc == {"flush": "5", "log_level": "info"}  # keys lowercased
+    inp = dict(secs[1][1])
+    assert inp["tag"] == "myapp.logs"          # @SET expansion
+    assert inp["path"] == "/var/log/myapp/*.log"
+
+
+def test_parse_classic_env_fallback(monkeypatch):
+    monkeypatch.setenv("FBR_TEST_REGION", "eu-1")
+    secs = parse_classic("[X]\n  k ${FBR_TEST_REGION}\n  m ${FBR_NOPE}\n")
+    assert dict(secs[0][1]) == {"k": "eu-1", "m": ""}
+
+
+def test_parse_classic_errors():
+    with pytest.raises(ValueError, match="outside any section"):
+        parse_classic("key value\n")
+    with pytest.raises(ValueError, match="unknown directive"):
+        parse_classic("@BOGUS x\n")
+
+
+def test_include(tmp_path):
+    (tmp_path / "parsers.conf").write_text(
+        "[PARSER]\n  Name p1\n  Format json\n")
+    (tmp_path / "main.conf").write_text(
+        "[SERVICE]\n  flush 1\n@INCLUDE parsers.conf\n[OUTPUT]\n  name null\n")
+    secs = load_classic(str(tmp_path / "main.conf"))
+    assert [s for s, _ in secs] == ["SERVICE", "PARSER", "OUTPUT"]
+    with pytest.raises(FileNotFoundError):
+        parse_classic("@INCLUDE nope-*.conf\n", base_dir=str(tmp_path))
+
+
+# ------------------------------------------------------------- parsers.conf
+
+def test_parser_specs_full():
+    text = textwrap.dedent("""\
+        [PARSER]
+            Name        apache
+            Format      regex
+            Regex       ^(?<host>[^ ]*) (?<code>\\d+)$
+            Time_Key    time
+            Time_Format %d/%b/%Y:%H:%M:%S %z
+            Types       code:integer size:integer
+            Decode_Field_As json log
+            Decode_Field    escaped payload try_next
+
+        [PARSER]
+            Name   docker
+            Format json
+            Time_Key time
+            Time_Keep On
+    """)
+    specs = parser_specs(parse_classic(text))
+    ap = specs["apache"]
+    assert ap["format"] == "regex" and ap["regex"].startswith("^(?<host>")
+    assert ap["time_key"] == "time"
+    assert ap["time_format"] == "%d/%b/%Y:%H:%M:%S %z"
+    assert ap["types"] == {"code": "integer", "size": "integer"}
+    assert ap["decoders"] == [("decode_field_as", "log", "json"),
+                              ("decode_field", "payload", "escaped",
+                               "try_next")]
+    dk = specs["docker"]
+    assert dk["format"] == "json" and dk["time_keep"] is True
+
+
+def test_multiline_parser_specs():
+    text = textwrap.dedent("""\
+        [MULTILINE_PARSER]
+            name          multiline-regex-test
+            type          regex
+            flush_timeout 1000
+            rule      "start_state"   "/(Dec \\d+ \\d+:\\d+:\\d+)(.*)/"  "cont"
+            rule      "cont"          "/^\\s+at.*/"                     "cont"
+    """)
+    specs = multiline_parser_specs(parse_classic(text))
+    ml = specs["multiline-regex-test"]
+    assert ml["firstline"] == "(Dec \\d+ \\d+:\\d+:\\d+)(.*)"
+    assert ml["flush_gap_s"] == 1.0
+    assert len(ml["rules"]) == 2 and ml["rules"][1][2] == "cont"
+
+
+# --------------------------------------------------------------- translation
+
+def test_filter_translation_matrix():
+    conf = textwrap.dedent("""\
+        [FILTER]
+            name  grep
+            match app.*
+            regex   text error|warn
+            exclude role system
+
+        [FILTER]
+            name modify
+            match *
+            Condition Key_value_equals level error
+            Rename old new
+            Remove  junk
+            Set     flagged yes
+
+        [FILTER]
+            name record_modifier
+            match *
+            Record hostname web-1
+            Remove_key dropme
+
+        [FILTER]
+            name nest
+            match *
+            Operation lift
+            Nested_under meta
+            Add_prefix meta_
+
+        [FILTER]
+            name throttle
+            match *
+            Rate 10
+            Interval 5m
+
+        [FILTER]
+            name expect
+            match *
+            key_exists conv_id
+            key_val_eq role tool
+            action warn
+
+        [FILTER]
+            name rewrite_tag
+            match app.*
+            Rule $level ^err alert.$TAG[1] false
+
+        [OUTPUT]
+            name null
+            match *
+    """)
+    pipe, meta = build_pipeline(conf)
+    specs = pipe.stage_specs
+    assert specs[0] == {"type": "grep", "match": "app.*",
+                        "rules": [("regex", "$text", "error|warn"),
+                                  ("exclude", "$role", "system")]}
+    assert specs[1]["conditions"] == [("key_value_equals", "level", "error")]
+    assert specs[1]["rules"] == [("rename", "old", "new"),
+                                 ("remove", "junk"), ("set", "flagged", "yes")]
+    assert specs[2] == {"type": "record_modifier", "match": "*",
+                        "records": [("hostname", "web-1")],
+                        "remove_keys": ["dropme"]}
+    assert specs[3] == {"type": "nest", "match": "*", "operation": "lift",
+                        "nested_under": "meta", "add_prefix": "meta_"}
+    assert specs[4] == {"type": "throttle", "match": "*", "rate": 10,
+                        "interval_s": 300}
+    assert specs[5] == {"type": "expect", "match": "*", "action": "warn",
+                        "checks": [("key_exists", "conv_id"),
+                                   ("key_val_eq", "role", "tool")]}
+    assert specs[6] == {"type": "rewrite_tag", "match": "app.*",
+                        "rules": [("$level", "^err", "alert.$TAG[1]", False)]}
+    # every translated spec must construct a real stage
+    assert len(pipe._built_stages()) == 7
+
+
+def test_unsupported_filters_raise():
+    with pytest.raises(NotImplementedError, match="py_udf"):
+        build_pipeline("[FILTER]\n  name lua\n  match *\n  script x.lua\n")
+    with pytest.raises(ValueError, match="unsupported filter"):
+        build_pipeline("[FILTER]\n  name no_such_plugin\n  match *\n")
+    with pytest.raises(ValueError, match="unknown parser"):
+        build_pipeline("[FILTER]\n  name parser\n  match *\n  parser ghost\n")
+
+
+def test_output_alias_dedup_and_match_regex():
+    conf = textwrap.dedent("""\
+        [OUTPUT]
+            name  stdout
+            match a.*
+        [OUTPUT]
+            name  stdout
+            match b.*
+        [OUTPUT]
+            name  es
+            alias search
+            match_regex ^c\\.
+    """)
+    pipe, meta = build_pipeline(conf)
+    names = pipe.router.sink_names()
+    assert names == ["stdout", "stdout.2", "search"]
+    assert pipe.router.routes[2].is_regex
+    assert meta["outputs"][2]["plugin"] == "es"
+
+
+def test_input_tag_sets_prefix():
+    pipe, _ = build_pipeline(
+        "[INPUT]\n  name dummy\n  tag myapp\n[OUTPUT]\n  name null\n  match *\n")
+    assert pipe.tag_prefix == "myapp"
+    # wildcard tags can't seed a prefix → default
+    pipe2, _ = build_pipeline(
+        "[INPUT]\n  name tail\n  tag kube.*\n[OUTPUT]\n  name null\n  match *\n")
+    assert pipe2.tag_prefix == "transcript"
+
+
+# ------------------------------------------------------------------ e2e
+
+def test_config_pipeline_matches_flagship_counts():
+    """A classic config reproducing the flagship chain routes the same
+    row multiset to every sink as the hand-built pipeline."""
+    pipe, meta = build_pipeline(FLAGSHIP_CONF, FLAGSHIP_PARSERS_CONF)
+    assert [o["alias"] for o in meta["outputs"]] == [
+        "all", "assistant", "tool_sink", "alerts"]
+    ds = rd.read_parquet(ensure_transcripts(SF))
+    got = pipe.run(ds).sink_counts()
+    want = build_flagship(with_enrich=False).run(
+        rd.read_parquet(ensure_transcripts(SF))).sink_counts()
+    assert got == want
