@@ -705,6 +705,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fluent_bit_ray.dataops import vocab_topk
         return vocab_topk(_docs(sf_dir), k=100)
 
+    def docs_keyword_topk(sf_dir: str):
+        """Keyword retrieval: integer tf-idf top-20 for a fixed query
+        bag (df pass → broadcast weights → per-batch top-k partials;
+        no shuffle — dataops/search.py)."""
+        from fluent_bit_ray.dataops import keyword_search_topk
+        return keyword_search_topk(
+            _docs(sf_dir), ["hash", "window", "spark", "zzzmissing"], k=20)
+
     def doc_decontaminate(sf_dir: str):
         """Benchmark n-gram decontamination: the 'benchmark' is the
         deterministic doc_id % 20 == 0 slice of the corpus; its distinct
@@ -1106,6 +1114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_score": tf_score,
         "doc_redact": doc_redact,
         "vocab_top": vocab_top,
+        "docs_keyword_topk": docs_keyword_topk,
         "doc_decontaminate": doc_decontaminate,
         "docs_sample_mix": docs_sample_mix,
         "docs_sampled": docs_sampled,
@@ -1627,6 +1636,26 @@ def oracle_sql() -> dict[str, str]:
                        AS token FROM documents)
             SELECT token, count(*)::BIGINT AS n FROM w
             GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        # keyword retrieval: same \S+ tokens; integer tf-idf weights
+        # 1e6 // df so both engines use exact integer arithmetic
+        # (dataops/search.py scoring contract)
+        "docs_keyword_topk": r"""
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+')) AS token
+                       FROM documents),
+            q AS (SELECT unnest(['hash','window','spark','zzzmissing']) AS term),
+            dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+                      FROM w WHERE token IN (SELECT term FROM q)
+                      GROUP BY token),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM w WHERE token IN (SELECT term FROM q)
+                   GROUP BY doc_id, token),
+            sc AS (SELECT tf.doc_id,
+                          sum(tf.tf * (1000000 // dfreq.df))::BIGINT AS score
+                   FROM tf JOIN dfreq USING (token) GROUP BY tf.doc_id)
+            SELECT doc_id, score FROM sc WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT 20
         """,
         # decontamination: same 5-gram construction as the minhash
         # oracle's shingles (dataops/dedup._shingles), same h64 hash;

@@ -462,3 +462,41 @@ def test_shingles_values_identical_across_cache_states():
     finally:
         dd._CACHES.clear()
         dd._CACHES.update(saved)
+
+
+def test_keyword_search_topk_exact():
+    from fluent_bit_ray.dataops import (document_frequencies,
+                                        keyword_search_topk)
+
+    texts = ["spark hash hash window", "window window", "hash",
+             "nothing here", "spark spark spark"]
+    dfs = document_frequencies(docs_ds(texts), ["hash", "window", "spark",
+                                                "ghost"])
+    assert dfs == {"hash": 2, "window": 2, "spark": 2, "ghost": 0}
+
+    out = keyword_search_topk(docs_ds(texts),
+                              ["hash", "window", "spark", "ghost"], k=10)
+    # weight = 1e6 // 2 = 500000 each; tf totals: d0=4 (1+2+1), d4=3,
+    # d1=2, d2=1
+    assert out["doc_id"].tolist() == [0, 4, 1, 2]
+    assert out["score"].tolist() == [2000000, 1500000, 1000000, 500000]
+
+    # k truncation keeps the global best rows
+    top2 = keyword_search_topk(docs_ds(texts), ["hash", "window", "spark"],
+                               k=2)
+    assert top2["doc_id"].tolist() == [0, 4]
+
+
+def test_keyword_search_no_hits_and_block_independence():
+    from fluent_bit_ray.dataops import keyword_search_topk
+
+    texts = ["a b", "c d"]
+    out = keyword_search_topk(docs_ds(texts), ["zzz"], k=5)
+    assert len(out) == 0 and list(out.columns) == ["doc_id", "score"]
+
+    # result is independent of block layout (per-batch partials merge)
+    texts2 = [f"tok{i % 3} filler" for i in range(50)]
+    one = keyword_search_topk(docs_ds(texts2), ["tok0", "tok1"], k=7)
+    many = keyword_search_topk(docs_ds(texts2).repartition(13),
+                               ["tok0", "tok1"], k=7)
+    assert one.equals(many)
