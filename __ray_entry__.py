@@ -1069,7 +1069,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pd.DataFrame(
             {"sink": sorted(got), "n": [got[k] for k in sorted(got)]})
 
+    # grep filter driven ENTIRELY by config text: exclude fires before
+    # the keep rule (ordered short-circuit, filter_grep/grep.c:148-175)
+    def config_grep_rows(sf_dir: str):
+        from fluent_bit_ray.config import build_pipeline
+        conf = (
+            "[FILTER]\n"
+            "    name grep\n"
+            "    match *\n"
+            "    Exclude role system\n"
+            "    Regex   text error\n"
+            "[OUTPUT]\n"
+            "    name null\n"
+            "    match *\n"
+        )
+        pipe, _ = build_pipeline(conf)
+        import pyarrow as pa
+
+        def project(b: pa.Table) -> pa.Table:
+            return b.select(["conv_id", "turn_idx", "role"])
+
+        out = pipe.run(read_transcripts(sf_dir)).ds \
+            .map_batches(project, batch_format="pyarrow").to_pandas()
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
     return {
+        "config_grep_rows": config_grep_rows,
         "config_route_counts": config_route_counts,
         "route_counts": route_counts,
         "conv_stats": conv_stats,
@@ -1297,6 +1322,14 @@ def oracle_sql() -> dict[str, str]:
         # the config-built pipeline must reproduce the same routing
         # truth table as the hand-built flagship chain
         "config_route_counts": route_counts_sql,
+        # config-text grep: Exclude role system (match→drop), then
+        # Regex text error (no-match→drop, match→keep)
+        "config_grep_rows": f"""
+            WITH t AS ({t})
+            SELECT conv_id, turn_idx, role FROM t
+            WHERE role <> 'system' AND regexp_matches(text, 'error')
+            ORDER BY conv_id, turn_idx
+        """,
         "route_counts": f"""
             WITH t AS ({t}),
             alerts AS (SELECT * FROM t WHERE level IN ('error','warn'))

@@ -259,6 +259,12 @@ def run_bench() -> None:
                                                "role", "text"])
         return collapse_repeats(ds).count()
 
+    def bench_keyword():
+        from fluent_bit_ray.dataops.search import keyword_search_topk
+        ds = rd.read_parquet(docs_heavy, columns=["doc_id", "text"])
+        return len(keyword_search_topk(
+            ds, ["hash", "window", "spark", "zzzmissing"], k=20))
+
     benches = [("flagship_e2e", headline),
                ("parse_route_count", bench_parse_only),
                ("flowcounter", bench_flowcounter),
@@ -272,7 +278,8 @@ def run_bench() -> None:
                     ("decontaminate", bench_decontaminate),
                     ("repetition_stats", bench_repetition),
                     ("pack_sequences", bench_pack),
-                    ("curated_pipeline", bench_curated)]
+                    ("curated_pipeline", bench_curated),
+                    ("keyword_search", bench_keyword)]
     if os.path.exists(f"{sf_dir}/orders.parquet"):
         benches += [("hash_join", bench_hash_join),
                     ("asof_join", bench_asof_join),
