@@ -441,6 +441,63 @@ def _f_lua(props, ctx):
         "(stages/misc.py PyUdfStage; same (code, record) contract)")
 
 
+def _f_const_enrich(plugin: str):
+    """aws / apm_kubernetes_labels: constant-metadata appenders.
+
+    The reference fills these from a metadata service / label source;
+    offline, the constants come from explicit ``Record k v`` lines
+    (engine extension — there is no IMDS here to query)."""
+    def build(props, ctx):
+        values = {v.partition(" ")[0]: v.partition(" ")[2]
+                  for k, v in props if k == "record"}
+        if not values:
+            raise ValueError(
+                f"filter {plugin}: no metadata source in this engine — "
+                "supply the constants as 'Record key value' lines")
+        return {"type": "const_enrich", "values": values}
+    return build
+
+
+def _f_apm_ldap(props, ctx):
+    spec: dict = {"type": "lookup_enrich"}
+    for src, dst in (("dim", "dim"), ("lookup_key", "lookup_key"),
+                     ("prefix", "prefix")):
+        v = _get(props, src)
+        if v is not None:
+            spec[dst] = v.lstrip("$") if src == "lookup_key" else v
+    return spec
+
+
+def _f_apm_uaparser(props, ctx):
+    spec: dict = {"type": "ua_enrich"}
+    lk = _get(props, "lookup_key")
+    if lk:
+        spec["lookup_key"] = lk.lstrip("$")
+    return spec
+
+
+def _f_apm_url_normalizer(props, ctx):
+    spec: dict = {"type": "url_normalize"}
+    col = _get(props, "column") or _get(props, "lookup_key")
+    if col:
+        spec["column"] = col.lstrip("$")
+    out = _get(props, "out_column")
+    if out:
+        spec["out_column"] = out
+    return spec
+
+
+def _f_apm_message_formatter(props, ctx):
+    tmpl = _get(props, "template")
+    if tmpl is None:
+        raise ValueError("apm_message_formatter needs a Template property")
+    spec: dict = {"type": "message_format", "template": tmpl}
+    ok = _get(props, "out_key")
+    if ok:
+        spec["out_key"] = ok
+    return spec
+
+
 FILTER_BUILDERS = {
     "grep": _f_grep,
     "modify": _f_modify,
@@ -457,6 +514,13 @@ FILTER_BUILDERS = {
     "kubernetes": _f_kubernetes,
     "tensorflow": _f_tensorflow,
     "lua": _f_lua,
+    "aws": _f_const_enrich("aws"),
+    "apm_kubernetes_labels": _f_const_enrich("apm_kubernetes_labels"),
+    "apm_geoip": _f_geoip2,
+    "apm_ldap": _f_apm_ldap,
+    "apm_uaparser": _f_apm_uaparser,
+    "apm_url_normalizer": _f_apm_url_normalizer,
+    "apm_message_formatter": _f_apm_message_formatter,
 }
 
 

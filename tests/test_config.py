@@ -243,3 +243,58 @@ def test_config_pipeline_matches_flagship_counts():
     want = build_flagship(with_enrich=False).run(
         rd.read_parquet(ensure_transcripts(SF))).sink_counts()
     assert got == want
+
+
+def test_enrich_filter_translation():
+    conf = textwrap.dedent("""\
+        [FILTER]
+            name aws
+            match *
+            Record az us-east-1a
+            Record ec2_instance_id i-0123
+
+        [FILTER]
+            name apm_ldap
+            match *
+            dim dim_tools
+            lookup_key $tool
+            prefix ldap_
+
+        [FILTER]
+            name apm_uaparser
+            match *
+            lookup_key $p_agent
+
+        [FILTER]
+            name apm_url_normalizer
+            match *
+            column p_path
+            out_column p_path_norm
+
+        [FILTER]
+            name apm_message_formatter
+            match *
+            Template [$level] $msg
+            out_key pretty
+        [OUTPUT]
+            name null
+            match *
+    """)
+    pipe, _ = build_pipeline(conf)
+    specs = pipe.stage_specs
+    assert specs[0] == {"type": "const_enrich", "match": "*",
+                        "values": {"az": "us-east-1a",
+                                   "ec2_instance_id": "i-0123"}}
+    assert specs[1] == {"type": "lookup_enrich", "match": "*",
+                        "dim": "dim_tools", "lookup_key": "tool",
+                        "prefix": "ldap_"}
+    assert specs[2] == {"type": "ua_enrich", "match": "*",
+                        "lookup_key": "p_agent"}
+    assert specs[3] == {"type": "url_normalize", "match": "*",
+                        "column": "p_path", "out_column": "p_path_norm"}
+    assert specs[4] == {"type": "message_format", "match": "*",
+                        "template": "[$level] $msg", "out_key": "pretty"}
+    assert len(pipe._built_stages()) == 5
+    # aws without Record lines: no metadata source offline
+    with pytest.raises(ValueError, match="Record key value"):
+        build_pipeline("[FILTER]\n  name aws\n  match *\n")
