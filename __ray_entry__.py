@@ -705,6 +705,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fluent_bit_ray.dataops import vocab_topk
         return vocab_topk(_docs(sf_dir), k=100)
 
+    def boilerplate_removed(sf_dir: str):
+        """C4-style boilerplate drop: every turn whose text appears in
+        ≥5 distinct conversations is removed entirely (distinct-pair
+        partials → coarse count exchange → broadcast drop-set;
+        dataops/boilerplate.py)."""
+        from fluent_bit_ray.dataops import remove_boilerplate
+        ds = remove_boilerplate(read_transcripts(sf_dir), min_groups=5)
+        import pyarrow as pa
+
+        def project(b: pa.Table) -> pa.Table:
+            return b.select(["conv_id", "turn_idx", "role"])
+
+        out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
     def docs_keyword_topk(sf_dir: str):
         """Keyword retrieval: integer tf-idf top-20 for a fixed query
         bag (df pass → broadcast weights → per-batch top-k partials;
@@ -1140,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_redact": doc_redact,
         "vocab_top": vocab_top,
         "docs_keyword_topk": docs_keyword_topk,
+        "boilerplate_removed": boilerplate_removed,
         "doc_decontaminate": doc_decontaminate,
         "docs_sample_mix": docs_sample_mix,
         "docs_sampled": docs_sampled,
@@ -1669,6 +1685,17 @@ def oracle_sql() -> dict[str, str]:
                        AS token FROM documents)
             SELECT token, count(*)::BIGINT AS n FROM w
             GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        # boilerplate: drop ALL occurrences of texts seen in >=5
+        # distinct conversations (engine matches on md5-h64 of the
+        # text; the oracle verifies on raw text equality)
+        "boilerplate_removed": f"""
+            WITH t AS ({t}),
+            bad AS (SELECT text FROM t
+                    GROUP BY text HAVING count(DISTINCT conv_id) >= 5)
+            SELECT conv_id, turn_idx, role FROM t
+            WHERE text NOT IN (SELECT text FROM bad)
+            ORDER BY conv_id, turn_idx
         """,
         # keyword retrieval: same \S+ tokens; integer tf-idf weights
         # 1e6 // df so both engines use exact integer arithmetic

@@ -500,3 +500,52 @@ def test_keyword_search_no_hits_and_block_independence():
     many = keyword_search_topk(docs_ds(texts2).repartition(13),
                                ["tok0", "tok1"], k=7)
     assert one.equals(many)
+
+
+def test_remove_boilerplate_semantics():
+    from fluent_bit_ray.dataops import boilerplate_keys, remove_boilerplate
+
+    rows = [
+        # "hello" in 3 distinct convs -> boilerplate at min_groups=3
+        ("c1", 0, "hello"), ("c2", 0, "hello"), ("c3", 0, "hello"),
+        # "hi" repeats within ONE conv only -> distinct-conv count is 1
+        ("c1", 1, "hi"), ("c1", 2, "hi"), ("c1", 3, "hi"),
+        # "bye" in 2 convs -> below threshold
+        ("c2", 1, "bye"), ("c3", 1, "bye"),
+        ("c4", 0, "unique"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int64()),
+        "text": pa.array([r[2] for r in rows])}))
+
+    bad = boilerplate_keys(ds, min_groups=3)
+    assert len(bad) == 1  # only "hello"
+
+    kept = remove_boilerplate(ds, min_groups=3).to_pandas()
+    assert sorted(kept["text"].unique()) == ["bye", "hi", "unique"]
+    assert len(kept) == 6  # ALL "hello" occurrences dropped, others kept
+
+    # threshold 2 also takes "bye"; same-conv repeats still survive
+    kept2 = remove_boilerplate(ds, min_groups=2).to_pandas()
+    assert sorted(kept2["text"].unique()) == ["hi", "unique"]
+
+    # nothing qualifies -> identity (empty drop-set fast path)
+    kept_all = remove_boilerplate(ds, min_groups=99).to_pandas()
+    assert len(kept_all) == len(rows)
+
+
+def test_remove_boilerplate_layout_independent():
+    from fluent_bit_ray.dataops import remove_boilerplate
+
+    convs = [f"c{i % 7}" for i in range(60)]
+    texts = [f"t{i % 4}" if i % 2 == 0 else f"u{i}" for i in range(60)]
+    t = pa.table({"conv_id": pa.array(convs),
+                  "turn_idx": pa.array(range(60), type=pa.int64()),
+                  "text": pa.array(texts)})
+    one = remove_boilerplate(rd.from_arrow(t), min_groups=4).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    many = remove_boilerplate(rd.from_arrow(t).repartition(11),
+                              min_groups=4).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert one.equals(many)
