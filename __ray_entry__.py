@@ -705,6 +705,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fluent_bit_ray.dataops import vocab_topk
         return vocab_topk(_docs(sf_dir), k=100)
 
+    def conv_gated(sf_dir: str):
+        """Whole-conversation structural gate (SFT prep): keep convs
+        with ≥11 turns containing BOTH an assistant and a tool turn
+        (one coarse conv exchange; dataops/sft.py conversation_gate)."""
+        from fluent_bit_ray.dataops import conversation_gate
+        ds = conversation_gate(read_transcripts(sf_dir), min_turns=11,
+                               require_roles=("assistant", "tool"))
+        out = ds.to_pandas()[["conv_id", "turn_idx", "role"]]
+        return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
     def boilerplate_removed(sf_dir: str):
         """C4-style boilerplate drop: every turn whose text appears in
         ≥5 distinct conversations is removed entirely (distinct-pair
@@ -1156,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top": vocab_top,
         "docs_keyword_topk": docs_keyword_topk,
         "boilerplate_removed": boilerplate_removed,
+        "conv_gated": conv_gated,
         "doc_decontaminate": doc_decontaminate,
         "docs_sample_mix": docs_sample_mix,
         "docs_sampled": docs_sampled,
@@ -1685,6 +1696,17 @@ def oracle_sql() -> dict[str, str]:
                        AS token FROM documents)
             SELECT token, count(*)::BIGINT AS n FROM w
             GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        # whole-conversation gate: structural HAVING predicates
+        "conv_gated": f"""
+            WITH t AS ({t}),
+            g AS (SELECT conv_id FROM t GROUP BY conv_id
+                  HAVING count(*) >= 11
+                     AND count(*) FILTER (role = 'assistant') > 0
+                     AND count(*) FILTER (role = 'tool') > 0)
+            SELECT conv_id, turn_idx, role FROM t
+            WHERE conv_id IN (SELECT conv_id FROM g)
+            ORDER BY conv_id, turn_idx
         """,
         # boilerplate: drop ALL occurrences of texts seen in >=5
         # distinct conversations (engine matches on md5-h64 of the

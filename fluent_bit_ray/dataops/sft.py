@@ -107,3 +107,36 @@ def collapse_repeats(ds, partitions: int = 64):
 
     return coarse_partition_apply(ds, "conv_id", kernel,
                                   partitions=partitions)
+
+
+def conversation_gate(ds, min_turns: int = 1,
+                      require_roles: tuple[str, ...] = (),
+                      max_turns: int | None = None,
+                      partitions: int = 64):
+    """Keep only WHOLE conversations passing structural predicates —
+    the SFT-prep gate (e.g. ≥3 turns and at least one assistant turn;
+    degenerate or truncated conversations are dropped entirely).
+
+    One coarse conv_id exchange (all turns of a conversation land in
+    one partition); inside, per-conversation turn counts and role
+    presence come from ONE factorize + bincount pass — no
+    per-conversation Python. Returns the filtered Dataset (all input
+    columns, original rows of surviving conversations).
+    """
+    want_roles = tuple(require_roles)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        codes, uniques = pd.factorize(df["conv_id"], sort=False)
+        n_turns = np.bincount(codes, minlength=len(uniques))
+        ok = n_turns >= int(min_turns)
+        if max_turns is not None:
+            ok &= n_turns <= int(max_turns)
+        for role in want_roles:
+            has = np.bincount(codes,
+                              weights=(df["role"].to_numpy() == role),
+                              minlength=len(uniques)) > 0
+            ok &= has
+        return df[ok[codes]]
+
+    return coarse_partition_apply(ds, "conv_id", kernel,
+                                  partitions=partitions)

@@ -124,3 +124,35 @@ def test_tool_transitions_matches_row_reference():
         [(a, b, n) for (a, b), n in sorted(ref.items())],
         columns=["tool", "next_tool", "n"])
     pd.testing.assert_frame_equal(got.astype({"n": "int64"}), ref)
+
+
+def test_conversation_gate_predicates():
+    import pyarrow as pa
+    import ray.data as rd
+    from fluent_bit_ray.dataops import conversation_gate
+
+    rows = [
+        # c1: 3 turns, has assistant + tool
+        ("c1", 0, "user"), ("c1", 1, "assistant"), ("c1", 2, "tool"),
+        # c2: 3 turns, no tool
+        ("c2", 0, "user"), ("c2", 1, "assistant"), ("c2", 2, "user"),
+        # c3: 1 turn only
+        ("c3", 0, "assistant"),
+        # c4: 5 turns, assistant only
+        *[("c4", i, "assistant") for i in range(5)],
+    ]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int64()),
+        "role": pa.array([r[2] for r in rows])}))
+
+    got = conversation_gate(ds, min_turns=3,
+                            require_roles=("assistant", "tool")).to_pandas()
+    assert sorted(got["conv_id"].unique()) == ["c1"]
+    assert len(got) == 3  # all of c1's rows survive
+
+    got2 = conversation_gate(ds, min_turns=2).to_pandas()
+    assert sorted(got2["conv_id"].unique()) == ["c1", "c2", "c4"]
+
+    got3 = conversation_gate(ds, min_turns=1, max_turns=3).to_pandas()
+    assert sorted(got3["conv_id"].unique()) == ["c1", "c2", "c3"]
