@@ -705,6 +705,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fluent_bit_ray.dataops import vocab_topk
         return vocab_topk(_docs(sf_dir), k=100)
 
+    def emb_semantic_dup(sf_dir: str):
+        """SemDeDup-style semantic near-dup pairs: integer-exact
+        k-means buckets, same-cluster cosine scoring per coarse
+        partition (dataops/cluster.py semantic_dedup_pairs)."""
+        from fluent_bit_ray.dataops import semantic_dedup_pairs
+        return semantic_dedup_pairs(_embs(sf_dir), k=8, iters=1,
+                                    thr_milli=300)
+
     def conv_gated(sf_dir: str):
         """Whole-conversation structural gate (SFT prep): keep convs
         with ≥11 turns containing BOTH an assistant and a tool turn
@@ -1167,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_keyword_topk": docs_keyword_topk,
         "boilerplate_removed": boilerplate_removed,
         "conv_gated": conv_gated,
+        "emb_semantic_dup": emb_semantic_dup,
         "doc_decontaminate": doc_decontaminate,
         "docs_sample_mix": docs_sample_mix,
         "docs_sampled": docs_sampled,
@@ -1283,6 +1292,11 @@ def _cms_oracle() -> str:
 def _kmeans_oracle() -> str:
     from fluent_bit_ray.dataops.cluster import kmeans_oracle_sql
     return kmeans_oracle_sql(k=8, iters=2)
+
+
+def _semantic_dedup_oracle() -> str:
+    from fluent_bit_ray.dataops.cluster import semantic_dedup_oracle_sql
+    return semantic_dedup_oracle_sql(k=8, iters=1, thr_milli=300)
 
 
 def _tf_oracle_sql() -> str:
@@ -1636,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "emb_kmeans": _kmeans_oracle(),
+        "emb_semantic_dup": _semantic_dedup_oracle(),
         "orders_enriched": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,
                    c_mktsegment, c_nationkey

@@ -58,14 +58,10 @@ def _assign(mat: np.ndarray, cent: np.ndarray):
     return cluster.astype(np.int64), dist.astype(np.int64)
 
 
-def kmeans(embs, k: int = 8, iters: int = 1, col: str = "embedding",
-           key: str = "vec_id", scale: float = 128.0):
-    """Integer-exact distributed k-means.
-
-    Returns (assignments DataFrame[key, cluster, dist], centroids
-    int64 (k, dim)). ``iters`` Lloyd updates run before the final
-    assignment pass; every pass streams the corpus once.
-    """
+def kmeans_fit(embs, k: int = 8, iters: int = 1, col: str = "embedding",
+               key: str = "vec_id", scale: float = 128.0) -> np.ndarray:
+    """The training loop alone: returns the final int64 (k, dim)
+    centroids after ``iters`` Lloyd updates (no assignment pass)."""
     import ray
 
     qds = embs.map_batches(
@@ -108,7 +104,23 @@ def kmeans(embs, k: int = 8, iters: int = 1, col: str = "embedding",
         nz = cnt > 0  # empty cluster keeps its previous centroid
         cent = cent.copy()
         cent[nz] = np.floor_divide(sums[nz], cnt[nz, None])
+    return cent
 
+
+def kmeans(embs, k: int = 8, iters: int = 1, col: str = "embedding",
+           key: str = "vec_id", scale: float = 128.0):
+    """Integer-exact distributed k-means.
+
+    Returns (assignments DataFrame[key, cluster, dist], centroids
+    int64 (k, dim)). ``iters`` Lloyd updates run before the final
+    assignment pass; every pass streams the corpus once.
+    """
+    import ray
+
+    cent = kmeans_fit(embs, k=k, iters=iters, col=col, key=key, scale=scale)
+    qds = embs.map_batches(
+        lambda df: quantize_batch(df, col=col, key=key, scale=scale),
+        batch_format="pandas")
     cent_ref = ray.put(cent)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -120,6 +132,91 @@ def kmeans(embs, k: int = 8, iters: int = 1, col: str = "embedding",
 
     out = qds.map_batches(final, batch_format="pandas").to_pandas()
     return out.sort_values(key).reset_index(drop=True), cent
+
+
+_SEM_EMPTY = {"key_a": "int64", "key_b": "int64", "cluster": "int64",
+              "dot_q": "int64"}
+
+
+def semantic_dedup_pairs(embs, k: int = 8, iters: int = 1,
+                         thr_milli: int = 300, col: str = "embedding",
+                         key: str = "vec_id", scale: float = 128.0,
+                         partitions: int = 16,
+                         max_cluster: int = 20000) -> pd.DataFrame:
+    """SemDeDup-style semantic near-dup pairs: k-means buckets the
+    corpus, then only SAME-CLUSTER pairs are cosine-scored — the
+    cluster structure replaces the all-pairs matmul, the standard
+    semantic-dedup shape (SemDeDup, Abbas et al. 2023).
+
+    Exactness contract: everything runs on the QUANTIZED int64 vectors
+    (the same floor(x·scale+0.5) as kmeans), and the cosine threshold
+    t = thr_milli/1000 is tested as the integer inequality
+    ``1e6·dot² ≥ thr_milli²·|a|²·|b|²  AND  dot > 0`` — no float
+    arithmetic anywhere, so the SQL oracle matches bit-for-bit.
+    Bounds: with dim ≤ 64 and scale 128, 1e6·dot² ≤ ~1.2e18 < 2^63
+    (larger dims need a smaller scale — documented).
+
+    Scale: centroids (k×dim ints) broadcast once; each batch tags its
+    rows vectorized (the same integer argmin as kmeans); one coarse
+    cluster exchange co-locates each cluster; the in-partition kernel
+    matmuls per cluster. ``max_cluster`` caps a pathological cluster
+    (scored on its ``key``-smallest members) the way LSH buckets are
+    capped; at real scale pick k so clusters stay small (the op's
+    contract, as in the paper). Returns (key_a, key_b, cluster, dot_q)
+    sorted.
+    """
+    import ray
+
+    from ..shuffle import coarse_partition_apply
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in _SEM_EMPTY.items()})
+
+    cent = kmeans_fit(embs, k=k, iters=iters, col=col, key=key, scale=scale)
+    cent_ref = ray.put(cent)
+    num = int(thr_milli) ** 2  # t² numerator over den = 1e6
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        mat = np.stack([np.floor(np.asarray(v, dtype=np.float64) * scale
+                                 + 0.5)
+                        for v in df[col]]).astype(np.int64)
+        cluster, _ = _assign(mat, c)
+        return pd.DataFrame({key: df[key], "cluster": cluster,
+                             "q": list(mat)})
+
+    tagged = embs.map_batches(tag, batch_format="pandas")
+
+    def kernel(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for cl, grp in part.groupby("cluster", sort=False):
+            if len(grp) < 2:
+                continue
+            if len(grp) > max_cluster:  # hot-cluster cap (documented)
+                grp = grp.sort_values(key).head(max_cluster)
+            grp = grp.sort_values(key)
+            ks = grp[key].to_numpy()
+            sub = np.stack(grp["q"].to_numpy()).astype(np.int64)
+            dot = sub @ sub.T
+            n2 = (sub * sub).sum(axis=1)
+            ok = (dot > 0) & (1_000_000 * dot * dot
+                              >= num * (n2[:, None] * n2[None, :]))
+            ii, jj = np.nonzero(np.triu(ok, k=1))
+            if not len(ii):
+                continue
+            outs.append(pd.DataFrame({
+                "key_a": ks[ii], "key_b": ks[jj],
+                "cluster": np.int64(cl), "dot_q": dot[ii, jj]}))
+        return pd.concat(outs, ignore_index=True) if outs else empty()
+
+    out = coarse_partition_apply(tagged, "cluster", kernel,
+                                 partitions=partitions).to_pandas()
+    if not len(out):
+        return empty()
+    for c, t in _SEM_EMPTY.items():
+        out[c] = out[c].astype(t)
+    return out.sort_values(["key_a", "key_b"]).reset_index(drop=True)
 
 
 def kmeans_oracle_sql(k: int = 8, iters: int = 1,
@@ -175,3 +272,41 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id,
   FROM fdist) WHERE rk = 1
 ORDER BY vec_id""")
     return "WITH " + ",".join(steps)
+
+
+def semantic_dedup_oracle_sql(k: int = 8, iters: int = 1,
+                              thr_milli: int = 300,
+                              scale: int = 128) -> str:
+    """semantic_dedup_pairs replayed in SQL: the kmeans assignment CTEs
+    (bit-exact integer argmin, same as kmeans_oracle_sql) produce the
+    final clustering; pairs are same-cluster vec_id pairs whose
+    QUANTIZED dot product clears t = thr_milli/1000 via the integer
+    inequality 1e6·dot² ≥ thr_milli²·|a|²·|b|² ∧ dot>0 — the same
+    all-integer contract as the engine, no float anywhere."""
+    num = int(thr_milli) ** 2
+    base = kmeans_oracle_sql(k=k, iters=iters, scale=scale)
+    head, _, _tail = base.rpartition("SELECT CAST(vec_id AS BIGINT)")
+    return head + f""",
+asgf AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d, cluster) AS rk
+    FROM fdist) WHERE rk = 1),
+n2 AS (SELECT vec_id, sum(v * v) AS n2 FROM q GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+         CAST(a.cluster AS BIGINT) AS cluster,
+         sum(qa.v * qb.v) AS dot
+  FROM asgf a JOIN asgf b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN q qa ON qa.vec_id = a.vec_id
+  JOIN q qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
+  GROUP BY 1, 2, 3)
+SELECT CAST(key_a AS BIGINT) AS key_a, CAST(key_b AS BIGINT) AS key_b,
+       cluster, CAST(dot AS BIGINT) AS dot_q
+FROM dots d JOIN n2 na ON na.vec_id = d.key_a
+JOIN n2 nb ON nb.vec_id = d.key_b
+WHERE d.dot > 0
+  AND 1000000 * d.dot * d.dot >= {num} * na.n2 * nb.n2
+ORDER BY key_a, key_b"""

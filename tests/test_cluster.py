@@ -60,3 +60,45 @@ def test_kmeans_missing_seed_rows_raises():
     df["vec_id"] = df["vec_id"] + 100  # no ids < k
     with pytest.raises(ValueError, match="kmeans init"):
         kmeans(rd.from_pandas(df), k=2, iters=1)
+
+
+def test_semantic_dedup_pairs_matches_bruteforce():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from fluent_bit_ray.dataops.cluster import (_assign, kmeans_fit,
+                                                semantic_dedup_pairs)
+
+    rs = np.random.RandomState(7)
+    base = rs.randn(40, 16).astype(np.float32)
+    mat = np.vstack([base, base[:6] + 0.001 * rs.randn(6, 16).astype(np.float32)])
+
+    def embs(m, nparts=1):
+        t = pa.table({"vec_id": pa.array(range(len(m)), type=pa.int64()),
+                      "embedding": pa.array([list(map(float, r)) for r in m],
+                                            type=pa.list_(pa.float32()))})
+        ds = rd.from_arrow(t)
+        return ds.repartition(nparts) if nparts > 1 else ds
+
+    out = semantic_dedup_pairs(embs(mat), k=4, iters=1, thr_milli=950)
+    pairs = set(zip(out["key_a"], out["key_b"]))
+    # every planted near-copy shares its source's cluster (identical
+    # quantization up to the tiny noise) and clears cos >= 0.95
+    for i in range(6):
+        assert (i, 40 + i) in pairs
+
+    # brute-force integer reference: same-cluster AND integer rule
+    q = np.floor(mat.astype(np.float64) * 128.0 + 0.5).astype(np.int64)
+    cent = kmeans_fit(embs(mat), k=4, iters=1)
+    cl, _ = _assign(q, cent)
+    dot = q @ q.T
+    n2 = (q * q).sum(axis=1)
+    ok = (dot > 0) & (1_000_000 * dot * dot >= 950**2 * (n2[:, None] * n2[None, :]))
+    expect = {(i, j) for i in range(len(q)) for j in range(i + 1, len(q))
+              if cl[i] == cl[j] and ok[i, j]}
+    assert pairs == expect
+
+    # block-layout independence
+    out2 = semantic_dedup_pairs(embs(mat, nparts=9), k=4, iters=1,
+                                thr_milli=950)
+    assert out.equals(out2)
