@@ -124,3 +124,44 @@ def mqtt_batch(df: pd.DataFrame, topic_col: str = "topic",
         "fields": [fields_dumps({k: v for k, v in r.items()
                                  if k != "topic"}) for r in kept],
     })
+
+
+# ----------------------------------------------------------- in_kmsg
+def parse_kmsg_line(line: str, boot_epoch: float = 0.0) -> dict | None:
+    """Kernel log ring line → record, mirroring in_kmsg's process_line
+    (plugins/in_kmsg/in_kmsg.c:108-205): ``<prio>,<seq>,<usec>[,flags];msg``
+    → {priority: prio & 0x07 (FLB_KLOG_PRI, in_kmsg.h:42-43),
+    sequence, sec, usec (relative to boot), msg}; the event time is
+    boot_epoch + the relative timestamp (ts key, epoch seconds)."""
+    try:
+        head, _, msg = line.partition(";")
+        if not msg and ";" not in line:
+            return None
+        parts = head.split(",")
+        if len(parts) < 3:
+            return None
+        prio = int(parts[0])
+        seq = int(parts[1])
+        usec_total = int(parts[2])
+    except ValueError:
+        return None
+    sec = usec_total // 1_000_000
+    usec = usec_total - sec * 1_000_000
+    return {"priority": prio & 0x07, "sequence": seq,
+            "sec": sec, "usec": usec, "msg": msg,
+            "ts": boot_epoch + sec + usec / 1e6}
+
+
+def kmsg_batch(df: pd.DataFrame, text_col: str = "text",
+               boot_epoch: float = 0.0) -> pd.DataFrame:
+    recs = [parse_kmsg_line(s, boot_epoch)
+            for s in df[text_col].astype(str)]
+    kept = [r for r in recs if r is not None]
+    return pd.DataFrame({
+        "priority": pd.Series([r["priority"] for r in kept], dtype="int64"),
+        "sequence": pd.Series([r["sequence"] for r in kept], dtype="int64"),
+        "sec": pd.Series([r["sec"] for r in kept], dtype="int64"),
+        "usec": pd.Series([r["usec"] for r in kept], dtype="int64"),
+        "msg": pd.Series([r["msg"] for r in kept], dtype="string"),
+        "ts": pd.Series([r["ts"] for r in kept], dtype="float64"),
+    })

@@ -77,3 +77,33 @@ def from_records(records: list[tuple[float, dict]], tag: str = "lib.0"):
         TAG_COL: pa.array([tag] * len(records), type=pa.string()),
     })
     return rd.from_arrow(table)
+
+
+def gen_random_records(n: int, seed: int = 2024, interval_s: float = 1.0,
+                       tag: str = "random.0"):
+    """in_dummy-style deterministic analogue of in_random
+    (plugins/in_random/random.c:75-82: one {rand_value: u64} map per
+    interval). Seeded so runs are reproducible — no live entropy."""
+    import numpy as np
+    import ray.data as rd
+    rs = np.random.RandomState(seed)
+    vals = rs.randint(0, 2**63 - 1, size=n, dtype=np.int64)
+    ts = (np.arange(n, dtype=np.float64) * interval_s)
+    t = pa.table({"ts": pa.array(ts, type=pa.float64()),
+                  "rand_value": pa.array(vals, type=pa.int64())})
+    return _tagged(rd.from_arrow(t), tag)
+
+
+def read_head_records(path: str, buf_bytes: int = 256,
+                      split_lines: bool = False, key: str = "head",
+                      tag: str = "head.0"):
+    """in_head analogue (plugins/in_head/head.c): read the first
+    ``buf_bytes`` of a file into one {key: text} record, or one record
+    per line when ``split_lines`` (the plugin's Split_Line mode)."""
+    import ray.data as rd
+    with open(path, "rb") as f:
+        data = f.read(buf_bytes)
+    text = data.decode("utf-8", errors="replace")
+    vals = text.splitlines() if split_lines else [text]
+    t = pa.table({key: pa.array(vals, type=pa.string())})
+    return _tagged(rd.from_arrow(t), tag)

@@ -125,3 +125,43 @@ def test_mqtt_payload():
     out = mqtt_batch(pd.DataFrame({"topic": ["a", "b"],
                                    "text": ['{"x": 1}', "nope"]}))
     assert out["topic"].tolist() == ["a"]
+
+
+def test_kmsg_lines():
+    import pandas as pd
+    from fluent_bit_ray.parsers.payloads import kmsg_batch, parse_kmsg_line
+
+    r = parse_kmsg_line("6,339,5140900,-;NET: Registered protocol family 10",
+                        boot_epoch=1000.0)
+    assert r == {"priority": 6, "sequence": 339, "sec": 5, "usec": 140900,
+                 "msg": "NET: Registered protocol family 10",
+                 "ts": 1000.0 + 5.140900}
+    # priority is masked to the 3 low bits (facility stripped)
+    assert parse_kmsg_line("14,1,0;x")["priority"] == 6
+    assert parse_kmsg_line("garbage") is None
+    assert parse_kmsg_line("1,2;no timestamp") is None
+
+    df = pd.DataFrame({"text": ["6,339,5140900,-;ok", "nope", "3,1,250000;warn"]})
+    out = kmsg_batch(df)
+    assert out["msg"].tolist() == ["ok", "warn"]
+    assert out["priority"].tolist() == [6, 3]
+    assert out["usec"].tolist() == [140900, 250000]
+
+
+def test_random_and_head_sources(tmp_path):
+    from fluent_bit_ray.sources.readers import (gen_random_records,
+                                                read_head_records)
+
+    one = gen_random_records(10, seed=7).to_pandas()
+    two = gen_random_records(10, seed=7).to_pandas()
+    assert one.equals(two)            # deterministic
+    assert one["tag"].unique().tolist() == ["random.0"]
+    assert (one["rand_value"] >= 0).all()
+
+    p = tmp_path / "f.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    whole = read_head_records(str(p), buf_bytes=8).to_pandas()
+    assert whole["head"].tolist() == ["alpha\nbe"]
+    lines = read_head_records(str(p), buf_bytes=100,
+                              split_lines=True).to_pandas()
+    assert lines["head"].tolist() == ["alpha", "beta", "gamma"]
