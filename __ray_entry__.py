@@ -705,6 +705,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fluent_bit_ray.dataops import vocab_topk
         return vocab_topk(_docs(sf_dir), k=100)
 
+    def conv_rendered(sf_dir: str):
+        """Chat rendering: conversation → one 'role: text'-lines
+        training text (coarse conv exchange + boundary slice-joins;
+        dataops/sft.py render_conversations)."""
+        from fluent_bit_ray.dataops import render_conversations
+        out = render_conversations(read_transcripts(sf_dir)).to_pandas()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out.sort_values("conv_id").reset_index(drop=True)
+
     def emb_semantic_dup(sf_dir: str):
         """SemDeDup-style semantic near-dup pairs: integer-exact
         k-means buckets, same-cluster cosine scoring per coarse
@@ -1176,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_removed": boilerplate_removed,
         "conv_gated": conv_gated,
         "emb_semantic_dup": emb_semantic_dup,
+        "conv_rendered": conv_rendered,
         "doc_decontaminate": doc_decontaminate,
         "docs_sample_mix": docs_sample_mix,
         "docs_sampled": docs_sampled,
@@ -1711,6 +1721,15 @@ def oracle_sql() -> dict[str, str]:
                        AS token FROM documents)
             SELECT token, count(*)::BIGINT AS n FROM w
             GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        # chat rendering: one training text per conversation
+        "conv_rendered": f"""
+            WITH t AS ({t})
+            SELECT conv_id,
+                   string_agg(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx) AS rendered,
+                   count(*)::BIGINT AS n_turns
+            FROM t GROUP BY conv_id ORDER BY conv_id
         """,
         # whole-conversation gate: structural HAVING predicates
         "conv_gated": f"""

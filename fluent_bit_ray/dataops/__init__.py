@@ -14,7 +14,8 @@ from .dedup import (  # noqa: F401
     simhash_dup_pairs,
 )
 from .annsearch import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401
-from .sft import collapse_repeats, conversation_gate, sft_examples  # noqa: F401
+from .sft import (collapse_repeats, conversation_gate,  # noqa: F401
+                  render_conversations, sft_examples)
 from .transitions import tool_transitions  # noqa: F401
 from .sketch import (  # noqa: F401
     cms_estimate,

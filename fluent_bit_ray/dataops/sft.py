@@ -140,3 +140,33 @@ def conversation_gate(ds, min_turns: int = 1,
 
     return coarse_partition_apply(ds, "conv_id", kernel,
                                   partitions=partitions)
+
+
+def render_conversations(ds, sep: str = "\n", partitions: int = 64):
+    """Conversation → ONE training text ("role: text" lines in turn
+    order) — the chat-rendering export every pretraining/SFT pipeline
+    runs before tokenization. Returns Dataset[conv_id, rendered,
+    n_turns].
+
+    Same coarse conv_id exchange; inside a partition the rendered
+    pieces are built vectorized and conversations are CONTIGUOUS runs
+    after the sort, so assembly is boundary arithmetic + one slice-join
+    per conversation (the multiline r3 lesson: never groupby.agg(join))."""
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"conv_id": pd.Series([], dtype="object"),
+                                 "rendered": pd.Series([], dtype="object"),
+                                 "n_turns": pd.Series([], dtype="int64")})
+        df = _sorted_conv(df)
+        pieces = (df["role"].astype(str) + ": "
+                  + df["text"].astype(str)).to_numpy(dtype=object)
+        conv = df["conv_id"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        ends = np.r_[starts[1:], len(conv)]
+        texts = [sep.join(pieces[s:e]) for s, e in zip(starts, ends)]
+        return pd.DataFrame({"conv_id": conv[starts],
+                             "rendered": texts,
+                             "n_turns": (ends - starts).astype("int64")})
+
+    return coarse_partition_apply(ds, "conv_id", kernel,
+                                  partitions=partitions)

@@ -156,3 +156,25 @@ def test_conversation_gate_predicates():
 
     got3 = conversation_gate(ds, min_turns=1, max_turns=3).to_pandas()
     assert sorted(got3["conv_id"].unique()) == ["c1", "c2", "c3"]
+
+
+def test_render_conversations():
+    import pyarrow as pa
+    import ray.data as rd
+    from fluent_bit_ray.dataops import render_conversations
+
+    rows = [("b", 1, "assistant", "y"), ("a", 0, "user", "hi"),
+            ("a", 1, "assistant", "yo"), ("b", 0, "user", "x")]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int64()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows])}))
+    out = render_conversations(ds).to_pandas().sort_values("conv_id")
+    assert out["rendered"].tolist() == ["user: hi\nassistant: yo",
+                                        "user: x\nassistant: y"]
+    assert out["n_turns"].tolist() == [2, 2]
+    # layout independence
+    out2 = render_conversations(ds.repartition(3)).to_pandas() \
+        .sort_values("conv_id")
+    assert out["rendered"].tolist() == out2["rendered"].tolist()
