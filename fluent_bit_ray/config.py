@@ -69,9 +69,9 @@ def parse_classic(text: str, *, env: dict | None = None,
         if not line or line.startswith("#"):
             continue
         if line.startswith("@"):
-            directive, _, rest = line.partition(" ")
-            d = directive[1:].upper()
-            rest = rest.strip()
+            dparts = line.split(None, 1)
+            d = dparts[0][1:].upper()
+            rest = dparts[1].strip() if len(dparts) > 1 else ""
             if d == "SET":
                 var, _, val = rest.partition("=")
                 env[var.strip()] = _expand(val.strip(), env)
@@ -247,10 +247,10 @@ def multiline_parser_specs(sections: list[Section]) -> dict[str, dict]:
 def _f_grep(props, ctx):
     rules = []
     for k, v in _getall(props, "regex", "exclude"):
-        field, _, pat = v.partition(" ")
-        if not pat:
+        toks = v.split(None, 1)
+        if len(toks) != 2:
             raise ValueError(f"grep {k} needs 'field pattern': {v!r}")
-        rules.append((k, _dollar(field), pat))
+        rules.append((k, _dollar(toks[0]), toks[1]))
     return {"type": "grep", "rules": rules}
 
 
@@ -271,28 +271,31 @@ def _f_modify(props, ctx):
     conditions, rules = [], []
     for k, v in props:
         if k == "condition":
-            kind, _, rest = v.partition(" ")
-            kind = kind.lower()
+            toks = v.split(None, 1)
+            kind = toks[0].lower()
+            rest = toks[1] if len(toks) > 1 else ""
             if kind not in _MODIFY_CONDS:
                 raise ValueError(f"unknown modify condition {kind!r}")
             if _MODIFY_CONDS[kind] == 1:
                 conditions.append((kind, rest.strip()))
             else:
-                a, _, b = rest.strip().partition(" ")
-                conditions.append((kind, a, b))
+                ab = rest.strip().split(None, 1)
+                conditions.append((kind, ab[0],
+                                   ab[1] if len(ab) > 1 else ""))
         elif k in _MODIFY_OPS:
             if _MODIFY_OPS[k] == 1:
                 rules.append((k, v.strip()))
             else:
-                a, _, b = v.partition(" ")
-                rules.append((k, a, b))
+                ab = v.split(None, 1)
+                rules.append((k, ab[0], ab[1] if len(ab) > 1 else ""))
     return {"type": "modify", "rules": rules, "conditions": conditions}
 
 
 def _f_record_modifier(props, ctx):
     spec: dict = {"type": "record_modifier"}
-    records = [(v.partition(" ")[0], v.partition(" ")[2])
-               for _, v in _getall(props, "record")]
+    records = [(sp[0], sp[1] if len(sp) > 1 else "")
+               for _, v in _getall(props, "record")
+               for sp in [v.split(None, 1)]]
     if records:
         spec["records"] = records
     removes = [v for _, v in _getall(props, "remove_key")]
@@ -377,8 +380,8 @@ def _f_expect(props, ctx):
                  "key_val_is_not_null"):
             checks.append((k, v.strip()))
         elif k == "key_val_eq":
-            a, _, b = v.partition(" ")
-            checks.append((k, a, b))
+            ab = v.split(None, 1)
+            checks.append((k, ab[0], ab[1] if len(ab) > 1 else ""))
     spec: dict = {"type": "expect", "checks": checks}
     act = _get(props, "action")
     if act:
@@ -448,8 +451,9 @@ def _f_const_enrich(plugin: str):
     offline, the constants come from explicit ``Record k v`` lines
     (engine extension — there is no IMDS here to query)."""
     def build(props, ctx):
-        values = {v.partition(" ")[0]: v.partition(" ")[2]
-                  for k, v in props if k == "record"}
+        values = {sp[0]: (sp[1] if len(sp) > 1 else "")
+                  for k, v in props if k == "record"
+                  for sp in [v.split(None, 1)]}
         if not values:
             raise ValueError(
                 f"filter {plugin}: no metadata source in this engine — "
