@@ -567,7 +567,19 @@ def build_pipeline(conf: str | list[Section],
 
     for name, props in sections:
         if name == "INPUT":
-            inputs.append(dict(props))
+            inp = dict(props)
+            # in_tail's multiline.parser property: resolve to the
+            # [MULTILINE_PARSER] spec (firstline + flush_gap_s) so a
+            # MultilineStage can be built directly from the input
+            mlp = inp.get("multiline.parser")
+            if mlp:
+                names = [n.strip() for n in mlp.split(",")]
+                missing = [n for n in names if n not in ml_parsers]
+                if missing:
+                    raise ValueError(f"input multiline.parser references "
+                                     f"unknown parser(s) {missing}")
+                inp["multiline_specs"] = [ml_parsers[n] for n in names]
+            inputs.append(inp)
         elif name == "FILTER":
             plugin = _get(props, "name")
             if plugin not in FILTER_BUILDERS:

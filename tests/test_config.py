@@ -298,3 +298,29 @@ def test_enrich_filter_translation():
     # aws without Record lines: no metadata source offline
     with pytest.raises(ValueError, match="Record key value"):
         build_pipeline("[FILTER]\n  name aws\n  match *\n")
+
+
+def test_input_multiline_parser_resolution():
+    conf = textwrap.dedent("""\
+        [INPUT]
+            name tail
+            tag  app
+            multiline.parser java-stack
+        [OUTPUT]
+            name null
+            match *
+    """)
+    parsers = textwrap.dedent("""\
+        [MULTILINE_PARSER]
+            name java-stack
+            type regex
+            flush_timeout 2000
+            rule "start_state" "/^\\S.*Exception/" "cont"
+            rule "cont"        "/^\\s+at /"        "cont"
+    """)
+    _, meta = build_pipeline(conf, parsers)
+    spec = meta["inputs"][0]["multiline_specs"][0]
+    assert spec["firstline"] == "^\\S.*Exception"
+    assert spec["flush_gap_s"] == 2.0
+    with pytest.raises(ValueError, match="unknown parser"):
+        build_pipeline(conf)  # no parsers.conf supplied
