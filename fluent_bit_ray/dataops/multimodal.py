@@ -5,12 +5,14 @@ Image/audio/video travel as Arrow ``binary`` columns with metadata
 feature-extract run as ACTOR-POOL ``map_batches`` stages — the codec
 libraries are loaded once per actor in ``__init__``.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container,
-so the decode kernels are stubbed: ``DecodeImageStage`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it derives
-a deterministic fake decode from the payload bytes. The Ray-side
+PNG and WAV decode for REAL via the pure-stdlib codecs in
+``codecs.py`` (zlib scanlines / RIFF PCM) — features come from actual
+pixels and samples. Formats needing external codecs (jpeg/flac/mp4,
+PIL/ffmpeg/torchaudio absent from this container) raise
+``NotImplementedError`` unless ``fake=True``, which derives a
+deterministic fake decode from the payload bytes. The Ray-side
 plumbing — schema handling, small-batch sizing for large payloads,
-actor signature, output layout — is real and tested.
+actor signature, output layout — is identical on every path.
 """
 
 from __future__ import annotations
@@ -31,6 +33,57 @@ def synth_image_table(n: int = 64, seed: int = 42) -> pa.Table:
         "format": pa.array(["png" if i % 2 else "jpeg" for i in range(n)]),
         "width": pa.array([64 + (i % 8) * 32 for i in range(n)], type=pa.int32()),
         "height": pa.array([64 + (i % 5) * 32 for i in range(n)], type=pa.int32()),
+    })
+
+
+def synth_png_table(n: int = 16, seed: int = 44) -> pa.Table:
+    """REAL png payloads (encoded with codecs.encode_png): gradient +
+    noise images, mixed grey/RGB, varied sizes."""
+    from .codecs import encode_png
+    rs = np.random.RandomState(seed)
+    payloads, ws, hs = [], [], []
+    for i in range(n):
+        h, w = 8 + (i % 4) * 8, 8 + (i % 3) * 8
+        base = (np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 5) % 256
+        img = ((base + rs.randint(0, 64, size=(h, w))) % 256).astype(np.uint8)
+        if i % 2:  # RGB: channels = original, flipped, rolled
+            img = np.stack([img, img[::-1],
+                            np.roll(img, 1, axis=1)], axis=2)
+        payloads.append(encode_png(img))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "img_id": pa.array(range(n), type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "format": pa.array(["png"] * n),
+        "width": pa.array(ws, type=pa.int32()),
+        "height": pa.array(hs, type=pa.int32()),
+    })
+
+
+def synth_wav_table(n: int = 16, seed: int = 45) -> pa.Table:
+    """REAL wav payloads (codecs.encode_wav): sine bursts, mono/stereo."""
+    from .codecs import encode_wav
+    rs = np.random.RandomState(seed)
+    payloads, rates, chans = [], [], []
+    for i in range(n):
+        rate = 16000 if i % 3 else 8000
+        t = np.arange(400 + 100 * (i % 4), dtype=np.float64) / rate
+        sig = (np.sin(2 * np.pi * (200 + 50 * i) * t)
+               * (2000 + 500 * rs.rand()))
+        pcm = sig.astype(np.int16)
+        nch = 1 + (i % 2)
+        if nch == 2:
+            pcm = np.stack([pcm, (pcm // 2).astype(np.int16)], axis=1)
+        payloads.append(encode_wav(pcm, rate))
+        rates.append(rate)
+        chans.append(nch)
+    return pa.table({
+        "audio_id": pa.array(range(n), type=pa.int64()),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "codec": pa.array(["wav"] * n),
+        "sample_rate": pa.array(rates, type=pa.int32()),
+        "n_channels": pa.array(chans, type=pa.int8()),
     })
 
 
@@ -59,11 +112,26 @@ class DecodeImageStage:
             raw = np.frombuffer((h * ((self.feature_dim * 4) // len(h) + 1))
                                 [:self.feature_dim * 4], dtype=np.uint32)
             return (raw % 1000).astype(np.float32) / 1000.0
-        if not getattr(self, "pil", False):
-            raise NotImplementedError(
-                "image codecs not available in this environment; "
-                "construct DecodeImageStage(fake=True) for plumbing tests")
-        raise NotImplementedError("real decode path requires PIL")
+        if fmt == "png":
+            # REAL decode: pure-stdlib PNG (codecs.py) → resize to a
+            # fixed grid → per-cell mean = the feature vector
+            from .codecs import decode_png, resize_nearest
+            img = decode_png(payload)
+            if img.ndim == 3:
+                img = img.mean(axis=2)
+            side = max(1, int(np.sqrt(self.feature_dim)))
+            grid = resize_nearest(img.astype(np.float32), side,
+                                  self.feature_dim // side)
+            feats = grid.reshape(-1)[:self.feature_dim]
+            if len(feats) < self.feature_dim:
+                feats = np.pad(feats, (0, self.feature_dim - len(feats)))
+            return (feats / 255.0).astype(np.float32)
+        if getattr(self, "pil", False):
+            raise NotImplementedError("PIL path not wired in this build")
+        raise NotImplementedError(
+            f"no codec for image format {fmt!r} in this environment "
+            "(png decodes natively; construct DecodeImageStage(fake=True) "
+            "for plumbing tests)")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [self._decode(p, f) for p, f in
@@ -143,13 +211,22 @@ class DecodeAudioStage:
 
     def _features(self, payload: bytes, codec: str) -> np.ndarray:
         if not self.fake:
-            if not getattr(self, "codec", False):
-                raise NotImplementedError(
-                    "audio codecs not available in this environment; "
-                    "construct DecodeAudioStage(fake=True) for plumbing "
-                    "tests")
-            raise NotImplementedError("real decode requires soundfile")
+            if codec == "wav":
+                # REAL decode: RIFF PCM via codecs.py; channels mixed
+                # down, then the same windowed-RMS kernel
+                from .codecs import decode_wav
+                pcm16, _rate = decode_wav(payload)
+                if pcm16.ndim > 1:
+                    pcm16 = pcm16.mean(axis=1)
+                return self._rms_windows(pcm16.astype(np.float32))
+            raise NotImplementedError(
+                f"no codec for audio format {codec!r} in this "
+                "environment (wav decodes natively; construct "
+                "DecodeAudioStage(fake=True) for plumbing tests)")
         pcm = np.frombuffer(payload, dtype=np.int8).astype(np.float32)
+        return self._rms_windows(pcm)
+
+    def _rms_windows(self, pcm: np.ndarray) -> np.ndarray:
         w = max(1, len(pcm) // self.n_windows)
         ends = [min(len(pcm), (i + 1) * w) for i in range(self.n_windows)]
         out = np.zeros(self.n_windows, dtype=np.float32)

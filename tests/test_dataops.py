@@ -137,10 +137,11 @@ def test_multimodal_plumbing():
     f1 = st(t.slice(0, 4)).column("features").to_pylist()
     f2 = st(t.slice(0, 4)).column("features").to_pylist()
     assert f1 == f2
-    # real decode path raises cleanly when codecs missing
+    # formats without a native codec raise cleanly (png/wav decode
+    # for real via codecs.py — covered by the real-decode test)
     real = DecodeImageStage(fake=False)
     with pytest.raises(NotImplementedError):
-        real._decode(b"xx", "png")
+        real._decode(b"xx", "jpeg")
     frames = rd.from_arrow(t).map_batches(
         FrameSampleStage, batch_format="pyarrow", concurrency=2,
         batch_size=16).to_pandas()
@@ -549,3 +550,106 @@ def test_remove_boilerplate_layout_independent():
                               min_groups=4).to_pandas() \
         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
     assert one.equals(many)
+
+
+def _png_with_filter(img: np.ndarray, f: int) -> bytes:
+    """Hand-filtered PNG (encoder for test purposes): applies scanline
+    filter ``f`` to every row so decode must invert it."""
+    import struct
+    import zlib
+    from fluent_bit_ray.dataops.codecs import _PNG_SIG, _chunk
+    a = img if img.ndim == 3 else img[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    flat = a.reshape(h, w * ch).astype(np.int16)
+    out = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        cur = flat[y]
+        left = np.zeros_like(cur)
+        left[ch:] = cur[:-ch]
+        ul = np.zeros_like(prev)
+        ul[ch:] = prev[:-ch]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - (left + prev) // 2
+        else:  # paeth
+            p = left + prev - ul
+            pa_, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            enc = cur - pred
+        out.append(f)
+        out.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+    idat = zlib.compress(bytes(out))
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+def test_png_codec_roundtrip_and_filters():
+    from fluent_bit_ray.dataops.codecs import (decode_png, encode_png,
+                                               resize_nearest)
+    rs = np.random.RandomState(11)
+    grey = rs.randint(0, 256, size=(13, 9), dtype=np.uint8)
+    rgb = rs.randint(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    rgba = rs.randint(0, 256, size=(5, 6, 4), dtype=np.uint8)
+    for img in (grey, rgb, rgba):
+        assert np.array_equal(decode_png(encode_png(img)), img)
+    # decode must invert EVERY spec filter (sub/up/average/paeth)
+    for f in range(5):
+        assert np.array_equal(decode_png(_png_with_filter(grey, f)), grey), f
+        assert np.array_equal(decode_png(_png_with_filter(rgb, f)), rgb), f
+    r = resize_nearest(grey, 4, 4)
+    assert r.shape == (4, 4) and r.dtype == np.uint8
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_wav_codec_roundtrip():
+    from fluent_bit_ray.dataops.codecs import decode_wav, encode_wav
+    rs = np.random.RandomState(12)
+    mono = rs.randint(-3000, 3000, size=500).astype(np.int16)
+    stereo = rs.randint(-3000, 3000, size=(300, 2)).astype(np.int16)
+    a, rate = decode_wav(encode_wav(mono, 16000))
+    assert rate == 16000 and np.array_equal(a, mono)
+    b, rate2 = decode_wav(encode_wav(stereo, 8000))
+    assert rate2 == 8000 and np.array_equal(b, stereo)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_multimodal_real_png_wav_decode():
+    """The decode stages run REAL codec paths end-to-end (no fake)."""
+    from fluent_bit_ray.dataops.codecs import decode_png, decode_wav
+    from fluent_bit_ray.dataops.multimodal import (DecodeAudioStage,
+                                                   DecodeImageStage,
+                                                   synth_png_table,
+                                                   synth_wav_table)
+    t = synth_png_table(8)
+    out = rd.from_arrow(t).map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"fake": False},
+        batch_format="pyarrow", batch_size=4, concurrency=2).to_pandas()
+    assert len(out) == 8 and all(len(f) == 16 for f in out["features"])
+    # features derive from actual pixels: recompute row 0 independently
+    img = decode_png(t.column("payload")[0].as_py()).astype(np.float32)
+    assert out["features"][0][0] == pytest.approx(img[0, 0] / 255.0, abs=0.3)
+
+    ta = synth_wav_table(8)
+    outa = rd.from_arrow(ta).map_batches(
+        DecodeAudioStage, fn_constructor_kwargs={"fake": False},
+        batch_format="pyarrow", batch_size=4, concurrency=2).to_pandas()
+    assert len(outa) == 8 and all(len(e) == 8 for e in outa["energies"])
+    pcm, _ = decode_wav(ta.column("payload")[0].as_py())
+    assert max(outa["energies"][0]) > 100  # real signal energy, not hash
+
+    # non-decodable formats still raise loudly (honest stub)
+    st = DecodeImageStage(fake=False)
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        st._decode(b"\xff\xd8\xff", "jpeg")
