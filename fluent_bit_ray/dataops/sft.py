@@ -44,31 +44,54 @@ def sft_examples(ds, context_turns: int = 4, sep: str = "\n",
     k = int(context_turns)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         df = _sorted_conv(df)
         n = len(df)
         conv = df["conv_id"].to_numpy(dtype=object)
-        pieces = (df["role"].astype(str) + ": "
-                  + df["text"].astype(str)).to_numpy(dtype=object)
-        ctx = np.full(n, "", dtype=object)
-        # oldest lag first; a lag is valid only within the conversation
-        for j in range(k, 0, -1):
+        # ALL-ARROW assembly (r3 lesson: Python object-string concat is
+        # allocator-bound and stops scaling at full socket — this
+        # kernel measured 4→16 efficiency 0.44 in object form):
+        # pieces = "role: text" via one Arrow join; each lag j becomes
+        # a null-padded slice masked to same-conversation rows; the
+        # context is ONE binary_join_element_wise(null_handling="skip")
+        # over the k lags, oldest first — zero Python string objects.
+        role = pa.array(df["role"].astype(str).to_numpy(dtype=object),
+                        type=pa.large_string())
+        text = pa.array(df["text"].astype(str).to_numpy(dtype=object),
+                        type=pa.large_string())
+        pieces = pc.binary_join_element_wise(
+            role, text, pa.scalar(": ", type=pa.large_string()))
+        # iterative if_else fold, oldest lag first. (NOT one
+        # binary_join_element_wise(null_handling="skip") over all k
+        # lags: this pyarrow build DROPS rows whose inputs are all
+        # null — the output length shrinks.)
+        empty = pa.scalar("", type=pa.large_string())
+        sep_s = pa.scalar(sep, type=pa.large_string())
+        ctx = pa.array([""] * n, type=pa.large_string())
+        for j in range(k, 0, -1):  # oldest first
             if j >= n:
                 continue
             valid = np.zeros(n, dtype=bool)
             valid[j:] = conv[j:] == conv[:-j]
-            pj = np.empty(n, dtype=object)
-            pj[j:] = pieces[:-j]
-            grow = valid & (ctx != "")
-            seed = valid & (ctx == "")
-            ctx[grow] = ctx[grow] + sep + pj[grow]
-            ctx[seed] = pj[seed]
-        m = (df["role"] == target_role).to_numpy()
-        return pd.DataFrame({
-            "conv_id": df["conv_id"].to_numpy()[m],
-            "turn_idx": df["turn_idx"].to_numpy()[m],
-            "context": ctx[m],
-            "target": df["text"].to_numpy()[m],
-        })
+            lag = pa.concat_arrays([
+                pa.nulls(j, type=pa.large_string()),
+                pieces.slice(0, n - j)])
+            lag_f = pc.fill_null(lag, empty)
+            joined = pc.binary_join_element_wise(ctx, lag_f, sep_s)
+            grown = pc.if_else(pc.equal(ctx, empty), lag_f, joined)
+            ctx = pc.if_else(pa.array(valid), grown, ctx)
+        m = pc.equal(role, target_role)
+        # return the ARROW table directly — a .to_pandas() here would
+        # rebuild every context as a Python object string just for Ray
+        # to re-block it
+        return pa.table({
+            "conv_id": pa.array(conv, type=pa.string()),
+            "turn_idx": pa.array(df["turn_idx"].to_numpy()),
+            "context": ctx,
+            "target": text,
+        }).filter(m)
 
     return coarse_partition_apply(ds, "conv_id", kernel,
                                   partitions=partitions)
