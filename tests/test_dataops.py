@@ -257,9 +257,12 @@ def test_audio_plumbing():
     e1 = st(t.slice(0, 4)).column("energies").to_pylist()
     e2 = st(t.slice(0, 4)).column("energies").to_pylist()
     assert e1 == e2 and all(v >= 0 for row in e1 for v in row)
-    # real path raises cleanly without codecs
+    # formats without a native codec raise cleanly (wav decodes for
+    # real via codecs.py — covered by the real-decode test)
     real = DecodeAudioStage(fake=False)
     with pytest.raises(NotImplementedError):
+        real._features(b"\x00" * 64, "flac")
+    with pytest.raises(ValueError):  # wav path is real: bad bytes
         real._features(b"\x00" * 64, "wav")
 
 
