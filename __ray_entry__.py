@@ -747,6 +747,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
         return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
+    def doc_quality_model(sf_dir: str):
+        """fasttext-style hashed-linear quality scoring (actor-pool
+        model, integer weights, md5-h64 buckets — dataops/classifier)."""
+        from fluent_bit_ray.dataops import quality_model_scores
+        out = quality_model_scores(_docs(sf_dir)).to_pandas()
+        out["score"] = out["score"].astype("int64")
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def docs_keyword_topk(sf_dir: str):
         """Keyword retrieval: integer tf-idf top-20 for a fixed query
         bag (df pass → broadcast weights → per-batch top-k partials;
@@ -1181,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_score": tf_score,
         "doc_redact": doc_redact,
         "vocab_top": vocab_top,
+        "doc_quality_model": doc_quality_model,
         "docs_keyword_topk": docs_keyword_topk,
         "boilerplate_removed": boilerplate_removed,
         "conv_gated": conv_gated,
@@ -1302,6 +1311,29 @@ def _cms_oracle() -> str:
 def _kmeans_oracle() -> str:
     from fluent_bit_ray.dataops.cluster import kmeans_oracle_sql
     return kmeans_oracle_sql(k=8, iters=2)
+
+
+def _quality_model_oracle() -> str:
+    """dataops/classifier.py replayed in SQL: same \\S+ tokens, same
+    md5-h64 % 256 buckets, the same seed-derived integer weights
+    inlined as VALUES; score = tf-weighted sum, keep = score >= 0."""
+    from fluent_bit_ray.dataops.classifier import N_BUCKETS, model_weights
+    w = model_weights()
+    vals = ",".join(f"({b},{int(w[b])})" for b in range(N_BUCKETS))
+    return f"""
+        WITH w(b, wt) AS (VALUES {vals}),
+        tok AS (SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS tk
+                FROM documents),
+        sc AS (SELECT doc_id, sum(w.wt)::BIGINT AS score
+               FROM tok JOIN w
+                 ON CAST({_h64_sql('md5(tk)')} % {N_BUCKETS} AS BIGINT) = w.b
+               GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(sc.score, 0)::BIGINT AS score,
+               (COALESCE(sc.score, 0) >= 0) AS keep
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """
 
 
 def _semantic_dedup_oracle() -> str:
@@ -1753,6 +1785,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE text NOT IN (SELECT text FROM bad)
             ORDER BY conv_id, turn_idx
         """,
+        # fasttext-style quality model: integer weights inlined as
+        # VALUES (the tf_score pattern), md5-h64 token buckets
+        "doc_quality_model": _quality_model_oracle(),
         # keyword retrieval: same \S+ tokens; integer tf-idf weights
         # 1e6 // df so both engines use exact integer arithmetic
         # (dataops/search.py scoring contract)

@@ -656,3 +656,30 @@ def test_multimodal_real_png_wav_decode():
     st = DecodeImageStage(fake=False)
     with pytest.raises(NotImplementedError, match="jpeg"):
         st._decode(b"\xff\xd8\xff", "jpeg")
+
+
+def test_quality_model_scores_exact():
+    from fluent_bit_ray.dataops import quality_model_scores
+    from fluent_bit_ray.dataops.classifier import (HashedLinearScorer,
+                                                   model_weights)
+    from fluent_bit_ray.dataops.dedup import _h64
+
+    texts = ["alpha beta alpha", "", "gamma", "beta beta"]
+    out = quality_model_scores(docs_ds(texts)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    w = model_weights()
+
+    def ref(t):
+        return sum(int(w[_h64(tok) % 256]) for tok in t.split())
+
+    assert out["score"].tolist() == [ref(t) for t in texts]
+    assert out["keep"].tolist() == [ref(t) >= 0 for t in texts]
+    # tf weighting: doubled token doubles its contribution
+    assert ref("beta beta") == 2 * ref("beta")
+
+    # per-actor bucket cache fills but never changes results
+    st = HashedLinearScorer()
+    df = pd.DataFrame({"doc_id": range(4), "text": texts})
+    a = st(df)["score"].tolist()
+    b = st(df)["score"].tolist()  # second call: all cache hits
+    assert a == b == [ref(t) for t in texts]
