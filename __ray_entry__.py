@@ -714,6 +714,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n_turns"] = out["n_turns"].astype("int64")
         return out.sort_values("conv_id").reset_index(drop=True)
 
+    def convs_curated(sf_dir: str):
+        """Composed transcripts curation: structural gate → cross-conv
+        boilerplate drop → consecutive-repeat collapse → chat render
+        (dataops/sft.py curate_transcripts; stage order is part of the
+        contract and the oracle replays it)."""
+        from fluent_bit_ray.dataops.sft import curate_transcripts
+        out = curate_transcripts(read_transcripts(sf_dir)).to_pandas()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out.sort_values("conv_id").reset_index(drop=True)
+
     def emb_semantic_dup(sf_dir: str):
         """SemDeDup-style semantic near-dup pairs: integer-exact
         k-means buckets, same-cluster cosine scoring per coarse
@@ -1195,6 +1205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_gated": conv_gated,
         "emb_semantic_dup": emb_semantic_dup,
         "conv_rendered": conv_rendered,
+        "convs_curated": convs_curated,
         "doc_decontaminate": doc_decontaminate,
         "docs_sample_mix": docs_sample_mix,
         "docs_sampled": docs_sampled,
@@ -1762,6 +1773,38 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY turn_idx) AS rendered,
                    count(*)::BIGINT AS n_turns
             FROM t GROUP BY conv_id ORDER BY conv_id
+        """,
+        # composed transcripts curation: gate → boilerplate (counted
+        # on the GATED subset) → gaps-and-islands repeat collapse →
+        # string_agg rendering — each engine stage as one CTE, in the
+        # same order
+        "convs_curated": f"""
+            WITH t AS ({t}),
+            g AS (SELECT conv_id FROM t GROUP BY conv_id
+                  HAVING count(*) >= 6
+                     AND count(*) FILTER (role = 'assistant') > 0
+                     AND count(*) FILTER (role = 'user') > 0),
+            tg AS (SELECT * FROM t
+                   WHERE conv_id IN (SELECT conv_id FROM g)),
+            bad AS (SELECT text FROM tg
+                    GROUP BY text HAVING count(DISTINCT conv_id) >= 5),
+            tb AS (SELECT * FROM tg
+                   WHERE text NOT IN (SELECT text FROM bad)),
+            runs AS (SELECT conv_id, turn_idx, role, text,
+                            row_number() OVER (PARTITION BY conv_id
+                                               ORDER BY turn_idx)
+                          - row_number() OVER (PARTITION BY conv_id, role,
+                                               text ORDER BY turn_idx)
+                            AS grp
+                     FROM tb),
+            coll AS (SELECT conv_id, min(turn_idx) AS turn_idx,
+                            role, text
+                     FROM runs GROUP BY conv_id, role, text, grp)
+            SELECT conv_id,
+                   string_agg(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx) AS rendered,
+                   count(*)::BIGINT AS n_turns
+            FROM coll GROUP BY conv_id ORDER BY conv_id
         """,
         # whole-conversation gate: structural HAVING predicates
         "conv_gated": f"""

@@ -51,12 +51,10 @@ def sft_examples(ds, context_turns: int = 4, sep: str = "\n",
         n = len(df)
         conv = df["conv_id"].to_numpy(dtype=object)
         # ALL-ARROW assembly (r3 lesson: Python object-string concat is
-        # allocator-bound and stops scaling at full socket — this
-        # kernel measured 4→16 efficiency 0.44 in object form):
-        # pieces = "role: text" via one Arrow join; each lag j becomes
-        # a null-padded slice masked to same-conversation rows; the
-        # context is ONE binary_join_element_wise(null_handling="skip")
-        # over the k lags, oldest first — zero Python string objects.
+        # allocator-bound): pieces = "role: text" via one Arrow join;
+        # each lag j is a null-padded slice masked to same-conversation
+        # rows; the context accumulates through an if_else fold —
+        # zero Python string objects anywhere.
         role = pa.array(df["role"].astype(str).to_numpy(dtype=object),
                         type=pa.large_string())
         text = pa.array(df["text"].astype(str).to_numpy(dtype=object),
@@ -193,3 +191,30 @@ def render_conversations(ds, sep: str = "\n", partitions: int = 64):
 
     return coarse_partition_apply(ds, "conv_id", kernel,
                                   partitions=partitions)
+
+
+def curate_transcripts(ds, min_turns: int = 6,
+                       require_roles: tuple[str, ...] = ("assistant",
+                                                         "user"),
+                       boilerplate_min_convs: int = 5,
+                       partitions: int = 64):
+    """The composed transcripts-curation pipeline: structural gate →
+    cross-conversation boilerplate removal → consecutive-repeat
+    collapse → chat rendering. Returns Dataset[conv_id, rendered,
+    n_turns] — one training document per surviving conversation.
+
+    Composition stays streaming: the gate and collapse/render share
+    the coarse conv exchange shape; boilerplate adds its distinct-pair
+    count exchange + one broadcast. Stage order matters and the oracle
+    replays it exactly: boilerplate counts distinct conversations on
+    the GATED subset, and repeat-runs are detected AFTER removal
+    changes adjacency.
+    """
+    from .boilerplate import remove_boilerplate
+
+    gated = conversation_gate(ds, min_turns=min_turns,
+                              require_roles=require_roles,
+                              partitions=partitions)
+    cleaned = remove_boilerplate(gated, min_groups=boilerplate_min_convs)
+    collapsed = collapse_repeats(cleaned, partitions=partitions)
+    return render_conversations(collapsed, partitions=partitions)

@@ -178,3 +178,38 @@ def test_render_conversations():
     out2 = render_conversations(ds.repartition(3)).to_pandas() \
         .sort_values("conv_id")
     assert out["rendered"].tolist() == out2["rendered"].tolist()
+
+
+def test_curate_transcripts_composition():
+    import pyarrow as pa
+    import ray.data as rd
+    from fluent_bit_ray.dataops.sft import curate_transcripts
+
+    rows = []
+    # conv A: 4 turns incl. assistant+user, has a repeated run
+    rows += [("A", 0, "user", "hello"), ("A", 1, "assistant", "hi"),
+             ("A", 2, "assistant", "hi"), ("A", 3, "user", "bye")]
+    # conv B: too short (2 turns) -> gated out
+    rows += [("B", 0, "user", "x"), ("B", 1, "assistant", "y")]
+    # convs C..F: 3 turns each with common boilerplate "promo"
+    for c in "CDEF":
+        rows += [(c, 0, "user", "promo"), (c, 1, "assistant", f"ans{c}"),
+                 (c, 2, "user", f"q{c}")]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], type=pa.int64()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows])}))
+
+    out = curate_transcripts(ds, min_turns=3,
+                             require_roles=("assistant", "user"),
+                             boilerplate_min_convs=4).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True)
+    # B gated out; "promo" (4 distinct convs) removed everywhere;
+    # A's assistant run collapsed to one line
+    a = out[out["conv_id"] == "A"]["rendered"].iloc[0]
+    assert a == "user: hello\nassistant: hi\nuser: bye"
+    c = out[out["conv_id"] == "C"]["rendered"].iloc[0]
+    assert c == "assistant: ansC\nuser: qC"  # promo line gone
+    assert "B" not in set(out["conv_id"])
+    assert out[out["conv_id"] == "A"]["n_turns"].iloc[0] == 3
