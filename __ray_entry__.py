@@ -757,6 +757,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ds.map_batches(project, batch_format="pyarrow").to_pandas()
         return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 
+    def doc_lm_score(sf_dir: str):
+        """Bigram-LM typicality (perplexity-filter analogue): corpus
+        count tables via partial aggregation, broadcast once, integer
+        milli scores (dataops/lm.py)."""
+        from fluent_bit_ray.dataops import ngram_lm_scores
+        out = ngram_lm_scores(_docs(sf_dir)).to_pandas()
+        out["lm_milli"] = out["lm_milli"].astype("int64")
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def doc_quality_model(sf_dir: str):
         """fasttext-style hashed-linear quality scoring (actor-pool
         model, integer weights, md5-h64 buckets — dataops/classifier)."""
@@ -1199,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf_score": tf_score,
         "doc_redact": doc_redact,
         "vocab_top": vocab_top,
+        "doc_lm_score": doc_lm_score,
         "doc_quality_model": doc_quality_model,
         "docs_keyword_topk": docs_keyword_topk,
         "boilerplate_removed": boilerplate_removed,
@@ -1827,6 +1837,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role FROM t
             WHERE text NOT IN (SELECT text FROM bad)
             ORDER BY conv_id, turn_idx
+        """,
+        # bigram-LM typicality: integer conditional-probability milli
+        # ratios, floor division at both levels (r per bigram, then
+        # the per-doc mean) — no float anywhere
+        "doc_lm_score": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tk,
+                     generate_subscripts(regexp_extract_all(text, '\S+'), 1)
+                         AS i
+              FROM documents),
+            big AS (SELECT a.doc_id, a.tk AS w1, b.tk AS w2
+                    FROM tok a JOIN tok b
+                      ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            cu AS (SELECT tk AS w1, count(*)::BIGINT AS cu
+                   FROM tok GROUP BY tk),
+            cb AS (SELECT w1, w2, count(*)::BIGINT AS cb
+                   FROM big GROUP BY w1, w2),
+            sc AS (SELECT big.doc_id,
+                          sum((1000000 * cb.cb) // cu.cu)::BIGINT AS s,
+                          count(*)::BIGINT AS nb
+                   FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
+                   GROUP BY big.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(sc.s // sc.nb, 0)::BIGINT AS lm_milli
+            FROM documents d LEFT JOIN sc USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # fasttext-style quality model: integer weights inlined as
         # VALUES (the tf_score pattern), md5-h64 token buckets

@@ -5,6 +5,7 @@ from .search import document_frequencies, keyword_search_topk  # noqa: F401
 from .boilerplate import boilerplate_keys, remove_boilerplate  # noqa: F401
 from .cluster import kmeans, kmeans_fit, semantic_dedup_pairs  # noqa: F401
 from .classifier import quality_model_scores  # noqa: F401
+from .lm import ngram_lm_scores  # noqa: F401
 from .dedup import (  # noqa: F401
     embedding_dup_pairs,
     exact_dedup,

@@ -683,3 +683,30 @@ def test_quality_model_scores_exact():
     a = st(df)["score"].tolist()
     b = st(df)["score"].tolist()  # second call: all cache hits
     assert a == b == [ref(t) for t in texts]
+
+
+def test_ngram_lm_scores_exact():
+    from fluent_bit_ray.dataops import ngram_lm_scores
+    from fluent_bit_ray.dataops.lm import ngram_counts
+
+    texts = ["a b a b c", "a b", "zzz", ""]
+    uni, bi = ngram_counts(docs_ds(texts))
+    ud = dict(zip(uni["w1"], uni["cu"]))
+    bd = {(r.w1, r.w2): r.cb for r in bi.itertuples()}
+    # corpus counts: a:3 b:3 c:1 zzz:1; bigrams ab:3 ba:1 bc:1
+    assert ud == {"a": 3, "b": 3, "c": 1, "zzz": 1}
+    assert bd == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+
+    out = ngram_lm_scores(docs_ds(texts)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def r(w1, w2):
+        return (1_000_000 * bd[(w1, w2)]) // ud[w1]
+
+    d0 = (r("a", "b") + r("b", "a") + r("a", "b") + r("b", "c")) // 4
+    assert out["lm_milli"].tolist() == [d0, r("a", "b") // 1, 0, 0]
+
+    # layout independence (partial counts merge exactly)
+    many = ngram_lm_scores(docs_ds(texts).repartition(3)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(many)
