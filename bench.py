@@ -265,12 +265,24 @@ def run_bench() -> None:
         return len(keyword_search_topk(
             ds, ["hash", "window", "spark", "zzzmissing"], k=20))
 
+    def bench_convs_curated():
+        from fluent_bit_ray.dataops.sft import curate_transcripts
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "role", "text"])
+        return curate_transcripts(ds).count()
+
+    def bench_quality_model():
+        from fluent_bit_ray.dataops import quality_model_scores
+        ds = rd.read_parquet(docs_heavy, columns=["doc_id", "text"])
+        return quality_model_scores(ds).count()
+
     benches = [("flagship_e2e", headline),
                ("parse_route_count", bench_parse_only),
                ("flowcounter", bench_flowcounter),
                ("multiline", bench_multiline),
                ("sft_pairs", bench_sft),
-               ("collapse_repeats", bench_collapse)]
+               ("collapse_repeats", bench_collapse),
+               ("convs_curated", bench_convs_curated)]
     if docs:
         benches += [("dedup_exact_docs", bench_dedup_exact),
                     ("minhash_pairs", bench_minhash),
@@ -279,7 +291,8 @@ def run_bench() -> None:
                     ("repetition_stats", bench_repetition),
                     ("pack_sequences", bench_pack),
                     ("curated_pipeline", bench_curated),
-                    ("keyword_search", bench_keyword)]
+                    ("keyword_search", bench_keyword),
+                    ("quality_model", bench_quality_model)]
     if os.path.exists(f"{sf_dir}/orders.parquet"):
         benches += [("hash_join", bench_hash_join),
                     ("asof_join", bench_asof_join),

@@ -210,11 +210,79 @@ def curate_transcripts(ds, min_turns: int = 6,
     the GATED subset, and repeat-runs are detected AFTER removal
     changes adjacency.
     """
-    from .boilerplate import remove_boilerplate
+    import ray
 
-    gated = conversation_gate(ds, min_turns=min_turns,
-                              require_roles=require_roles,
-                              partitions=partitions)
-    cleaned = remove_boilerplate(gated, min_groups=boilerplate_min_convs)
-    collapsed = collapse_repeats(cleaned, partitions=partitions)
-    return render_conversations(collapsed, partitions=partitions)
+    from .boilerplate import _h64_col
+
+    want_roles = tuple(require_roles)
+
+    def gate_mask(df: pd.DataFrame) -> np.ndarray:
+        codes, uniques = pd.factorize(df["conv_id"], sort=False)
+        n_turns = np.bincount(codes, minlength=len(uniques))
+        ok = n_turns >= int(min_turns)
+        for r in want_roles:
+            ok &= np.bincount(codes,
+                              weights=(df["role"].to_numpy() == r),
+                              minlength=len(uniques)) > 0
+        return ok[codes]
+
+    # FUSED into two full-text conv exchanges + one tiny pair exchange
+    # (the r3 docs-curated lesson: naive stage chaining re-shuffles the
+    # corpus once per stage — 4 text exchanges; this runs 2).
+    # Pass 1: gate inside the conv exchange, emit only the DISTINCT
+    # (h64(text), conv) pairs of surviving rows (16 B rows).
+    def pairs_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[gate_mask(df)]
+        out = pd.DataFrame({"h": _h64_col(df["text"]),
+                            "g": df["conv_id"].astype(str)})
+        return out.drop_duplicates()
+
+    pairs = coarse_partition_apply(ds, "conv_id", pairs_kernel,
+                                   partitions=partitions)
+
+    def count_kernel(part: pd.DataFrame) -> pd.DataFrame:
+        vc = part.drop_duplicates()["h"].value_counts()
+        bad = vc[vc >= boilerplate_min_convs].index \
+            .to_numpy(dtype=np.int64)
+        return pd.DataFrame({"h": bad})
+
+    badf = coarse_partition_apply(pairs, "h", count_kernel).to_pandas()
+    bad = np.sort(badf["h"].to_numpy(dtype=np.int64)) if len(badf) else \
+        np.array([], dtype=np.int64)
+    bad_ref = ray.put(bad)
+
+    # Pass 2: gate again (vectorized, trivial vs the exchange), drop
+    # boilerplate rows, collapse runs, render — one kernel.
+    def final_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[gate_mask(df)]
+        b = ray.get(bad_ref)
+        if len(b) and len(df):
+            h = _h64_col(df["text"])
+            pos = np.searchsorted(b, h)
+            pos[pos == len(b)] = 0
+            df = df[b[pos] != h]
+        df = _sorted_conv(df)
+        n = len(df)
+        if not n:
+            return pd.DataFrame({"conv_id": pd.Series([], dtype="object"),
+                                 "rendered": pd.Series([], dtype="object"),
+                                 "n_turns": pd.Series([], dtype="int64")})
+        conv = df["conv_id"].to_numpy(dtype=object)
+        role = df["role"].to_numpy(dtype=object)
+        text = df["text"].to_numpy(dtype=object)
+        keep = np.ones(n, dtype=bool)  # drop non-first rows of runs
+        keep[1:] = ((conv[1:] != conv[:-1]) | (role[1:] != role[:-1])
+                    | (text[1:] != text[:-1]))
+        conv, role, text = conv[keep], role[keep], text[keep]
+        pieces = np.array([f"{r}: {t}" for r, t in zip(role, text)],
+                          dtype=object)
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        ends = np.r_[starts[1:], len(conv)]
+        return pd.DataFrame({
+            "conv_id": conv[starts],
+            "rendered": ["\n".join(pieces[s:e])
+                         for s, e in zip(starts, ends)],
+            "n_turns": (ends - starts).astype("int64")})
+
+    return coarse_partition_apply(ds, "conv_id", final_kernel,
+                                  partitions=partitions)
