@@ -222,7 +222,7 @@ def multiline_parser_specs(sections: list[Section]) -> dict[str, dict]:
         if not pname:
             raise ValueError("[MULTILINE_PARSER] needs Name")
         rules = []
-        firstline = None
+        firsts = []
         for _, v in _getall(props, "rule"):
             toks = re.findall(r'"([^"]*)"', v)
             if len(toks) != 3:
@@ -231,9 +231,13 @@ def multiline_parser_specs(sections: list[Section]) -> dict[str, dict]:
             rx = rx[1:-1] if rx.startswith("/") and rx.endswith("/") else rx
             rules.append((frm, rx, to))
             if frm == "start_state":
-                firstline = rx
-        if firstline is None:
+                firsts.append(rx)
+        if not firsts:
             raise ValueError(f"[MULTILINE_PARSER] {pname}: no start_state rule")
+        # several start_state rules = alternatives tried in order
+        # (flb_ml rule list) -> one alternation anchor
+        firstline = firsts[0] if len(firsts) == 1 else \
+            "|".join(f"(?:{r})" for r in firsts)
         spec = {"name": pname, "firstline": firstline, "rules": rules}
         ft = _get(props, "flush_timeout")
         if ft is not None:
@@ -272,6 +276,8 @@ def _f_modify(props, ctx):
     for k, v in props:
         if k == "condition":
             toks = v.split(None, 1)
+            if not toks:
+                raise ValueError("modify Condition needs a value")
             kind = toks[0].lower()
             rest = toks[1] if len(toks) > 1 else ""
             if kind not in _MODIFY_CONDS:
@@ -287,6 +293,8 @@ def _f_modify(props, ctx):
                 rules.append((k, v.strip()))
             else:
                 ab = v.split(None, 1)
+                if not ab:
+                    raise ValueError(f"modify {k} needs a value")
                 rules.append((k, ab[0], ab[1] if len(ab) > 1 else ""))
     return {"type": "modify", "rules": rules, "conditions": conditions}
 
@@ -381,6 +389,8 @@ def _f_expect(props, ctx):
             checks.append((k, v.strip()))
         elif k == "key_val_eq":
             ab = v.split(None, 1)
+            if not ab:
+                raise ValueError("expect key_val_eq needs 'key value'")
             checks.append((k, ab[0], ab[1] if len(ab) > 1 else ""))
     spec: dict = {"type": "expect", "checks": checks}
     act = _get(props, "action")

@@ -28,20 +28,17 @@ DuckDB oracle can verify on raw text equality directly.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import ray
 
-
-def _text_h64(s: str) -> int:
-    b = hashlib.md5(str(s).encode("utf-8")).digest()[:8]
-    return int.from_bytes(b, "little", signed=True)
+from .dedup import _h64
 
 
 def _h64_col(col: pd.Series) -> np.ndarray:
-    return col.astype(str).map(_text_h64).to_numpy(dtype=np.int64)
+    """uint64 md5-h64 per row — the dedup-family convention
+    (dedup._h64, reproducible via __ray_entry__._h64_sql)."""
+    return col.astype(str).map(_h64).to_numpy(dtype=np.uint64)
 
 
 def boilerplate_keys(ds, text_col: str = "text",
@@ -59,12 +56,12 @@ def boilerplate_keys(ds, text_col: str = "text",
 
     def count_groups(part: pd.DataFrame) -> pd.DataFrame:
         vc = part.drop_duplicates()["h"].value_counts()
-        bad = vc[vc >= min_groups].index.to_numpy(dtype=np.int64)
+        bad = vc[vc >= min_groups].index.to_numpy(dtype=np.uint64)
         return pd.DataFrame({"h": bad})
 
     out = coarse_partition_apply(hashed, "h", count_groups).to_pandas()
-    return np.sort(out["h"].to_numpy(dtype=np.int64)) if len(out) else \
-        np.array([], dtype=np.int64)
+    return np.sort(out["h"].to_numpy(dtype=np.uint64)) if len(out) else \
+        np.array([], dtype=np.uint64)
 
 
 def remove_boilerplate(ds, text_col: str = "text",

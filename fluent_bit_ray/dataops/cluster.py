@@ -193,9 +193,16 @@ def semantic_dedup_pairs(embs, k: int = 8, iters: int = 1,
         for cl, grp in part.groupby("cluster", sort=False):
             if len(grp) < 2:
                 continue
-            if len(grp) > max_cluster:  # hot-cluster cap (documented)
-                grp = grp.sort_values(key).head(max_cluster)
             grp = grp.sort_values(key)
+            if len(grp) > max_cluster:  # hot-cluster cap: score the
+                # key-smallest members; WARN because the SQL oracle has
+                # no cap (pick k so clusters stay small — the contract)
+                import warnings
+                warnings.warn(
+                    f"semantic_dedup_pairs: cluster {cl} has {len(grp)} "
+                    f"members, scoring only the first {max_cluster} "
+                    "(raise k or max_cluster)", RuntimeWarning)
+                grp = grp.head(max_cluster)
             ks = grp[key].to_numpy()
             sub = np.stack(grp["q"].to_numpy()).astype(np.int64)
             dot = sub @ sub.T

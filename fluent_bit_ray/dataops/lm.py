@@ -28,9 +28,12 @@ import pandas as pd
 import ray
 
 
-def _doc_bigrams(df: pd.DataFrame, text_col: str) -> pd.DataFrame:
-    """(row, w1, w2) bigram rows, never crossing a document boundary."""
-    toks = df[text_col].astype(str).str.split().explode().dropna()
+def _doc_bigrams(df: pd.DataFrame, text_col: str,
+                 toks: pd.Series | None = None) -> pd.DataFrame:
+    """(row, w1, w2) bigram rows, never crossing a document boundary.
+    ``toks`` lets callers reuse an already-exploded token stream."""
+    if toks is None:
+        toks = df[text_col].astype(str).str.split().explode().dropna()
     if not len(toks):
         return pd.DataFrame({"row": pd.Series([], dtype="int64"),
                              "w1": pd.Series([], dtype="object"),
@@ -51,8 +54,8 @@ def ngram_counts(ds, text_col: str = "text") -> tuple[pd.DataFrame,
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
-        big = _doc_bigrams(df, text_col)
         toks = df[text_col].astype(str).str.split().explode().dropna()
+        big = _doc_bigrams(df, text_col, toks=toks)  # tokenize ONCE
         u = toks.value_counts()
         b = big.groupby(["w1", "w2"], sort=False).size()
         out_u = pd.DataFrame({"g": "u\x1f" + u.index.astype(str),

@@ -55,10 +55,12 @@ def sft_examples(ds, context_turns: int = 4, sep: str = "\n",
         # each lag j is a null-padded slice masked to same-conversation
         # rows; the context accumulates through an if_else fold —
         # zero Python string objects anywhere.
-        role = pa.array(df["role"].astype(str).to_numpy(dtype=object),
-                        type=pa.large_string())
-        text = pa.array(df["text"].astype(str).to_numpy(dtype=object),
-                        type=pa.large_string())
+        role = pa.Array.from_pandas(df["role"].astype(str)) \
+            .cast(pa.large_string())
+        text_raw = pa.Array.from_pandas(df["text"]).cast(pa.large_string())
+        # null text: contributes an empty piece to contexts, stays
+        # null in targets (the raw value, not the string 'None')
+        text = pc.fill_null(text_raw, "")
         pieces = pc.binary_join_element_wise(
             role, text, pa.scalar(": ", type=pa.large_string()))
         # iterative if_else fold, oldest lag first. (NOT one
@@ -85,10 +87,10 @@ def sft_examples(ds, context_turns: int = 4, sep: str = "\n",
         # rebuild every context as a Python object string just for Ray
         # to re-block it
         return pa.table({
-            "conv_id": pa.array(conv, type=pa.string()),
+            "conv_id": pa.Array.from_pandas(df["conv_id"]),  # any dtype
             "turn_idx": pa.array(df["turn_idx"].to_numpy()),
             "context": ctx,
-            "target": text,
+            "target": text_raw,
         }).filter(m)
 
     return coarse_partition_apply(ds, "conv_id", kernel,
@@ -243,12 +245,12 @@ def curate_transcripts(ds, min_turns: int = 6,
     def count_kernel(part: pd.DataFrame) -> pd.DataFrame:
         vc = part.drop_duplicates()["h"].value_counts()
         bad = vc[vc >= boilerplate_min_convs].index \
-            .to_numpy(dtype=np.int64)
+            .to_numpy(dtype=np.uint64)
         return pd.DataFrame({"h": bad})
 
     badf = coarse_partition_apply(pairs, "h", count_kernel).to_pandas()
-    bad = np.sort(badf["h"].to_numpy(dtype=np.int64)) if len(badf) else \
-        np.array([], dtype=np.int64)
+    bad = np.sort(badf["h"].to_numpy(dtype=np.uint64)) if len(badf) else \
+        np.array([], dtype=np.uint64)
     bad_ref = ray.put(bad)
 
     # Pass 2: gate again (vectorized, trivial vs the exchange), drop
