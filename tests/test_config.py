@@ -324,3 +324,25 @@ def test_input_multiline_parser_resolution():
     assert spec["flush_gap_s"] == 2.0
     with pytest.raises(ValueError, match="unknown parser"):
         build_pipeline(conf)  # no parsers.conf supplied
+
+
+def test_multiline_multiple_start_states_or_joined():
+    parsers = textwrap.dedent("""\
+        [MULTILINE_PARSER]
+            name multi-start
+            type regex
+            rule "start_state" "/^Dec/" "cont"
+            rule "start_state" "/^Jan/" "cont"
+            rule "cont"        "/^ /"   "cont"
+    """)
+    specs = multiline_parser_specs(parse_classic(parsers))
+    fl = specs["multi-start"]["firstline"]
+    import re as _re
+    assert _re.match(fl, "Dec 1 x") and _re.match(fl, "Jan 2 y")
+    assert not _re.match(fl, " cont line")
+
+
+def test_config_empty_rule_values_raise():
+    with pytest.raises(ValueError, match="Condition needs a value"):
+        build_pipeline("[FILTER]\n  name modify\n  match *\n  Condition\n"
+                       "[OUTPUT]\n  name null\n  match *\n")

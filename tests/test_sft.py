@@ -213,3 +213,20 @@ def test_curate_transcripts_composition():
     assert c == "assistant: ansC\nuser: qC"  # promo line gone
     assert "B" not in set(out["conv_id"])
     assert out[out["conv_id"] == "A"]["n_turns"].iloc[0] == 3
+
+
+def test_sft_int_conv_id_and_null_text():
+    import pyarrow as pa
+    import ray.data as rd
+    from fluent_bit_ray.dataops import sft_examples
+
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([1, 1, 2, 2], type=pa.int64()),  # INT ids
+        "turn_idx": pa.array([0, 1, 0, 1], type=pa.int64()),
+        "role": pa.array(["user", "assistant", "user", "assistant"]),
+        "text": pa.array(["hi", "yo", None, "ans"])}))      # null text
+    out = sft_examples(ds, context_turns=2).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert out["conv_id"].tolist() == [1, 2]                 # dtype kept
+    assert out["context"].tolist() == ["user: hi", "user: "]  # null → ""
+    assert out["target"].tolist() == ["yo", "ans"]
