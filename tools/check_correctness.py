@@ -57,6 +57,10 @@ def main(sf_dir: str, only: set[str] | None = None) -> int:
     DataContext.get_current().enable_progress_bars = False
 
     sys.path.insert(0, "/root/repo")
+    import os
+    # keep the oracle transcripts CTE on the SAME sf as the views —
+    # must be set before __ray_entry__ is imported
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
     import __ray_entry__ as e
 
     con = duckdb.connect()
