@@ -946,27 +946,63 @@ def _lsh_bucket_batch(df: pd.DataFrame, key: str, col: str,
 
 def _lsh_pairs_of_partition(g: pd.DataFrame, key: str, threshold: float,
                             max_bucket: int) -> pd.DataFrame:
-    """Score same-bucket pairs inside one coarse partition (worker-side)."""
-    rows_a, rows_b, rows_c = [], [], []
-    for _, grp in g.groupby("bucket", sort=False):
-        if len(grp) < 2:
-            continue
-        if len(grp) > max_bucket:  # hot-bucket cap (LSH skew guard)
-            grp = grp.sort_values(key).head(max_bucket)
-        ks = grp[key].to_numpy()
-        sub = np.stack(grp["_nvec"].to_numpy()).astype(np.float64)
+    """Score same-bucket pairs inside one coarse partition (worker-side).
+
+    Run-detection kernel (same shape as ``_bucket_pairs`` / simhash
+    ``pairs_of_partition``): sort by (bucket, key) so buckets become
+    contiguous row runs, score the dominant size-2 buckets in ONE
+    vectorized row-wise dot product, and only loop over the rare
+    size ≥ 3 buckets (one small matmul each). The former version
+    iterated EVERY bucket — mostly near-singletons — through a pandas
+    groupby in Python.
+    """
+    g = g.sort_values(["bucket", key], kind="mergesort")
+    bucket = g["bucket"].to_numpy()
+    keys_ = g[key].to_numpy()
+    n = len(g)
+    if n == 0:
+        return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
+    vecs = np.stack(g["_nvec"].to_numpy()).astype(np.float64)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = bucket[1:] != bucket[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    sizes = ends - starts
+    s2 = starts[sizes == 2]
+    if len(s2):
+        cos2 = np.einsum("ij,ij->i", vecs[s2], vecs[s2 + 1])
+        ok = cos2 >= threshold
+        rows_a = list(keys_[s2[ok]])
+        rows_b = list(keys_[s2[ok] + 1])
+        rows_c = [round(float(c), 6) for c in cos2[ok]]
+    else:
+        rows_a, rows_b, rows_c = [], [], []
+    for si in np.flatnonzero(sizes > 2):
+        # keys are already sorted inside the run, so the cap keeps the
+        # deterministic (lowest-key) members — same rule as before
+        ks = keys_[starts[si]:ends[si]][:max_bucket]
+        sub = vecs[starts[si]:ends[si]][:max_bucket]
         cos = sub @ sub.T
         ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
         for i2, j2 in zip(ii, jj):
-            a, b = sorted((ks[i2], ks[j2]))
-            rows_a.append(a)
-            rows_b.append(b)
+            rows_a.append(ks[i2])
+            rows_b.append(ks[j2])
             rows_c.append(round(float(cos[i2, j2]), 6))
     return pd.DataFrame({"key_a": rows_a, "key_b": rows_b, "cosine": rows_c})
 
 
+# Auto method switch: above this many corpus rows the exact path's
+# driver-side matrix materialization stops being "small" and the fully
+# distributed LSH exchange takes over. Same contract as the minhash
+# ``verify="auto"`` switch (dedup.py:_VERIFY_JOIN_THRESHOLD): at 100 TB
+# users run the defaults, so the default must be the path that cannot
+# OOM the driver.
+_EMB_EXACT_THRESHOLD = 200_000
+
+
 def embedding_dup_pairs(ds, key: str = "vec_id", col: str = "embedding",
-                        threshold: float = 0.95, method: str = "exact",
+                        threshold: float = 0.95, method: str = "auto",
                         n_planes: int = 12, seed: int = 11,
                         partitions: int = 64,
                         max_bucket: int = 4096) -> pd.DataFrame:
@@ -982,9 +1018,17 @@ def embedding_dup_pairs(ds, key: str = "vec_id", col: str = "embedding",
     method="exact": every batch is scored against the full normalized
     matrix broadcast once via ray.put (exact, oracle-matchable; matrix
     must fit a worker — fine to ~1M×256d, use "lsh" beyond).
+
+    method="auto" (DEFAULT): ``ds.count()`` (metadata-cheap on parquet)
+    picks — exact below ``_EMB_EXACT_THRESHOLD`` rows, lsh above, so
+    the default never materializes an unboundedly large matrix on the
+    driver.
     """
     import ray
 
+    if method == "auto":
+        method = ("lsh" if ds.count() > _EMB_EXACT_THRESHOLD
+                  else "exact")
     if method == "lsh":
         banded = ds.map_batches(
             lambda df: _lsh_bucket_batch(df, key=key, col=col,

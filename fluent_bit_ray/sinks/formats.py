@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import struct
+import uuid
 
 import pyarrow as pa
 
@@ -591,7 +592,8 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
     return out
 
 
-def write_sink(ds, outdir: str, fmt: str = "json", **fmt_kw) -> int:
+def write_sink(ds, outdir: str, fmt: str = "json",
+               batch_size: int = 65536, **fmt_kw) -> int:
     """Stream a Dataset to per-block text files; returns rows written."""
     os.makedirs(outdir, exist_ok=True)
 
@@ -599,17 +601,21 @@ def write_sink(ds, outdir: str, fmt: str = "json", **fmt_kw) -> int:
         if b.num_rows == 0:
             return pa.table({"n": pa.array([0], type=pa.int64())})
         lines = format_batch(b, fmt=fmt, **fmt_kw)
-        key = abs(hash(tuple(lines[:1] + [len(lines)]))) % (1 << 32)
+        # uuid part names: globally unique, so two blocks with identical
+        # leading content can never overwrite each other (a former
+        # hash(first_line, len)-derived key could silently collide AND
+        # changed per run under PYTHONHASHSEED randomization)
+        key = uuid.uuid4().hex[:16]
         if lines and isinstance(lines[0], bytes):  # msgpack: raw stream
-            path = os.path.join(outdir, f"part-{key:08x}-{b.num_rows}.msgpack")
+            path = os.path.join(outdir, f"part-{key}-{b.num_rows}.msgpack")
             with open(path, "wb") as f:
                 f.write(b"".join(lines))
         else:
-            path = os.path.join(outdir, f"part-{key:08x}-{b.num_rows}.txt")
+            path = os.path.join(outdir, f"part-{key}-{b.num_rows}.txt")
             with open(path, "w") as f:
                 f.write("\n".join(lines) + "\n")
         return pa.table({"n": pa.array([b.num_rows], type=pa.int64())})
 
     parts = ds.map_batches(write_block, batch_format="pyarrow",
-                           batch_size=65536)
+                           batch_size=batch_size)
     return sum(r["n"] for r in parts.take_all())

@@ -13,8 +13,8 @@ multipart resume (plugins/out_s3/s3.h:117-129). Here:
   counts per sink, per-stage metrics and wall time.
 - On restart, waves whose manifest exists are SKIPPED — no
   reprocessing of completed partitions. Crash mid-wave leaves no
-  manifest → the wave reruns; output files are content-hash named,
-  so reruns overwrite identically (idempotent).
+  manifest → the wave reruns; the rerun first PURGES the wave's
+  partial output directories, then rewrites them (idempotent).
 - The fan-out write is SINGLE-PASS: one map_batches writes every
   sink's rows for a batch (routes-bitmask split) instead of one
   pipeline execution per sink.
@@ -26,6 +26,7 @@ import hashlib
 import json
 import os
 import time
+import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -61,10 +62,12 @@ def write_routed_sinks(routed, outdir: str, wave: str = "w0",
             counts.append(sub.num_rows)
             if sub.num_rows == 0:
                 continue
-            key = hashlib.md5(
-                (nm + str(sub.num_rows)
-                 + str(sub.column(0).slice(0, 4).to_pylist())).encode()
-            ).hexdigest()[:16]
+            # uuid part names: two batches of one wave with identical
+            # leading values can never overwrite each other (the former
+            # content-derived md5 could collide → silent row loss).
+            # Rerun idempotency comes from _purge_wave_outputs, not
+            # from name stability.
+            key = uuid.uuid4().hex[:16]
             fmt = formats.get(nm, "parquet")
             base = os.path.join(outdir, nm, f"wave={wave}", f"part-{key}")
             if fmt == "parquet":

@@ -187,6 +187,43 @@ def test_embedding_lsh_is_distributed(monkeypatch):
             f"driver materialized vectors: {names}"
 
 
+def test_embedding_dup_auto_switch(monkeypatch):
+    """method="auto" (the default) must route a corpus above the
+    threshold to the fully distributed lsh path — the driver never sees
+    a vector column — and a small corpus to the exact path."""
+    import ray.data
+    from fluent_bit_ray.dataops import dedup as dd
+
+    seen_schemas = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **kw):
+        seen_schemas.append(set(self.schema().names))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    rs = np.random.RandomState(7)
+    base = rs.randn(40, 16)
+    mat = np.vstack([base, base[:5]])
+    # corpus (45 rows) above a lowered threshold → lsh, no vector
+    # column ever reaches the driver
+    monkeypatch.setattr(dd, "_EMB_EXACT_THRESHOLD", 10)
+    out = embedding_dup_pairs(embeddings_ds(mat), threshold=0.999)
+    pairs = set(zip(out["key_a"], out["key_b"]))
+    for i in range(5):
+        assert (i, 40 + i) in pairs
+    for names in seen_schemas:
+        assert "embedding" not in names and "_nvec" not in names, \
+            f"auto routed to driver materialization: {names}"
+    # below the threshold → exact (driver matrix is fine when small)
+    monkeypatch.setattr(dd, "_EMB_EXACT_THRESHOLD", 10_000)
+    seen_schemas.clear()
+    out2 = embedding_dup_pairs(embeddings_ds(mat), threshold=0.999)
+    assert set(zip(out2["key_a"], out2["key_b"])) >= {
+        (i, 40 + i) for i in range(5)}
+    assert any("embedding" in names for names in seen_schemas)
+
+
 def test_simhash_batch_matches_reference_definition():
     from fluent_bit_ray.dataops.dedup import _SimhashBatch
     texts = [BASE, BASE.replace("dog", "cat"), "", "one two two three"]

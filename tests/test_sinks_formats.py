@@ -67,6 +67,19 @@ def test_write_sink(tmp_path):
     assert total == 2
 
 
+def test_write_sink_identical_blocks_no_collision(tmp_path):
+    """Two blocks with byte-identical content must land in two distinct
+    part files (regression: hash-of-first-line names silently
+    overwrote), and every row must survive to disk."""
+    one = sample_batch()
+    ds = rd.from_arrow([one, one])  # two identical blocks
+    n = write_sink(ds, str(tmp_path / "out"), fmt="json", batch_size=2)
+    files = os.listdir(tmp_path / "out")
+    total = sum(len(open(tmp_path / "out" / f).read().strip().splitlines())
+                for f in files)
+    assert n == 4 and total == 4, (n, total, files)
+
+
 def test_murmur3_reference_vectors():
     # public test vectors for MurmurHash3 x64_128
     from fluent_bit_ray.sinks.murmur3 import murmur3_x64_128
