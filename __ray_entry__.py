@@ -481,6 +481,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values(["conv_id", "turn_idx"])
                 .reset_index(drop=True))
 
+    def sft_refs(sf_dir: str):
+        """Reference-emitting SFT assembly (the 100 TB shape): one row
+        of constant size (conv_id, turn_idx, ctx_start, ctx_len) per
+        assistant turn — the k× context text never transits the object
+        store; a consumer (tokenizer) renders it in-partition via
+        sft_render_from_refs."""
+        from fluent_bit_ray.dataops.sft import sft_example_refs
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "role", "text"])
+        out = sft_example_refs(ds, context_turns=4).to_pandas()
+        out["ctx_start"] = out["ctx_start"].astype("float64")
+        return (out.sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+
     def collapsed_repeats(sf_dir: str):
         """'Last message repeated N times' (rsyslog
         $RepeatedMsgReduction): consecutive identical (role, text)
@@ -1196,6 +1210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hll": events_user_hll,
         "events_user_cms": events_user_cms,
         "sft_pairs": sft_pairs,
+        "sft_refs": sft_refs,
         "collapsed_repeats": collapsed_repeats,
         "tool_transition_counts": tool_transition_counts,
         "docs_topk_per_source": docs_topk_per_source,
@@ -1671,6 +1686,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM p
                   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
             SELECT conv_id, turn_idx, context, target FROM c
+            WHERE role = 'assistant' ORDER BY conv_id, turn_idx
+        """,
+        "sft_refs": f"""
+            WITH t AS ({t}),
+            c AS (SELECT conv_id, turn_idx, role,
+                         CAST(min(turn_idx) OVER w AS DOUBLE) AS ctx_start,
+                         count(*) OVER w AS ctx_len
+                  FROM t
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+            SELECT conv_id, turn_idx, ctx_start, ctx_len FROM c
             WHERE role = 'assistant' ORDER BY conv_id, turn_idx
         """,
         "tool_transition_counts": f"""

@@ -253,6 +253,14 @@ def run_bench() -> None:
                                                "role", "text"])
         return sft_examples(ds, context_turns=4).count()
 
+    def bench_sft_refs():
+        # reference-emitting variant: constant-size rows, no context
+        # text transits the object store (the 100 TB / scaling shape)
+        from fluent_bit_ray.dataops.sft import sft_example_refs
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "role", "text"])
+        return sft_example_refs(ds, context_turns=4).count()
+
     def bench_collapse():
         from fluent_bit_ray.dataops.sft import collapse_repeats
         ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
@@ -271,6 +279,25 @@ def run_bench() -> None:
                                                "role", "text"])
         return curate_transcripts(ds).count()
 
+    def bench_wide_record():
+        # reference tests/runtime/gen_data.py JSON_LONG shape: 1000
+        # string keys per record through parser → modify → nest
+        from fluent_bit_ray.pipelines.pipeline import Pipeline
+        from fluent_bit_ray.sources.wide import wide_records
+        tbl = wide_records(4096, 1000)
+        # batch_size sized to the ~16 KB rows: the default 16384-row
+        # batch would coalesce the whole table into ONE task (and at
+        # scale would put ~256 MB of decoded dicts in one worker heap)
+        pipe = Pipeline(batch_size=256, stages=[
+            {"type": "parser", "key_name": "text",
+             "parsers": [{"name": "json", "format": "json"}]},
+            {"type": "modify", "rules": [("rename", "key_0", "first_key"),
+                                         ("set", "marker", "wide")]},
+            {"type": "nest", "operation": "nest", "wildcard": ["key_9*"],
+             "nest_under": "bucket9"},
+        ], sinks=[("all", "*")])
+        return pipe.run(rd.from_arrow(tbl).repartition(32)).ds.count()
+
     def bench_quality_model():
         from fluent_bit_ray.dataops import quality_model_scores
         ds = rd.read_parquet(docs_heavy, columns=["doc_id", "text"])
@@ -281,6 +308,8 @@ def run_bench() -> None:
                ("flowcounter", bench_flowcounter),
                ("multiline", bench_multiline),
                ("sft_pairs", bench_sft),
+               ("sft_pairs_refs", bench_sft_refs),
+               ("wide_record", bench_wide_record),
                ("collapse_repeats", bench_collapse),
                ("convs_curated", bench_convs_curated)]
     if docs:
@@ -298,6 +327,13 @@ def run_bench() -> None:
                     ("asof_join", bench_asof_join),
                     ("hll_sketch", bench_hll),
                     ("cms_sketch", bench_cms)]
+
+    # GRAFT_BENCH_ONLY=a,b,c: focused runs (scaling forensics) — the
+    # flagship headline is always kept so the JSON contract holds
+    only = os.environ.get("GRAFT_BENCH_ONLY")
+    if only:
+        keep = set(only.split(",")) | {"flagship_e2e"}
+        benches = [(n, f) for n, f in benches if n in keep]
 
     # interleaved passes: one full sweep per rep so a bad host minute
     # lands on every query equally, medians across passes

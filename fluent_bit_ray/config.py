@@ -448,10 +448,29 @@ def _f_tensorflow(props, ctx):
 
 
 def _f_lua(props, ctx):
-    raise NotImplementedError(
-        "filter lua: no Lua runtime in this engine — register an "
-        "equivalent python callable as a py_udf stage instead "
-        "(stages/misc.py PyUdfStage; same (code, record) contract)")
+    """[FILTER] name lua → py_udf stage (documented substitution).
+
+    The reference (plugins/filter_lua/lua.c:411-545) loads ``script``
+    (a .lua file) and calls function ``call`` per record. There is no
+    Lua runtime in this engine, so ``call`` names a PYTHON callable
+    with the same (tag, ts, record) → (code[, ts], record) contract:
+    either registered in-process via
+    ``fluent_bit_ray.stages.misc.register_udf(name, fn)``, or defined
+    in ``script`` when that is a path to a .py file (the file is
+    exec'd once at build time and ``call`` looked up in its globals).
+    """
+    call = _get(props, "call")
+    if not call:
+        raise ValueError("filter lua: 'call' (function name) is required")
+    script = _get(props, "script")
+    if script and script.endswith(".py") and os.path.exists(script):
+        import runpy
+        ns = runpy.run_path(script)
+        if call in ns and callable(ns[call]):
+            return {"type": "py_udf", "fn": ns[call]}
+    # no script / non-python script: resolve from the UDF registry by
+    # name (PyUdfStage raises with the registered names if absent)
+    return {"type": "py_udf", "fn": call}
 
 
 def _f_const_enrich(plugin: str):

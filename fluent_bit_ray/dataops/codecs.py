@@ -1,11 +1,13 @@
-"""Pure-stdlib image/audio codecs: PNG (zlib) and WAV (RIFF PCM).
+"""Pure-stdlib/numpy image/audio codecs: PNG (zlib), WAV (RIFF PCM)
+and baseline JPEG (ITU-T T.81).
 
 The container has no PIL/ffmpeg/soundfile, but PNG is just zlib-
-compressed filtered scanlines and WAV is a RIFF header over raw PCM —
-both fully decodable with the standard library. These codecs make the
-multimodal decode stages REAL for png/wav payloads (jpeg/flac/mp4
-still raise — honest stubs), with deterministic encoders so tests and
-synthetic tables can round-trip.
+compressed filtered scanlines, WAV is a RIFF header over raw PCM, and
+baseline JPEG is Huffman-coded quantized DCT blocks — all decodable
+with stdlib + numpy. These codecs make the multimodal decode stages
+REAL for png/jpeg/wav payloads (flac/mp4 still raise — honest stubs),
+with deterministic encoders so tests and synthetic tables can
+round-trip.
 
 PNG subset (the universal baseline): 8-bit greyscale (color type 0)
 and RGB/RGBA (2/6), non-interlaced, all five scanline filters
@@ -181,3 +183,469 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if nch > 1:
         a = a[: (len(a) // nch) * nch].reshape(-1, nch)
     return a, rate
+
+
+# -------------------------------------------------------------- JPEG
+# Baseline sequential JPEG (ITU-T T.81 / ISO 10918-1), pure
+# numpy+stdlib. Decoder subset: SOF0 (baseline DCT, 8-bit), 1 or 3
+# components, sampling factors 1–2 (4:4:4 / 4:2:2 / 4:2:0), restart
+# intervals, Huffman tables read from the file. Progressive (SOF2),
+# arithmetic coding and 12-bit raise NotImplementedError — honest
+# subset boundaries, like the PNG/WAV codecs above. The encoder emits
+# 4:4:4 with the Annex K tables so tests have real compressed vectors.
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 / K.2 quantization tables (row-major)
+_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+_QT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32, dtype=np.int64)
+
+# Annex K.3 Huffman table specs: (BITS[1..16], HUFFVAL)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    """C[u, x] = c(u)/2 · cos((2x+1)uπ/16); DCT = C f Cᵀ, IDCT = Cᵀ F C."""
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    c = np.where(u == 0, 1.0 / np.sqrt(2.0), 1.0) / 2.0
+    return c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+
+
+_DCTM = _dct_matrix()
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical codes: symbol → (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, for the bit-at-a-time reader."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H,W multiples of 8 → (n_blocks, 8, 8) row-major."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _from_blocks(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (blocks.reshape(h // 8, w // 8, 8, 8)
+            .transpose(0, 2, 1, 3).reshape(h, w))
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(b)
+            if b == 0xFF:                 # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """Signed coefficient → (category t, t magnitude bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def _encode_block(zz: np.ndarray, dc_prev: int, dc_tab, ac_tab,
+                  bw: _BitWriter) -> int:
+    dc = int(zz[0])
+    t, bits = _mag_bits(dc - dc_prev)
+    code, ln = dc_tab[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(bits, t)
+    nz = np.flatnonzero(zz[1:])
+    run_from = 0
+    for pos in nz:
+        run = int(pos) - run_from
+        while run >= 16:
+            code, ln = ac_tab[0xF0]       # ZRL
+            bw.write(code, ln)
+            run -= 16
+        t, bits = _mag_bits(int(zz[1 + pos]))
+        code, ln = ac_tab[(run << 4) | t]
+        bw.write(code, ln)
+        bw.write(bits, t)
+        run_from = int(pos) + 1
+    if run_from < 63:
+        code, ln = ac_tab[0x00]           # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling of the Annex K tables."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_QT_LUM, _QT_CHROM):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
+    (4:4:4, Annex K tables scaled by ``quality``)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    h, w = a.shape[:2]
+    qt_l, qt_c = _quant_tables(quality)
+
+    if gray:
+        planes = [a.astype(np.float64) - 128.0]
+    else:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    qts = [qt_l] + [qt_c] * (len(planes) - 1)
+    coeffs = []
+    for p, qt in zip(planes, qts):
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = _to_blocks(p)
+        f = np.einsum("ux,nxy,vy->nuv", _DCTM, blocks, _DCTM)
+        zz = np.round(f.reshape(-1, 64)[:, _ZIGZAG]
+                      / qt[_ZIGZAG]).astype(np.int64)
+        coeffs.append(zz)
+
+    dc_l = _huff_codes(*_DC_LUM)
+    ac_l = _huff_codes(*_AC_LUM)
+    dc_c = _huff_codes(*_DC_CHROM)
+    ac_c = _huff_codes(*_AC_CHROM)
+    bw = _BitWriter()
+    nblk = coeffs[0].shape[0]
+    dc_prev = [0] * len(planes)
+    for bi in range(nblk):                # 4:4:4 → MCU = one block each
+        for ci in range(len(planes)):
+            dc_prev[ci] = _encode_block(
+                coeffs[ci][bi], dc_prev[ci],
+                dc_l if ci == 0 else dc_c,
+                ac_l if ci == 0 else ac_c, bw)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")          # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0]) + bytes(qt_l[_ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([1]) + bytes(qt_c[_ZIGZAG].astype(np.uint8)))
+    ncomp = 1 if gray else 3
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, ncomp))
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, bytes(sof))
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                   + bytes(vals))
+
+    out += dht(0, 0, _DC_LUM) + dht(1, 0, _AC_LUM)
+    if not gray:
+        out += dht(0, 1, _DC_CHROM) + dht(1, 1, _AC_CHROM)
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += b"\x00\x3F\x00"
+    out += seg(0xDA, bytes(sos))
+    out += scan
+    out += b"\xFF\xD9"                    # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over one entropy-coded segment (already
+    de-stuffed: no 0xFF00 / restart markers inside)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0                      # bit position
+
+    def bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        b = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.12 EXTEND: magnitude bits → signed value."""
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → uint8 (h, w) or (h, w, 3).
+
+    Subset: SOF0 8-bit, 1 or 3 components, sampling factors 1–2,
+    restart intervals honored; SOF2 progressive / arithmetic coding
+    raise NotImplementedError.
+    """
+    if data[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}   # (class, id) → decode map
+    comps: list[dict] = []
+    h = w = None
+    restart = 0
+    scan_comps: list[tuple[int, int, int]] = []
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:                # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:                # DQT (may hold several tables)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("JPEG subset: 8-bit DQT only")
+                t = np.zeros(64, dtype=np.int64)
+                t[_ZIGZAG] = np.frombuffer(
+                    body[bp + 1:bp + 65], dtype=np.uint8).astype(np.int64)
+                qts[tq] = t
+                bp += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG subset: baseline SOF0 only (got SOF marker "
+                f"0x{marker:02X} — progressive/extended/arithmetic)")
+        elif marker == 0xC0:              # SOF0
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("JPEG subset: 8-bit precision")
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            if any(c["h"] not in (1, 2) or c["v"] not in (1, 2)
+                   for c in comps):
+                raise NotImplementedError("JPEG subset: sampling 1–2")
+        elif marker == 0xC4:              # DHT (may hold several)
+            bp = 0
+            while bp < len(body):
+                cls, tid = body[bp] >> 4, body[bp] & 0xF
+                bits = list(body[bp + 1:bp + 17])
+                n = sum(bits)
+                vals = list(body[bp + 17:bp + 17 + n])
+                huff[(cls, tid)] = _huff_decode_map(bits, vals)
+                bp += 17 + n
+        elif marker == 0xDD:              # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:              # SOS
+            ns = body[0]
+            for si in range(ns):
+                cid, tda = body[1 + 2 * si:3 + 2 * si]
+                scan_comps.append((cid, tda >> 4, tda & 0xF))
+            scan_start = pos
+            break
+        # APPn / COM / others: skipped via their length
+    if scan_start is None or h is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    # split the entropy-coded data into restart segments, de-stuffed
+    segs: list[bytearray] = [bytearray()]
+    p = scan_start
+    while p < len(data):
+        b = data[p]
+        if b != 0xFF:
+            segs[-1].append(b)
+            p += 1
+            continue
+        m = data[p + 1]
+        if m == 0x00:
+            segs[-1].append(0xFF)
+            p += 2
+        elif 0xD0 <= m <= 0xD7:           # RSTn
+            segs.append(bytearray())
+            p += 2
+        else:                             # EOI or next marker
+            break
+
+    maxh = max(c["h"] for c in comps)
+    maxv = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * maxh))
+    mcuy = -(-h // (8 * maxv))
+    order = []                            # scan order: comp idx per scan comp
+    for cid, td, ta in scan_comps:
+        ci = next(i for i, c in enumerate(comps) if c["id"] == cid)
+        order.append((ci, td, ta))
+    nblocks = [mcux * c["h"] * mcuy * c["v"] for c in comps]
+    coeff = [np.zeros((nb, 64), dtype=np.int64) for nb in nblocks]
+    bw_per = [mcux * c["h"] for c in comps]  # blocks per row, per comp
+
+    seg_i = 0
+    br = _BitReader(bytes(segs[seg_i]))
+    dc_prev = [0] * len(comps)
+    for mi in range(mcux * mcuy):
+        if restart and mi and mi % restart == 0:
+            seg_i += 1
+            br = _BitReader(bytes(segs[seg_i]))
+            dc_prev = [0] * len(comps)
+        my, mx = divmod(mi, mcux)
+        for ci, td, ta in order:
+            c = comps[ci]
+            dtab, atab = huff[(0, td)], huff[(1, ta)]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = coeff[ci][
+                        (my * c["v"] + by) * bw_per[ci]
+                        + mx * c["h"] + bx]
+                    t = _read_symbol(br, dtab)
+                    diff = _extend(br.bits(t), t) if t else 0
+                    dc_prev[ci] += diff
+                    zz[0] = dc_prev[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _read_symbol(br, atab)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:   # ZRL
+                                k += 16
+                                continue
+                            break         # EOB
+                        k += r
+                        zz[k] = _extend(br.bits(s), s)
+                        k += 1
+
+    planes = []
+    for ci, c in enumerate(comps):
+        qt = qts[c["tq"]]
+        f = np.zeros((nblocks[ci], 64), dtype=np.float64)
+        f[:, _ZIGZAG] = coeff[ci] * qt[_ZIGZAG]
+        f = f.reshape(-1, 8, 8)
+        sp = np.einsum("xu,nuv,yv->nxy", _DCTM.T, f, _DCTM.T) + 128.0
+        ph, pw = mcuy * c["v"] * 8, mcux * c["h"] * 8
+        plane = _from_blocks(sp, ph, pw)
+        # chroma upsample to full resolution
+        plane = np.repeat(np.repeat(plane, maxv // c["v"], axis=0),
+                          maxh // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -112,11 +112,13 @@ class DecodeImageStage:
             raw = np.frombuffer((h * ((self.feature_dim * 4) // len(h) + 1))
                                 [:self.feature_dim * 4], dtype=np.uint32)
             return (raw % 1000).astype(np.float32) / 1000.0
-        if fmt == "png":
-            # REAL decode: pure-stdlib PNG (codecs.py) → resize to a
-            # fixed grid → per-cell mean = the feature vector
-            from .codecs import decode_png, resize_nearest
-            img = decode_png(payload)
+        if fmt in ("png", "jpeg", "jpg"):
+            # REAL decode: pure-numpy PNG / baseline JPEG (codecs.py)
+            # → resize to a fixed grid → per-cell mean = the feature
+            # vector
+            from .codecs import decode_jpeg, decode_png, resize_nearest
+            img = (decode_png(payload) if fmt == "png"
+                   else decode_jpeg(payload))
             if img.ndim == 3:
                 img = img.mean(axis=2)
             side = max(1, int(np.sqrt(self.feature_dim)))

@@ -97,6 +97,118 @@ def sft_examples(ds, context_turns: int = 4, sep: str = "\n",
                                   partitions=partitions)
 
 
+def sft_example_refs(ds, context_turns: int = 4,
+                     target_role: str = "assistant",
+                     partitions: int = 64):
+    """Reference-emitting SFT assembly — the 100 TB-scale shape.
+
+    ``sft_examples`` materializes each assistant turn's context text,
+    ~k× the assistant text volume; on one box that output saturates
+    memory bandwidth (measured 0.44–0.53 scaling efficiency 4→16
+    CPUs at sf1). This variant emits constant-size REFERENCES instead:
+    one row (conv_id, turn_idx, ctx_start, ctx_len) per ``target_role``
+    turn, where the context is the up-to-``context_turns`` turns of the
+    same conversation with turn order in [ctx_start, turn_idx) —
+    exactly the rows ``sft_render_from_refs`` (or a fused consumer such
+    as a tokenizer) needs to rebuild the rendered context. The k×
+    blow-up never transits the object store; it is rendered inside the
+    consumer task that already holds the conversation partition.
+
+    ctx_start is null when the target is its conversation's first turn
+    (ctx_len = 0).
+    """
+    k = int(context_turns)
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        df = _sorted_conv(df)
+        n = len(df)
+        conv = df["conv_id"].to_numpy(dtype=object)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = conv[1:] != conv[:-1]
+        run_id = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        pos = np.arange(n) - starts[run_id]       # 0-based pos in conv
+        ctx_len = np.minimum(k, pos)
+        ti = df["turn_idx"].to_numpy()
+        ctx_start = pd.array(ti[np.arange(n) - ctx_len], dtype="Int64")
+        ctx_start[ctx_len == 0] = pd.NA
+        m = (df["role"].astype(str) == target_role).to_numpy()
+        return pd.DataFrame({
+            "conv_id": df["conv_id"].to_numpy()[m],
+            "turn_idx": ti[m].astype("int64"),
+            "ctx_start": ctx_start[m],
+            "ctx_len": ctx_len[m].astype("int64"),
+        })
+
+    return coarse_partition_apply(ds, "conv_id", kernel,
+                                  partitions=partitions)
+
+
+def sft_render_from_refs(ds, refs, sep: str = "\n",
+                         partitions: int = 64):
+    """Consumer-side renderer: co-partition transcripts and refs by
+    conv_id (one union exchange) and rebuild (context, target) inside
+    each partition — proves the refs are lossless w.r.t.
+    ``sft_examples`` and shows the fused-consumer shape (a tokenizer
+    would replace the returned strings with token ids in-place)."""
+    import pyarrow as pa
+
+    # tag the two sides and union them so ONE coarse exchange
+    # co-locates each conversation's turns with its refs
+    def tag_turns(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "role": b.column("role").cast(pa.large_string()),
+            "text": b.column("text").cast(pa.large_string()),
+            "_side": pa.array(["t"] * n),
+            "ctx_start": pa.nulls(n, type=pa.int64()),
+            "ctx_len": pa.nulls(n, type=pa.int64()),
+        })
+
+    def tag_refs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx"),
+            "role": pa.nulls(n, type=pa.large_string()),
+            "text": pa.nulls(n, type=pa.large_string()),
+            "_side": pa.array(["r"] * n),
+            "ctx_start": b.column("ctx_start").cast(pa.int64()),
+            "ctx_len": b.column("ctx_len").cast(pa.int64()),
+        })
+
+    both = (ds.map_batches(tag_turns, batch_format="pyarrow")
+            .union(refs.map_batches(tag_refs, batch_format="pyarrow")))
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        turns = _sorted_conv(df[df["_side"] == "t"])
+        rf = df[df["_side"] == "r"]
+        # per-conv turn lookup: (conv_id, turn_idx) → "role: text"
+        piece = (turns["role"].astype(str) + ": "
+                 + turns["text"].fillna("").astype(str))
+        pos = {(c, int(t)): i for i, (c, t) in
+               enumerate(zip(turns["conv_id"], turns["turn_idx"]))}
+        pieces = piece.to_numpy(dtype=object)
+        texts = turns["text"].to_numpy(dtype=object)
+        ctxs, tgts = [], []
+        for c, t, s, ln in zip(rf["conv_id"], rf["turn_idx"],
+                               rf["ctx_start"], rf["ctx_len"]):
+            i = pos[(c, int(t))]
+            ln = int(ln)
+            ctxs.append(sep.join(pieces[i - ln:i]) if ln else "")
+            tgts.append(texts[i])
+        return pd.DataFrame({
+            "conv_id": rf["conv_id"].to_numpy(),
+            "turn_idx": rf["turn_idx"].to_numpy().astype("int64"),
+            "context": ctxs, "target": tgts})
+
+    return coarse_partition_apply(both, "conv_id", render,
+                                  partitions=partitions)
+
+
 def collapse_repeats(ds, partitions: int = 64):
     """Dataset[conv_id, turn_idx, role, text, repeats] — consecutive
     turns with identical (role, text) within a conversation collapse

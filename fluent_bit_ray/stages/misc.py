@@ -84,6 +84,30 @@ class ExpectStage(Stage):
         return batch
 
 
+# Named UDF registry: the classic-config translation of a lua filter
+# ([FILTER] name lua / script / call, reference
+# plugins/filter_lua/lua.c:411-545) binds ``call`` to a python callable
+# registered here (documented substitution — no Lua runtime in this
+# engine). The registry is consulted on the DRIVER at build time; the
+# resolved function is then shipped to workers with the stage.
+UDF_REGISTRY: dict[str, object] = {}
+
+
+def register_udf(name: str, fn=None):
+    """Register ``fn`` under ``name`` for config lua/py_udf filters.
+
+    Usable directly (``register_udf("f", f)``) or as a decorator
+    (``@register_udf("f")``).
+    """
+    if fn is None:
+        def deco(f):
+            UDF_REGISTRY[name] = f
+            return f
+        return deco
+    UDF_REGISTRY[name] = fn
+    return fn
+
+
 @register("py_udf")
 class PyUdfStage(Stage):
     """Lua-filter analogue (reference plugins/filter_lua/lua.c:411-545).
@@ -92,10 +116,20 @@ class PyUdfStage(Stage):
     code -1 drop; 0 keep untouched; 1 replace record (and, with the
     3-tuple form, replace the event time — lua code 2 'keep time' is
     the 2-tuple form of code 1).
+
+    ``fn`` may be a callable or the name of one registered via
+    ``register_udf`` (the classic-config path passes names).
     """
 
     def __init__(self, fn, **kw):
         super().__init__(**kw)
+        if isinstance(fn, str):
+            if fn not in UDF_REGISTRY:
+                raise ValueError(
+                    f"py_udf: no callable registered under {fn!r} "
+                    f"(registered: {sorted(UDF_REGISTRY)}); call "
+                    "fluent_bit_ray.stages.misc.register_udf first")
+            fn = UDF_REGISTRY[fn]
         self.fn = fn
 
     def transform(self, batch: pa.Table, mask: np.ndarray) -> pa.Table:

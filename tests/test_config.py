@@ -192,12 +192,60 @@ def test_filter_translation_matrix():
 
 
 def test_unsupported_filters_raise():
-    with pytest.raises(NotImplementedError, match="py_udf"):
+    with pytest.raises(ValueError, match="'call'"):
         build_pipeline("[FILTER]\n  name lua\n  match *\n  script x.lua\n")
     with pytest.raises(ValueError, match="unsupported filter"):
         build_pipeline("[FILTER]\n  name no_such_plugin\n  match *\n")
     with pytest.raises(ValueError, match="unknown parser"):
         build_pipeline("[FILTER]\n  name parser\n  match *\n  parser ghost\n")
+
+
+def test_lua_filter_via_registry():
+    """[FILTER] name lua binds `call` to a python callable registered
+    via register_udf (documented substitution for the Lua runtime) and
+    the built pipeline runs it."""
+    from fluent_bit_ray.stages.misc import UDF_REGISTRY, register_udf
+
+    @register_udf("test_drop_tool_rows")
+    def drop_tools(tag, ts, record):
+        if tag is not None and tag.endswith(".tool"):
+            return -1, record
+        return 0, record
+    try:
+        conf = ("[FILTER]\n  name lua\n  match *\n  script x.lua\n"
+                "  call test_drop_tool_rows\n"
+                "[OUTPUT]\n  name null\n  match *\n")
+        pipe, _ = build_pipeline(conf)
+        ds = rd.read_parquet(ensure_transcripts(SF))
+        out = pipe.run(ds).ds.take_batch(2048, batch_format="pandas")
+        assert len(out) and "tool" not in set(out["role"])
+    finally:
+        UDF_REGISTRY.pop("test_drop_tool_rows", None)
+    # unregistered call name → clear error naming the registry
+    with pytest.raises(ValueError, match="register_udf"):
+        build_pipeline("[FILTER]\n  name lua\n  match *\n"
+                       "  call no_such_fn\n"
+                       "[OUTPUT]\n  name null\n  match *\n")[0] \
+            ._built_stages()
+
+
+def test_lua_filter_script_py_file(tmp_path):
+    """`script` pointing at a .py file is exec'd and `call` looked up
+    in its globals — the closest analogue of the reference's lua file
+    load (plugins/filter_lua/lua.c:411)."""
+    p = tmp_path / "udf.py"
+    p.write_text("def mark_seen(tag, ts, record):\n"
+                 "    record = dict(record)\n"
+                 "    record['seen'] = 'y'\n"
+                 "    return 1, record\n")
+    conf = (f"[FILTER]\n  name lua\n  match *\n  script {p}\n"
+            "  call mark_seen\n"
+            "[OUTPUT]\n  name null\n  match *\n")
+    pipe, _ = build_pipeline(conf)
+    ds = rd.read_parquet(ensure_transcripts(SF))
+    out = pipe.run(ds).ds.take_batch(8, batch_format="pandas")
+    from fluent_bit_ray.record import fields_loads
+    assert all(fields_loads(v).get("seen") == "y" for v in out["fields"])
 
 
 def test_output_alias_dedup_and_match_regex():

@@ -137,11 +137,11 @@ def test_multimodal_plumbing():
     f1 = st(t.slice(0, 4)).column("features").to_pylist()
     f2 = st(t.slice(0, 4)).column("features").to_pylist()
     assert f1 == f2
-    # formats without a native codec raise cleanly (png/wav decode
-    # for real via codecs.py — covered by the real-decode test)
+    # formats without a native codec raise cleanly (png/jpeg/wav decode
+    # for real via codecs.py — covered by the real-decode tests)
     real = DecodeImageStage(fake=False)
     with pytest.raises(NotImplementedError):
-        real._decode(b"xx", "jpeg")
+        real._decode(b"xx", "webp")
     frames = rd.from_arrow(t).map_batches(
         FrameSampleStage, batch_format="pyarrow", concurrency=2,
         batch_size=16).to_pandas()
@@ -691,8 +691,167 @@ def test_multimodal_real_png_wav_decode():
 
     # non-decodable formats still raise loudly (honest stub)
     st = DecodeImageStage(fake=False)
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        st._decode(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(NotImplementedError, match="webp"):
+        st._decode(b"RIFF....WEBP", "webp")
+
+
+def test_jpeg_codec_roundtrip():
+    from fluent_bit_ray.dataops.codecs import decode_jpeg, encode_jpeg
+    # flat + gradient grayscale, odd sizes (edge-pad path)
+    flat = np.full((8, 8), 130, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, quality=95)), flat)
+    grad = np.tile(np.arange(24, dtype=np.uint8) * 10, (17, 1))[:, :19]
+    d = decode_jpeg(encode_jpeg(grad, quality=95))
+    assert d.shape == grad.shape
+    assert int(np.abs(d.astype(int) - grad.astype(int)).max()) <= 2
+    # color roundtrip (YCbCr both directions)
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb[:, :8] = [200, 40, 60]
+    rgb[:, 8:] = [10, 150, 220]
+    d = decode_jpeg(encode_jpeg(rgb, quality=95))
+    assert int(np.abs(d.astype(int) - rgb.astype(int)).max()) <= 2
+    # textured content: bounded quantization error, not garbage
+    rs = np.random.RandomState(5)
+    img = rs.randint(0, 256, (40, 56)).astype(np.float64)
+    for _ in range(3):
+        img = (np.roll(img, 1, 0) + np.roll(img, -1, 0)
+               + np.roll(img, 1, 1) + np.roll(img, -1, 1) + img) / 5
+    img = img.astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(img, quality=90))
+    rmse = float(np.sqrt(((d.astype(float) - img) ** 2).mean()))
+    assert rmse < 6.0
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(NotImplementedError, match="SOF"):
+        # progressive (SOF2) is an honest subset boundary
+        import struct as _s
+        sof2 = (b"\xff\xd8" + b"\xff\xc2"
+                + _s.pack(">H", 11) + _s.pack(">BHHB", 8, 8, 8, 1)
+                + bytes([1, 0x11, 0]))
+        decode_jpeg(sof2)
+
+
+def test_jpeg_decoder_handbuilt_dc_only_vector():
+    """Decoder vs a BYTE-LEVEL hand-assembled baseline JPEG (no use of
+    the encoder): one 8×8 gray block, quantized DC=3 under the Annex K
+    table (Q[0]=16) → flat pixel value round(3·16/8)+128 = 134. The
+    scan bits are hand-derived from the canonical DC/AC tables:
+    DC cat-2 code '011' + bits '11', AC EOB '1010', padded with 1s →
+    01111101 01111111 = 0x7D 0x7F."""
+    import struct as _s
+    from fluent_bit_ray.dataops.codecs import (_AC_LUM, _DC_LUM, _QT_LUM,
+                                               _ZIGZAG, decode_jpeg)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(_QT_LUM[_ZIGZAG].astype(np.uint8)))
+    sof = seg(0xC0, _s.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_DC_LUM[0]) + bytes(_DC_LUM[1]))
+           + seg(0xC4, bytes([0x10]) + bytes(_AC_LUM[0])
+                 + bytes(_AC_LUM[1])))
+    sos = seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    jpg = (b"\xff\xd8" + dqt + sof + dht + sos
+           + b"\x7d\x7f" + b"\xff\xd9")
+    out = decode_jpeg(jpg)
+    assert out.shape == (8, 8)
+    assert np.all(out == 134), out
+
+
+def test_jpeg_decoder_420_subsampling_and_restart():
+    """4:2:0 chroma subsampling + DRI restart markers (paths the 4:4:4
+    encoder never emits), assembled with the codec's table helpers:
+    two 16×16 MCUs of flat color, RST0 between them."""
+    import struct as _s
+    from fluent_bit_ray.dataops.codecs import (_AC_CHROM, _AC_LUM,
+                                               _BitWriter, _DC_CHROM,
+                                               _DC_LUM, _QT_CHROM, _QT_LUM,
+                                               _ZIGZAG, _huff_codes,
+                                               _mag_bits, decode_jpeg)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(body) + 2) + body
+
+    # target flat RGB (134, 112, 158) → YCbCr, quantize DC per Annex K
+    r, g, b = 134.0, 112.0, 158.0
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    dcs = [int(round((v - 128.0) * 8 / q))
+           for v, q in ((y, _QT_LUM[0]), (cb, _QT_CHROM[0]),
+                        (cr, _QT_CHROM[0]))]
+
+    def write_mcu(bw, tabs, first):
+        (dl, al), (dc_, ac_) = tabs
+        # 4 Y blocks then Cb, Cr; DC diffs: first block carries the
+        # value, later same-component blocks diff 0
+        for bi in range(4):
+            t, bits = _mag_bits(dcs[0] if (first and bi == 0) else 0)
+            code, ln = dl[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(bits, t)
+            code, ln = al[0x00]
+            bw.write(code, ln)
+        for comp in (1, 2):
+            t, bits = _mag_bits(dcs[comp] if first else 0)
+            code, ln = dc_[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(bits, t)
+            code, ln = ac_[0x00]
+            bw.write(code, ln)
+
+    tabs = ((_huff_codes(*_DC_LUM), _huff_codes(*_AC_LUM)),
+            (_huff_codes(*_DC_CHROM), _huff_codes(*_AC_CHROM)))
+    bw1, bw2 = _BitWriter(), _BitWriter()
+    write_mcu(bw1, tabs, True)
+    write_mcu(bw2, tabs, True)  # DC predictors reset after RST0
+
+    dqt = (seg(0xDB, bytes([0]) + bytes(_QT_LUM[_ZIGZAG].astype(np.uint8)))
+           + seg(0xDB, bytes([1])
+                 + bytes(_QT_CHROM[_ZIGZAG].astype(np.uint8))))
+    sof = seg(0xC0, _s.pack(">BHHB", 8, 16, 32, 3)
+              + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_DC_LUM[0]) + bytes(_DC_LUM[1]))
+           + seg(0xC4, bytes([0x10]) + bytes(_AC_LUM[0]) + bytes(_AC_LUM[1]))
+           + seg(0xC4, bytes([0x01]) + bytes(_DC_CHROM[0])
+                 + bytes(_DC_CHROM[1]))
+           + seg(0xC4, bytes([0x11]) + bytes(_AC_CHROM[0])
+                 + bytes(_AC_CHROM[1])))
+    dri = seg(0xDD, _s.pack(">H", 1))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+    jpg = (b"\xff\xd8" + dqt + sof + dht + dri + sos
+           + bw1.flush() + b"\xff\xd0" + bw2.flush() + b"\xff\xd9")
+    out = decode_jpeg(jpg)
+    assert out.shape == (16, 32, 3)
+    err = np.abs(out.astype(int) - np.array([r, g, b], dtype=int))
+    assert int(err.max()) <= 9, (out[0, 0], out[0, 16])  # DC quant error
+    # both MCUs decoded to the same flat color (restart handled)
+    assert np.array_equal(out[:, :16], out[:, 16:])
+
+
+def test_multimodal_real_jpeg_decode():
+    """DecodeImageStage runs the REAL jpeg path end-to-end."""
+    from fluent_bit_ray.dataops.codecs import decode_jpeg, encode_jpeg
+    from fluent_bit_ray.dataops.multimodal import DecodeImageStage
+    rs = np.random.RandomState(21)
+    imgs = [np.full((24, 24), 60 + 10 * i, dtype=np.uint8)
+            for i in range(4)]
+    t = pa.table({
+        "img_id": pa.array(range(4), type=pa.int64()),
+        "payload": pa.array([encode_jpeg(im, quality=92) for im in imgs],
+                            type=pa.binary()),
+        "format": pa.array(["jpeg"] * 4),
+    })
+    out = rd.from_arrow(t).map_batches(
+        DecodeImageStage, fn_constructor_kwargs={"fake": False},
+        batch_format="pyarrow", batch_size=2, concurrency=2).to_pandas()
+    assert len(out) == 4
+    for i in range(4):
+        img = decode_jpeg(t.column("payload")[i].as_py()).astype(np.float32)
+        assert out["features"][i][0] == pytest.approx(
+            img[0, 0] / 255.0, abs=0.05)
 
 
 def test_quality_model_scores_exact():

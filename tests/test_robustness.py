@@ -129,3 +129,50 @@ def test_empty_input_through_wide_operators():
     assert all(v == 0 for v in counts.values())
     th = build_stage({"type": "throttle", "rate": 5, "interval_s": 60})
     assert th.apply(ds).count() == 0
+
+
+# ------------------------------------------------- wide-record stress
+def test_wide_record_1000_keys_parser_modify_nest():
+    """JSON_LONG analogue (reference tests/runtime/gen_data.py: 1000
+    string keys + END_KEY sentinel) through parser → modify → nest."""
+    from fluent_bit_ray.pipelines.pipeline import Pipeline
+    from fluent_bit_ray.sources.wide import wide_records
+
+    tbl = wide_records(64, 1000)
+    pipe = Pipeline(stages=[
+        {"type": "parser", "key_name": "text",
+         "parsers": [{"name": "json", "format": "json"}]},
+        {"type": "modify", "rules": [("rename", "key_0", "first_key"),
+                                     ("set", "marker", "wide")]},
+        {"type": "nest", "operation": "nest", "wildcard": ["key_9*"],
+         "nest_under": "bucket9"},
+    ], sinks=[("all", "*")])
+    out = pipe.run(rd.from_arrow(tbl)).ds.to_pandas()
+    assert len(out) == 64
+    f = fields_loads(out["fields"].iloc[0])
+    assert f["first_key"] == "val_0" and f["marker"] == "wide"
+    assert f["END_KEY"] == "JSON_END"
+    # nested: key_9, key_90..99, key_900..999 = 111 keys
+    assert len(f["bucket9"]) == 111
+    assert f["bucket9"]["key_999"] == "val_999"
+    # top level: row_id + 1000 keys + END_KEY, −111 nested, +marker
+    assert len(f) == 1002 + 1 - 111 + 1
+    assert f["key_500"] == "val_500"
+
+
+def test_wide_record_250_bool_keys_roundtrip():
+    """JSON_SMALL analogue: 250 bool keys parse with values preserved
+    as booleans (not strings)."""
+    from fluent_bit_ray.pipelines.pipeline import Pipeline
+    from fluent_bit_ray.sources.wide import wide_records
+
+    tbl = wide_records(16, 250, kind="bool")
+    pipe = Pipeline(stages=[
+        {"type": "parser", "key_name": "text",
+         "parsers": [{"name": "json", "format": "json"}]},
+    ], sinks=[("all", "*")])
+    out = pipe.run(rd.from_arrow(tbl)).ds.to_pandas()
+    f = fields_loads(out["fields"].iloc[0])
+    assert f["key_0"] is False and f["key_249"] is False
+    assert f["END_KEY"] == "JSON_END"
+    assert len(f) == 252  # row_id + 250 keys + END_KEY

@@ -49,6 +49,35 @@ def test_sft_examples_matches_row_reference_across_partitions():
         ref.astype({"turn_idx": "int64"}))
 
 
+def test_sft_refs_render_matches_materialized():
+    """The reference-emitting variant (constant-size rows, no context
+    text in the exchange) + consumer-side render must reproduce
+    sft_examples exactly — the refs are lossless."""
+    from fluent_bit_ray.dataops.sft import (sft_example_refs,
+                                            sft_render_from_refs)
+    df = _toy()
+    ds = rd.from_pandas(df).repartition(7)
+    refs = sft_example_refs(ds, context_turns=4, partitions=5)
+    # refs are constant-size: no text column anywhere in the schema
+    assert set(refs.schema().names) == {"conv_id", "turn_idx",
+                                        "ctx_start", "ctx_len"}
+    rendered = sft_render_from_refs(
+        rd.from_pandas(df).repartition(7), refs, partitions=5) \
+        .to_pandas().sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    ref = _ref_sft(df).sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        rendered.astype({"turn_idx": "int64"}),
+        ref.astype({"turn_idx": "int64"}))
+    # ctx_len semantics: min(k, position-in-conversation)
+    r = refs.to_pandas()
+    first = r[r["ctx_len"] == 0]
+    assert first["ctx_start"].isna().all()
+    assert (r.loc[r["ctx_len"] > 0, "ctx_start"]
+            < r.loc[r["ctx_len"] > 0, "turn_idx"]).all()
+
+
 def test_sft_first_turn_has_empty_context_and_no_cross_conv_leak():
     df = pd.DataFrame({
         "conv_id": ["a", "a", "b"],
