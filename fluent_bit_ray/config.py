@@ -436,8 +436,15 @@ def _f_kubernetes(props, ctx):
 
 def _f_tensorflow(props, ctx):
     spec: dict = {"type": "tensorflow",
-                  "input_field": _get(props, "input_field", "input"),
-                  "input_dim": int(_get(props, "input_dim", 8))}
+                  "input_field": _get(props, "input_field", "input")}
+    mf = _get(props, "model_file")  # reference property tensorflow.c:446
+    if mf:
+        spec["model_file"] = mf
+        dim = _get(props, "input_dim")
+        if dim is not None:
+            spec["input_dim"] = int(dim)
+    else:
+        spec["input_dim"] = int(_get(props, "input_dim", 8))
     nv = _get(props, "normalization_value")
     if nv is not None:
         spec["normalization_value"] = float(nv)

@@ -17,13 +17,19 @@ Reference semantics (plugins/filter_tensorflow/tensorflow.c):
   ``inference_time`` (:392-395) and ``tf_out`` = the model's output
   array (:397-406).
 
-The container has no tensorflow/tflite, so the "model" is a
+The container has no tensorflow/tflite, so the default "model" is a
 DETERMINISTIC pure-numpy MLP with integer weights derived from a
 seed (``FixedMlp``). Integer weights + integer-quantized inputs keep
 every accumulation exact in float64, which is what lets the
 ``tf_score`` oracle reproduce the full forward pass in DuckDB SQL
-bit-for-bit. Swapping ``FixedMlp`` for a real interpreter keeps the
-stage contract unchanged.
+bit-for-bit.
+
+A REAL ``model_file`` (the reference's property, tensorflow.c:151,
+:446) is also supported: ``stages/tflite.py`` parses the .tflite
+flatbuffer directly (pure python, public schema.fbs) and executes the
+FULLY_CONNECTED/RELU/LOGISTIC/SOFTMAX/TANH subset in numpy — the
+loaded model is built once per ACTOR in ``__init__``, exactly like
+the seeded one.
 """
 
 from __future__ import annotations
@@ -67,12 +73,17 @@ class TensorflowStage(Stage):
     ``ds.map_batches(TensorflowStage.actor(...), concurrency=N)`` or
     the Stage ``apply``)."""
 
-    def __init__(self, input_field: str, input_dim: int,
+    def __init__(self, input_field: str, input_dim: int | None = None,
                  include_input_fields: bool = True,
                  normalization_value: float | None = None,
                  hidden: int = 8, out_dim: int = 2, seed: int = 2024,
+                 model_file: str | None = None,
                  **kw):
         super().__init__(**kw)
+        if input_dim is None and model_file is None:
+            raise ValueError(
+                "tensorflow stage: input_dim is required unless a "
+                "model_file provides it")
         self.input_field = input_field
         self.input_dim = input_dim
         self.include_input_fields = include_input_fields
@@ -80,12 +91,14 @@ class TensorflowStage(Stage):
         self.hidden = hidden
         self.out_dim = out_dim
         self.seed = seed
+        self.model_file = model_file
 
     def apply(self, ds):
         kw = dict(input_field=self.input_field, input_dim=self.input_dim,
                   include_input_fields=self.include_input_fields,
                   normalization_value=self.normalization_value,
-                  hidden=self.hidden, out_dim=self.out_dim, seed=self.seed)
+                  hidden=self.hidden, out_dim=self.out_dim, seed=self.seed,
+                  model_file=self.model_file)
         return ds.map_batches(_TfScoreBatch, fn_constructor_kwargs=kw,
                               batch_format="pandas", concurrency=(1, 64))
 
@@ -94,12 +107,23 @@ class _TfScoreBatch:
     """The per-actor callable: model built ONCE in __init__ (the
     interpreter-per-instance contract), vectorized matmul per batch."""
 
-    def __init__(self, input_field: str, input_dim: int,
+    def __init__(self, input_field: str, input_dim: int | None = None,
                  include_input_fields: bool = True,
                  normalization_value: float | None = None,
-                 hidden: int = 8, out_dim: int = 2, seed: int = 2024):
-        self.model = FixedMlp(input_dim, hidden=hidden, out_dim=out_dim,
-                              seed=seed)
+                 hidden: int = 8, out_dim: int = 2, seed: int = 2024,
+                 model_file: str | None = None):
+        if model_file is not None:
+            # real .tflite: parsed + weights materialized once per
+            # actor (build_interpreter contract, tensorflow.c:87-97)
+            from .tflite import load_tflite
+            self.model = load_tflite(model_file)
+            if input_dim is not None and input_dim != self.model.input_dim:
+                raise ValueError(
+                    f"tensorflow stage: input_dim {input_dim} != model "
+                    f"input {self.model.input_dim}")
+        else:
+            self.model = FixedMlp(input_dim, hidden=hidden,
+                                  out_dim=out_dim, seed=seed)
         self.input_field = input_field
         self.include = include_input_fields
         self.norm = normalization_value

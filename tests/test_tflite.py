@@ -1,0 +1,249 @@
+"""TFLite loader tests.
+
+``_FbWriter`` below is a minimal TEST-ONLY flatbuffer serializer (the
+product code only READS .tflite). It follows the public flatbuffers
+binary layout: children are emitted after their parents so every
+uoffset (child_pos - field_pos) is positive; each table's vtable is
+placed immediately before it (soffset = vtable length).
+"""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fluent_bit_ray.stages.tensorflow import FixedMlp, TensorflowStage
+from fluent_bit_ray.stages.tflite import (OP_FULLY_CONNECTED, OP_LOGISTIC,
+                                          TfliteModel, load_tflite)
+
+
+class Ref:
+    def __init__(self, node):
+        self.node = node
+
+
+class Table:
+    """fields: list of (field_idx, kind, value); kind in
+    {"u32", "i32", "i8", "ref"}."""
+
+    def __init__(self, fields):
+        self.fields = fields
+
+
+class Vec:
+    """kind in {"ref", "i32", "u8", "f32"}."""
+
+    def __init__(self, kind, items):
+        self.kind = kind
+        self.items = items
+
+
+class _FbWriter:
+    def __init__(self, root: Table, ident: bytes = b"TFL3"):
+        self.buf = bytearray()
+        self.patches = []  # (pos, node)
+        self.queue = [root]
+        self.pos_of = {}
+        self.buf += struct.pack("<I", 0)  # root placeholder
+        self.buf += ident
+        self.patches.append((0, root))
+        while self.queue:
+            self._emit(self.queue.pop(0))
+        for pos, node in self.patches:
+            struct.pack_into("<I", self.buf, pos,
+                             self.pos_of[id(node)] - pos)
+
+    def _align(self, n=4):
+        while len(self.buf) % n:
+            self.buf += b"\0"
+
+    def _ref(self, node):
+        self.patches.append((len(self.buf), node))
+        self.buf += struct.pack("<I", 0)
+        if id(node) not in self.pos_of and node not in self.queue:
+            self.queue.append(node)
+
+    def _emit(self, node):
+        self._align()
+        if isinstance(node, Table):
+            fields = sorted(node.fields)
+            n_slots = (fields[-1][0] + 1) if fields else 0
+            vt_len = 4 + 2 * n_slots
+            # vtable immediately before the table
+            vt = bytearray(struct.pack("<HH", vt_len,
+                                       4 + 4 * len(fields)))
+            slot_off = {}
+            off = 4
+            for idx, _, _ in fields:
+                slot_off[idx] = off
+                off += 4
+            for i in range(n_slots):
+                vt += struct.pack("<H", slot_off.get(i, 0))
+            self.buf += vt
+            tpos = len(self.buf)
+            self.pos_of[id(node)] = tpos
+            self.buf += struct.pack("<i", vt_len)  # soffset back to vtable
+            for idx, kind, val in fields:
+                if kind == "ref":
+                    self._ref(val)
+                elif kind == "u32":
+                    self.buf += struct.pack("<I", val)
+                elif kind == "i32":
+                    self.buf += struct.pack("<i", val)
+                elif kind == "i8":  # byte scalar in a padded 4-byte slot
+                    self.buf += struct.pack("<b", val) + b"\0\0\0"
+                else:
+                    raise AssertionError(kind)
+        elif isinstance(node, Vec):
+            self.pos_of[id(node)] = len(self.buf)
+            self.buf += struct.pack("<I", len(node.items))
+            if node.kind == "ref":
+                for it in node.items:
+                    self._ref(it)
+            elif node.kind == "i32":
+                self.buf += np.asarray(node.items, "<i4").tobytes()
+            elif node.kind == "f32":
+                self.buf += np.asarray(node.items, "<f4").tobytes()
+            elif node.kind == "u8":
+                self.buf += bytes(node.items)
+                self._align()
+        else:
+            raise AssertionError(type(node))
+
+
+def _buffer(data: bytes) -> Table:
+    return Table([(0, "ref", Vec("u8", data))]) if data else Table([])
+
+
+def _tensor(shape, buffer_idx, ttype=0) -> Table:
+    return Table([(0, "ref", Vec("i32", list(shape))),
+                  (1, "i8", ttype), (2, "u32", buffer_idx)])
+
+
+def build_mlp_tflite(w1t, b1, w2t, b2, *, fused1=1, fused2=0,
+                     ident=b"TFL3", extra_op=None, ttype=0) -> bytes:
+    """Two FULLY_CONNECTED layers (weights in TFLite (out,in) layout),
+    optional trailing op, as a .tflite flatbuffer."""
+    buffers = [_buffer(b""),
+               _buffer(np.asarray(w1t, "<f4").tobytes()),
+               _buffer(np.asarray(b1, "<f4").tobytes()),
+               _buffer(np.asarray(w2t, "<f4").tobytes()),
+               _buffer(np.asarray(b2, "<f4").tobytes())]
+    in_dim, hid, out = w1t.shape[1], w1t.shape[0], w2t.shape[0]
+    tensors = [_tensor((1, in_dim), 0), _tensor(w1t.shape, 1, ttype),
+               _tensor((hid,), 2), _tensor((1, hid), 0),
+               _tensor(w2t.shape, 3), _tensor((out,), 4),
+               _tensor((1, out), 0)]
+    fc_opts1 = Table([(0, "i8", fused1)])
+    fc_opts2 = Table([(0, "i8", fused2)])
+    ops = [Table([(0, "u32", 0), (1, "ref", Vec("i32", [0, 1, 2])),
+                  (2, "ref", Vec("i32", [3])), (3, "i8", 8),
+                  (4, "ref", fc_opts1)]),
+           Table([(0, "u32", 0), (1, "ref", Vec("i32", [3, 4, 5])),
+                  (2, "ref", Vec("i32", [6])), (3, "i8", 8),
+                  (4, "ref", fc_opts2)])]
+    opcodes = [Table([(0, "i8", OP_FULLY_CONNECTED),
+                      (3, "i32", OP_FULLY_CONNECTED)])]
+    if extra_op is not None:
+        tensors.append(_tensor((1, out), 0))
+        opcodes.append(Table([(0, "i8", extra_op), (3, "i32", extra_op)]))
+        ops.append(Table([(0, "u32", 1), (1, "ref", Vec("i32", [6])),
+                          (2, "ref", Vec("i32", [7]))]))
+        out_idx = 7
+    else:
+        out_idx = 6
+    sg = Table([(0, "ref", Vec("ref", tensors)),
+                (1, "ref", Vec("i32", [0])),
+                (2, "ref", Vec("i32", [out_idx])),
+                (3, "ref", Vec("ref", ops))])
+    model = Table([(0, "u32", 3),
+                   (1, "ref", Vec("ref", opcodes)),
+                   (2, "ref", Vec("ref", [sg])),
+                   (4, "ref", Vec("ref", buffers))])
+    return bytes(_FbWriter(model, ident=ident).buf)
+
+
+def mlp_bytes(mlp: FixedMlp, **kw) -> bytes:
+    return build_mlp_tflite(mlp.w1.T, mlp.b1, mlp.w2.T, mlp.b2, **kw)
+
+
+def test_fb_reader_hand_built_vector():
+    """Byte-level flatbuffer assembled by hand from the public spec
+    (no shared code with the test writer): root table with a u32
+    scalar field 0 and an [int32] vector field 1."""
+    from fluent_bit_ray.stages.tflite import _FB
+    data = (struct.pack("<I", 16) + b"TFL3"
+            # vtable at 8: size 8, table size 12, field offs 4 and 8
+            + struct.pack("<4H", 8, 12, 4, 8)
+            # table at 16: soffset 8 → vtable at 8
+            + struct.pack("<i", 8)
+            + struct.pack("<I", 3)          # field 0 = 3
+            + struct.pack("<I", 4)          # field 1: uoffset → 28
+            + struct.pack("<3i", 2, 7, 9))  # vector [7, 9]
+    fb = _FB(data)
+    root = fb.root()
+    assert root == 16
+    assert fb.scalar(root, 0, "<I") == 3
+    assert fb.vector_i32(fb.indirect(root, 1)).tolist() == [7, 9]
+    assert fb.field(root, 5) == 0  # beyond the vtable → absent
+
+
+def test_tflite_matches_fixed_mlp():
+    """A .tflite of the SAME weights reproduces FixedMlp.forward —
+    integer weights keep the float32 path exact."""
+    mlp = FixedMlp(6, hidden=5, out_dim=3, seed=7)
+    m = load_tflite(mlp_bytes(mlp))
+    assert (m.input_dim, m.out_dim) == (6, 3)
+    x = np.arange(24, dtype=np.float64).reshape(4, 6) - 10
+    np.testing.assert_array_equal(m.forward(x), mlp.forward(x))
+
+
+def test_tflite_fused_activations_and_softmax():
+    mlp = FixedMlp(4, hidden=3, out_dim=2, seed=1)
+    m = load_tflite(mlp_bytes(mlp, extra_op=OP_LOGISTIC))
+    x = np.ones((2, 4))
+    expect = 1.0 / (1.0 + np.exp(-mlp.forward(x)))
+    np.testing.assert_allclose(m.forward(x), expect, rtol=1e-6)
+
+
+def test_tflite_bad_identifier_and_unsupported():
+    mlp = FixedMlp(4, hidden=3, out_dim=2)
+    with pytest.raises(ValueError, match="TFL3"):
+        load_tflite(mlp_bytes(mlp, ident=b"NOPE"))
+    with pytest.raises(NotImplementedError, match="CONV_2D"):
+        load_tflite(mlp_bytes(mlp, extra_op=3)).forward(np.ones((1, 4)))
+    with pytest.raises(NotImplementedError, match="FLOAT32"):
+        load_tflite(mlp_bytes(mlp, ttype=9))  # INT8 weights
+
+
+def test_tensorflow_stage_model_file(tmp_path, ray_session):
+    """model_file end-to-end: the stage loads a real .tflite once per
+    actor and scores batches identically to the seeded-MLP path."""
+    import ray.data as rd
+
+    mlp = FixedMlp(3, hidden=4, out_dim=2, seed=2024)
+    path = tmp_path / "mlp.tflite"
+    path.write_bytes(mlp_bytes(mlp))
+    df = pd.DataFrame({"rec": [f"r{i}" for i in range(8)],
+                       "input": [[i, i + 1, i + 2] for i in range(8)]})
+    ds = rd.from_pandas(df)
+    seeded = TensorflowStage("input", 3, hidden=4, out_dim=2).apply(ds)
+    loaded = TensorflowStage("input", model_file=str(path)).apply(ds)
+    a = seeded.to_pandas().sort_values("rec")
+    b = loaded.to_pandas().sort_values("rec")
+    assert [list(v) for v in a["tf_out"]] == [list(v) for v in b["tf_out"]]
+
+
+def test_tensorflow_config_model_file(tmp_path):
+    """The reference's model_file property (tensorflow.c:446) flows
+    through the classic-config builder to the stage spec."""
+    from fluent_bit_ray.config import _f_tensorflow
+
+    mlp = FixedMlp(3, hidden=4, out_dim=2)
+    path = tmp_path / "m.tflite"
+    path.write_bytes(mlp_bytes(mlp))
+    spec = _f_tensorflow([("input_field", "input"),
+                          ("model_file", str(path))], {})
+    assert spec["model_file"] == str(path)
+    assert "input_dim" not in spec
