@@ -5,7 +5,9 @@ The container has no PIL/ffmpeg/soundfile, but PNG is just zlib-
 compressed filtered scanlines, WAV is a RIFF header over raw PCM, and
 baseline JPEG is Huffman-coded quantized DCT blocks — all decodable
 with stdlib + numpy. These codecs make the multimodal decode stages
-REAL for png/jpeg/wav payloads (flac/mp4 still raise — honest stubs),
+REAL for png/jpeg/wav payloads and mp4 CONTAINER demux (sample
+table + access-unit slicing; the h264 payload stays opaque — codec
+decode needs ffmpeg; flac still raises, honest stub),
 with deterministic encoders so tests and synthetic tables can
 round-trip.
 
@@ -649,3 +651,168 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------- MP4 demux
+# ISO base media file format (ISO/IEC 14496-12) container DEMUX: walk
+# the box tree and rebuild the per-sample table (file offset, size,
+# decode timestamp, sync flag) from the stbl child boxes
+# (stsz/stsc/stco|co64/stts/stss). No codec decode happens here — a
+# frame-sampling stage needs exactly this table to slice the encoded
+# access units out of mdat and ship every k-th one to a downstream
+# decoder; the h264/h265 payloads stay opaque bytes.
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for boxes in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:                      # 64-bit largesize
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:                    # box extends to end
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"mp4: bad box size {size} at {pos}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_child(data, start, end, *path):
+    """Descend container boxes by type path; None when absent."""
+    for btype, b0, b1 in _mp4_boxes(data, start, end):
+        if btype == path[0]:
+            if len(path) == 1:
+                return b0, b1
+            return _mp4_child(data, b0, b1, *path[1:])
+    return None
+
+
+def demux_mp4(data: bytes) -> list[dict]:
+    """MP4/MOV bytes → one dict per track:
+    ``{"track_id", "handler", "codec", "timescale", "offsets",
+    "sizes", "dts", "sync"}`` (numpy arrays, one entry per sample;
+    ``dts`` in timescale units; ``sync`` True on random-access
+    samples — all True when no stss box is present, per 14496-12)."""
+    if len(data) < 12:
+        raise ValueError("mp4: truncated")
+    head = {b for b, _, _ in _mp4_boxes(data, 0, len(data))}
+    if b"moov" not in head:
+        raise ValueError("mp4: no moov box (not an MP4 or streaming-"
+                         "fragmented layout)")
+    moov = _mp4_child(data, 0, len(data), b"moov")
+    tracks = []
+    for btype, t0, t1 in _mp4_boxes(data, *moov):
+        if btype != b"trak":
+            continue
+        tkhd = _mp4_child(data, t0, t1, b"tkhd")
+        track_id = 0
+        if tkhd:
+            ver = data[tkhd[0]]
+            track_id = struct.unpack_from(
+                ">I", data, tkhd[0] + (20 if ver else 12))[0]
+        mdia = _mp4_child(data, t0, t1, b"mdia")
+        if not mdia:
+            continue
+        mdhd = _mp4_child(data, *mdia, b"mdhd")
+        timescale = 0
+        if mdhd:
+            ver = data[mdhd[0]]
+            timescale = struct.unpack_from(
+                ">I", data, mdhd[0] + (20 if ver else 12))[0]
+        hdlr = _mp4_child(data, *mdia, b"hdlr")
+        handler = (data[hdlr[0] + 8:hdlr[0] + 12].decode("latin1")
+                   if hdlr else "")
+        stbl = _mp4_child(data, *mdia, b"minf", b"stbl")
+        if not stbl:
+            continue
+
+        def full(box):  # skip FullBox version+flags
+            return (box[0] + 4, box[1]) if box else None
+
+        codec = ""
+        stsd = full(_mp4_child(data, *stbl, b"stsd"))
+        if stsd:
+            n = struct.unpack_from(">I", data, stsd[0])[0]
+            if n:
+                codec = data[stsd[0] + 8:stsd[0] + 12].decode("latin1")
+
+        stsz = full(_mp4_child(data, *stbl, b"stsz"))
+        if not stsz:
+            continue
+        fixed, count = struct.unpack_from(">II", data, stsz[0])
+        if fixed:
+            sizes = np.full(count, fixed, dtype=np.int64)
+        else:
+            sizes = np.frombuffer(data, ">u4", count,
+                                  stsz[0] + 8).astype(np.int64)
+
+        co = full(_mp4_child(data, *stbl, b"stco"))
+        if co:
+            nch = struct.unpack_from(">I", data, co[0])[0]
+            chunk_off = np.frombuffer(data, ">u4", nch,
+                                      co[0] + 4).astype(np.int64)
+        else:
+            co = full(_mp4_child(data, *stbl, b"co64"))
+            if not co:
+                continue
+            nch = struct.unpack_from(">I", data, co[0])[0]
+            chunk_off = np.frombuffer(data, ">u8", nch,
+                                      co[0] + 4).astype(np.int64)
+
+        stsc = full(_mp4_child(data, *stbl, b"stsc"))
+        per_chunk = np.ones(nch, dtype=np.int64)
+        if stsc:
+            ne = struct.unpack_from(">I", data, stsc[0])[0]
+            ent = np.frombuffer(data, ">u4", ne * 3,
+                                stsc[0] + 4).reshape(ne, 3)
+            # runs: entry i applies to chunks first_chunk_i .. next-1
+            for i in range(ne):
+                first = int(ent[i, 0]) - 1
+                last = int(ent[i + 1, 0]) - 1 if i + 1 < ne else nch
+                per_chunk[first:last] = int(ent[i, 1])
+        # per-sample offset: chunk base + cumulative sizes within chunk
+        chunk_idx = np.repeat(np.arange(nch), per_chunk)[:count]
+        cum = np.cumsum(sizes) - sizes   # exclusive prefix sum
+        starts = np.zeros(count, dtype=np.int64)
+        first_of_chunk = np.cumsum(per_chunk) - per_chunk
+        valid = first_of_chunk < count
+        starts[first_of_chunk[valid]] = 1
+        chunk_first = np.maximum.accumulate(
+            np.where(starts > 0, np.arange(count), 0))
+        offsets = (chunk_off[chunk_idx]
+                   + (cum - cum[chunk_first]))
+
+        stts = full(_mp4_child(data, *stbl, b"stts"))
+        dts = np.zeros(count, dtype=np.int64)
+        if stts:
+            ne = struct.unpack_from(">I", data, stts[0])[0]
+            ent = np.frombuffer(data, ">u4", ne * 2,
+                                stts[0] + 4).reshape(ne, 2)
+            deltas = np.repeat(ent[:, 1].astype(np.int64),
+                               ent[:, 0].astype(np.int64))[:count]
+            dts[1:] = np.cumsum(deltas)[:-1]
+
+        sync = np.ones(count, dtype=bool)
+        stss = full(_mp4_child(data, *stbl, b"stss"))
+        if stss:
+            ne = struct.unpack_from(">I", data, stss[0])[0]
+            sn = np.frombuffer(data, ">u4", ne, stss[0] + 4)
+            sync[:] = False
+            sync[sn.astype(np.int64) - 1] = True
+
+        tracks.append({"track_id": track_id, "handler": handler,
+                       "codec": codec, "timescale": timescale,
+                       "offsets": offsets, "sizes": sizes,
+                       "dts": dts, "sync": sync})
+    return tracks
+
+
+def mp4_sample_bytes(data: bytes, track: dict, idx: int) -> bytes:
+    """Slice one encoded sample (access unit) out of the file bytes."""
+    o, s = int(track["offsets"][idx]), int(track["sizes"][idx])
+    if o + s > len(data):
+        raise ValueError(f"mp4: sample {idx} extends past EOF")
+    return data[o:o + s]

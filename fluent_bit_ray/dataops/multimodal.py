@@ -7,8 +7,11 @@ libraries are loaded once per actor in ``__init__``.
 
 PNG and WAV decode for REAL via the pure-stdlib codecs in
 ``codecs.py`` (zlib scanlines / RIFF PCM) — features come from actual
-pixels and samples. Formats needing external codecs (jpeg/flac/mp4,
-PIL/ffmpeg/torchaudio absent from this container) raise
+pixels and samples; JPEG decodes via the pure-numpy baseline codec;
+MP4 demuxes for REAL at the container level (frame sampling slices
+encoded access units from mdat). Formats needing external codecs
+(flac; video codec decode itself — PIL/ffmpeg/torchaudio absent from
+this container) raise
 ``NotImplementedError`` unless ``fake=True``, which derives a
 deterministic fake decode from the payload bytes. The Ray-side
 plumbing — schema handling, small-batch sizing for large payloads,
@@ -145,22 +148,55 @@ class DecodeImageStage:
 
 
 class FrameSampleStage:
-    """Video-style frame sampling stub: emits every k-th 'frame' index
-    with deterministic byte slices as fake frames."""
+    """Video frame sampling: every k-th sample per payload.
 
-    def __init__(self, every_k: int = 8):
+    REAL path: ``demux_mp4`` (codecs.py, ISO/IEC 14496-12 container
+    parse) rebuilds the per-sample table from the stbl boxes and the
+    stage slices the actual encoded access units out of mdat —
+    exactly what ships to a downstream video decoder; the h264/h265
+    payload stays opaque bytes (codec decode is out of the
+    pure-python subset). ``sync_only=True`` restricts sampling to
+    random-access samples (stss), the standard thumbnail/keyframe
+    policy. Non-MP4 payloads raise unless ``fake=True`` (the former
+    byte-slice stub, kept for plumbing tests)."""
+
+    def __init__(self, every_k: int = 8, sync_only: bool = False,
+                 fake: bool = False):
         self.every_k = every_k
+        self.sync_only = sync_only
+        self.fake = fake
+
+    def _frames(self, payload: bytes):
+        if payload[4:8] in (b"ftyp", b"moov", b"mdat"):
+            from .codecs import demux_mp4, mp4_sample_bytes
+            for tr in demux_mp4(payload):
+                if tr["handler"] and tr["handler"] != "vide":
+                    continue
+                idxs = (np.flatnonzero(tr["sync"]) if self.sync_only
+                        else np.arange(len(tr["sizes"])))
+                for fi in idxs[::self.every_k]:
+                    yield (int(fi), int(tr["dts"][fi]),
+                           mp4_sample_bytes(payload, tr, int(fi)))
+            return
+        if not self.fake:
+            raise NotImplementedError(
+                "frame sampling: payload is not ISO-BMFF (mp4/mov); "
+                "other containers need fake=True or an external demuxer")
+        for fi in range(0, max(1, len(payload) // 64), self.every_k):
+            yield fi, fi, payload[fi * 64:(fi + 1) * 64]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_idx, frames = [], [], []
+        ids, frame_idx, dts, frames = [], [], [], []
         for i, p in zip(batch.column("img_id").to_pylist(),
                         batch.column("payload").to_pylist()):
-            for fi in range(0, max(1, len(p) // 64), self.every_k):
+            for fi, t, raw in self._frames(p):
                 ids.append(i)
                 frame_idx.append(fi)
-                frames.append(p[fi * 64:(fi + 1) * 64])
+                dts.append(t)
+                frames.append(raw)
         return pa.table({"img_id": pa.array(ids, type=pa.int64()),
                          "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                         "dts": pa.array(dts, type=pa.int64()),
                          "frame": pa.array(frames, type=pa.binary())})
 
 

@@ -143,7 +143,8 @@ def test_multimodal_plumbing():
     with pytest.raises(NotImplementedError):
         real._decode(b"xx", "webp")
     frames = rd.from_arrow(t).map_batches(
-        FrameSampleStage, batch_format="pyarrow", concurrency=2,
+        FrameSampleStage, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", concurrency=2,
         batch_size=16).to_pandas()
     assert (frames["frame_idx"] % 8 == 0).all()
 
@@ -906,3 +907,104 @@ def test_ngram_lm_scores_exact():
     many = ngram_lm_scores(docs_ds(texts).repartition(3)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert out.equals(many)
+
+
+# ------------------------------------------------------------- MP4
+def _box(btype: bytes, body: bytes) -> bytes:
+    import struct
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _full(btype: bytes, body: bytes, version: int = 0) -> bytes:
+    import struct
+    return _box(btype, struct.pack(">I", version << 24) + body)
+
+
+def build_test_mp4():
+    """Hand-built ISO-BMFF file: one video track, 7 samples of
+    varying size spread over 3 chunks (stsc runs [1→3/chunk, 3→2]),
+    per-sample sizes via stsz, keyframes 1 and 5 via stss, deltas
+    100 via stts. Returns (bytes, expected per-sample (offset, size,
+    dts, sync))."""
+    import struct
+    sizes = [10, 11, 12, 13, 14, 15, 16]
+    # chunks: [s0 s1 s2] [s3 s4] [s5 s6] with 5-byte junk gaps
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    samples = [bytes([65 + i]) * sizes[i] for i in range(7)]
+    mdat_body = (b"".join(samples[:3]) + b"JUNK1"
+                 + b"".join(samples[3:5]) + b"JUNK2"
+                 + b"".join(samples[5:]))
+    # mdat follows moov; compute chunk offsets after building moov
+    stsd = _full(b"stsd", struct.pack(">I", 1)
+                 + _box(b"avc1", b"\x00" * 78))
+    stts = _full(b"stts", struct.pack(">III", 1, 7, 100))
+    stsc = _full(b"stsc", struct.pack(">I", 2)
+                 + struct.pack(">III", 1, 3, 1)
+                 + struct.pack(">III", 2, 2, 1))
+    stsz = _full(b"stsz", struct.pack(">II", 0, 7)
+                 + b"".join(struct.pack(">I", s) for s in sizes))
+    stss = _full(b"stss", struct.pack(">III", 2, 1, 5))
+    placeholder = _full(b"stco", struct.pack(">IIII", 3, 0, 0, 0))
+
+    def assemble(stco):
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
+        minf = _box(b"minf", stbl)
+        mdhd = _full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 700))
+        hdlr = _full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _full(b"tkhd", struct.pack(">III", 0, 0, 7)
+                     + b"\x00" * 68)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", _full(b"mvhd", b"\x00" * 96) + trak)
+
+    moov_len = len(assemble(placeholder))
+    base = len(ftyp) + moov_len + 8          # mdat body start
+    c0 = base
+    c1 = c0 + sum(sizes[:3]) + 5
+    c2 = c1 + sum(sizes[3:5]) + 5
+    stco = _full(b"stco", struct.pack(">IIII", 3, c0, c1, c2))
+    moov = assemble(stco)
+    assert len(moov) == moov_len
+    data = ftyp + moov + _box(b"mdat", mdat_body)
+    offs = [c0, c0 + 10, c0 + 21, c1, c1 + 13, c2, c2 + 15]
+    expect = [(offs[i], sizes[i], 100 * i, i in (0, 4))
+              for i in range(7)]
+    return data, expect
+
+
+def test_mp4_demux_hand_built():
+    """Demux a byte-level hand-assembled MP4: offsets reconstructed
+    through the stsc/stco/stsz indirection, dts from stts, sync from
+    stss — and the sliced sample bytes are the planted runs."""
+    from fluent_bit_ray.dataops.codecs import demux_mp4, mp4_sample_bytes
+    data, expect = build_test_mp4()
+    [tr] = demux_mp4(data)
+    assert (tr["handler"], tr["codec"]) == ("vide", "avc1")
+    assert (tr["track_id"], tr["timescale"]) == (7, 1000)
+    got = list(zip(tr["offsets"].tolist(), tr["sizes"].tolist(),
+                   tr["dts"].tolist(), tr["sync"].tolist()))
+    assert got == expect
+    for i in range(7):
+        raw = mp4_sample_bytes(data, tr, i)
+        assert raw == bytes([65 + i]) * expect[i][1]
+    with pytest.raises(ValueError, match="moov"):
+        demux_mp4(b"\x00\x00\x00\x0cfree\x00\x00\x00\x00")
+
+
+def test_mp4_frame_sampling_e2e():
+    """FrameSampleStage over real MP4 payloads in an actor pool:
+    every_k and sync_only select the right encoded access units."""
+    from fluent_bit_ray.dataops.multimodal import FrameSampleStage
+    data, expect = build_test_mp4()
+    t = pa.table({"img_id": pa.array([1, 2], type=pa.int64()),
+                  "payload": pa.array([data, data], type=pa.binary())})
+    out = rd.from_arrow(t).map_batches(
+        FrameSampleStage, fn_constructor_kwargs={"every_k": 3},
+        batch_format="pyarrow", concurrency=2).to_pandas()
+    per = out[out["img_id"] == 1].sort_values("frame_idx")
+    assert per["frame_idx"].tolist() == [0, 3, 6]
+    assert per["dts"].tolist() == [0, 300, 600]
+    assert per["frame"].tolist() == [b"A" * 10, b"D" * 13, b"G" * 16]
+    st = FrameSampleStage(every_k=1, sync_only=True)
+    sync = st(t.slice(0, 1)).to_pandas()
+    assert sync["frame_idx"].tolist() == [0, 4]  # stss keyframes
