@@ -5,9 +5,9 @@ The container has no PIL/ffmpeg/soundfile, but PNG is just zlib-
 compressed filtered scanlines, WAV is a RIFF header over raw PCM, and
 baseline JPEG is Huffman-coded quantized DCT blocks — all decodable
 with stdlib + numpy. These codecs make the multimodal decode stages
-REAL for png/jpeg/wav payloads and mp4 CONTAINER demux (sample
-table + access-unit slicing; the h264 payload stays opaque — codec
-decode needs ffmpeg; flac still raises, honest stub),
+REAL for png/jpeg/wav/flac payloads and mp4 CONTAINER demux (sample
+table + access-unit slicing; the h264 payload stays opaque — video
+codec decode needs ffmpeg),
 with deterministic encoders so tests and synthetic tables can
 round-trip.
 
@@ -816,3 +816,390 @@ def mp4_sample_bytes(data: bytes, track: dict, idx: int) -> bytes:
     if o + s > len(data):
         raise ValueError(f"mp4: sample {idx} extends past EOF")
     return data[o:o + s]
+
+
+# -------------------------------------------------------------- FLAC
+# Free Lossless Audio Codec (public spec, RFC 9639 / xiph format doc).
+# Pure-python DECODER covering the mandatory feature set: STREAMINFO,
+# frames with fixed or variable blocking, all four subframe types
+# (CONSTANT, VERBATIM, FIXED order 0-4, LPC order 1-32), RICE and
+# RICE2 partitioned residuals incl. escape partitions, wasted bits,
+# and the four channel assignments (independent, left/side,
+# right/side, mid/side). CRC-8 (header) and CRC-16 (frame) are
+# verified. The ENCODER is intentionally simple (verbatim or fixed
+# predictors, one rice partition, independent channels) — it exists
+# so tests and synthetic tables can round-trip; any spec-conformant
+# decoder reads its output.
+
+_CRC8_TAB = None
+_CRC16_TAB = None
+
+
+def _crc_tables():
+    global _CRC8_TAB, _CRC16_TAB
+    if _CRC8_TAB is None:
+        t8 = np.zeros(256, dtype=np.uint8)
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07 if c & 0x80 else c << 1) & 0xFF
+            t8[i] = c
+        t16 = np.zeros(256, dtype=np.uint16)
+        for i in range(256):
+            c = i << 8
+            for _ in range(8):
+                c = ((c << 1) ^ 0x8005 if c & 0x8000 else c << 1) & 0xFFFF
+            t16[i] = c
+        _CRC8_TAB, _CRC16_TAB = t8, t16
+    return _CRC8_TAB, _CRC16_TAB
+
+
+def _crc8(data: bytes) -> int:
+    t8, _ = _crc_tables()
+    c = 0
+    for b in data:
+        c = t8[c ^ b]
+    return int(c)
+
+
+def _crc16(data: bytes) -> int:
+    _, t16 = _crc_tables()
+    c = 0
+    for b in data:
+        c = int(t16[(c >> 8) ^ b]) ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _MsbReader:
+    """MSB-first bit reader over a byte buffer."""
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        v = 0
+        p = self.pos
+        for b in self.bits[p:p + n]:
+            v = (v << 1) | int(b)
+        self.pos = p + n
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >> (n - 1) else v
+
+    def unary(self) -> int:
+        p = self.pos
+        nz = np.flatnonzero(self.bits[p:])
+        if len(nz) == 0:
+            raise ValueError("flac: ran off the end in unary code")
+        q = int(nz[0])
+        self.pos = p + q + 1
+        return q
+
+    def align_byte(self):
+        self.pos = (self.pos + 7) & ~7
+
+
+def _utf8_coded(br: _MsbReader) -> int:
+    """FLAC frame/sample number: UTF-8-style variable-length uint."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    while b0 & (0x80 >> n):
+        n += 1
+    v = b0 & (0x7F >> n)
+    for _ in range(n - 1):
+        v = (v << 6) | (br.read(8) & 0x3F)
+    return v
+
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+_FLAC_BPS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _flac_residual(br: _MsbReader, blocksize: int, order: int) -> np.ndarray:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"flac: reserved residual method {method}")
+    pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    porder = br.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts or blocksize >> porder <= order and nparts > 1:
+        pass  # spec allows tight fits; sizes computed below
+    out = np.empty(blocksize - order, dtype=np.int64)
+    w = 0
+    for p in range(nparts):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            for i in range(n):
+                out[w + i] = br.read_signed(raw) if raw else 0
+        else:
+            for i in range(n):
+                q = br.unary()
+                v = (q << param) | br.read(param)
+                out[w + i] = (v >> 1) ^ -(v & 1)  # zigzag
+        w += n
+    return out
+
+
+_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_subframe(br: _MsbReader, blocksize: int, bps: int) -> np.ndarray:
+    if br.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    ftype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.unary() + 1
+        bps -= wasted
+    if ftype == 0:                       # CONSTANT
+        out = np.full(blocksize, br.read_signed(bps), dtype=np.int64)
+    elif ftype == 1:                     # VERBATIM
+        out = np.array([br.read_signed(bps) for _ in range(blocksize)],
+                       dtype=np.int64)
+    elif 8 <= ftype <= 12:               # FIXED order 0-4
+        order = ftype - 8
+        warm = [br.read_signed(bps) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        coef = _FIXED_COEF[order]
+        for i in range(order, blocksize):
+            acc = res[i - order]
+            for j, c in enumerate(coef):
+                acc += c * out[i - 1 - j]
+            out[i] = acc
+    elif ftype >= 32:                    # LPC order 1-32
+        order = ftype - 31
+        warm = [br.read_signed(bps) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid qlp precision")
+        shift = br.read_signed(5)
+        coef = [br.read_signed(prec) for _ in range(order)]
+        res = _flac_residual(br, blocksize, order)
+        out = np.empty(blocksize, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, blocksize):
+            acc = 0
+            for j in range(order):
+                acc += coef[j] * out[i - 1 - j]
+            out[i] = res[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"flac: reserved subframe type {ftype}")
+    if wasted:
+        out <<= wasted
+    return out
+
+
+def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
+    """FLAC bytes → (int array (n,) or (n, ch), sample_rate)."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream (no fLaC magic)")
+    pos = 4
+    sinfo = None
+    while True:                          # metadata blocks
+        hdr = data[pos:pos + 4]
+        last, btype = hdr[0] >> 7, hdr[0] & 0x7F
+        ln = int.from_bytes(hdr[1:4], "big")
+        if btype == 0:
+            sinfo = data[pos + 4:pos + 4 + ln]
+        pos += 4 + ln
+        if last:
+            break
+    if sinfo is None:
+        raise ValueError("flac: missing STREAMINFO")
+    si = _MsbReader(sinfo)
+    si.read(16); si.read(16); si.read(24); si.read(24)  # noqa: E702
+    s_rate = si.read(20)
+    s_chans = si.read(3) + 1
+    s_bps = si.read(5) + 1
+    total = si.read(36)
+
+    chans_out: list[list[np.ndarray]] = [[] for _ in range(s_chans)]
+    got = 0
+    while got < total and pos < len(data):
+        frame_start = pos
+        br = _MsbReader(data[pos:])
+        if br.read(14) != 0x3FFE:
+            raise ValueError(f"flac: lost frame sync at byte {pos}")
+        br.read(1)                        # reserved
+        br.read(1)                        # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        bps_code = br.read(3)
+        br.read(1)                        # reserved
+        _utf8_coded(br)                   # frame/sample number
+        if bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _FLAC_BLOCKSIZES.get(bs_code)
+            if blocksize is None:
+                raise ValueError("flac: reserved blocksize code")
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        bps = _FLAC_BPS.get(bps_code, s_bps)
+        hdr_end = (br.pos + 7) // 8
+        if _crc8(data[pos:pos + hdr_end + 1]) != 0:
+            raise ValueError("flac: frame header CRC-8 mismatch")
+        br.pos = (hdr_end + 1) * 8
+
+        if ch_code < 8:
+            nch = ch_code + 1
+            subs = [_flac_subframe(br, blocksize, bps)
+                    for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            nch = 2
+            # the SIDE channel carries one extra bit
+            if ch_code == 8:              # left/side
+                left = _flac_subframe(br, blocksize, bps)
+                side = _flac_subframe(br, blocksize, bps + 1)
+                subs = [left, left - side]
+            elif ch_code == 9:            # right/side
+                side = _flac_subframe(br, blocksize, bps + 1)
+                right = _flac_subframe(br, blocksize, bps)
+                subs = [right + side, right]
+            else:                         # mid/side
+                mid = _flac_subframe(br, blocksize, bps)
+                side = _flac_subframe(br, blocksize, bps + 1)
+                m2 = (mid << 1) | (side & 1)
+                subs = [(m2 + side) >> 1, (m2 - side) >> 1]
+        else:
+            raise ValueError(f"flac: reserved channel assignment {ch_code}")
+        if nch != s_chans:
+            raise ValueError("flac: frame channel count != STREAMINFO")
+        br.align_byte()
+        frame_len = br.pos // 8 + 2       # + CRC-16
+        if _crc16(data[frame_start:frame_start + frame_len]) != 0:
+            raise ValueError("flac: frame CRC-16 mismatch")
+        for c in range(nch):
+            chans_out[c].append(subs[c])
+        got += blocksize
+        pos = frame_start + frame_len
+
+    chans = [np.concatenate(c)[:total] for c in chans_out]
+    out = chans[0] if s_chans == 1 else np.stack(chans, axis=1)
+    return out, s_rate
+
+
+class _MsbWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, v: int, n: int):
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nacc += n
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.out.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def align(self):
+        if self.nacc:
+            self.write(0, 8 - self.nacc)
+
+    def bytes(self) -> bytes:
+        assert self.nacc == 0
+        return bytes(self.out)
+
+
+def encode_flac(pcm: np.ndarray, sample_rate: int = 16000,
+                bps: int = 16, blocksize: int = 4096,
+                fixed_order: int = 2) -> bytes:
+    """Spec-conformant (minimal) FLAC encoder: independent channels,
+    FIXED-predictor subframes (order auto-capped), single rice
+    partition with a per-subframe parameter sweep, escape fallback."""
+    a = np.asarray(pcm, dtype=np.int64)
+    if a.ndim == 1:
+        a = a[:, None]
+    total, nch = a.shape
+    w = _MsbWriter()
+    w.out += b"fLaC"
+    # STREAMINFO (last metadata block)
+    si = _MsbWriter()
+    si.write(blocksize, 16)
+    si.write(blocksize, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    sib = si.bytes() + b"\x00" * 16       # md5 unset (zeros allowed)
+    w.out += bytes([0x80]) + len(sib).to_bytes(3, "big") + sib
+
+    for fno, start in enumerate(range(0, total, blocksize)):
+        blk = a[start:start + blocksize]
+        n = len(blk)
+        f = _MsbWriter()
+        f.write(0x3FFE, 14)
+        f.write(0, 1)
+        f.write(0, 1)                     # fixed blocking
+        f.write(7, 4)                     # blocksize-1 in 16 bits
+        f.write(0, 4)                     # rate from STREAMINFO
+        f.write(nch - 1, 4)               # independent channels
+        f.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps], 3)
+        f.write(0, 1)
+        # UTF-8 coded frame number (supports the 2-byte form)
+        if fno < 0x80:
+            f.write(fno, 8)
+        else:
+            f.write(0xC0 | (fno >> 6), 8)
+            f.write(0x80 | (fno & 0x3F), 8)
+        f.write(n - 1, 16)
+        hdr = f.bytes()
+        f = _MsbWriter()
+        f.out += hdr + bytes([_crc8(hdr)])
+        for c in range(nch):
+            sig = blk[:, c]
+            order = min(fixed_order, max(0, n - 1))
+            res = sig.copy()
+            for _ in range(order):        # repeated first difference
+                res = np.diff(res)
+            res = res.astype(np.int64)
+            f.write(0, 1)
+            f.write(8 + order, 6)         # FIXED subframe
+            f.write(0, 1)                 # no wasted bits
+            for v in sig[:order]:
+                f.write(int(v), bps)
+            f.write(0, 2)                 # rice (4-bit params)
+            f.write(0, 4)                 # one partition
+            zz = (np.abs(res) << 1) - (res < 0).astype(np.int64)
+            best_k, best_cost = None, None
+            for k in range(15):
+                cost = int(np.sum(zz >> k)) + len(zz) * (k + 1)
+                if best_cost is None or cost < best_cost:
+                    best_k, best_cost = k, cost
+            raw_bits = int(max(zz.max() if len(zz) else 0, 1)
+                           ).bit_length() + 1
+            if best_cost > len(zz) * raw_bits + 5:
+                f.write(0xF, 4)           # escape: raw residuals
+                f.write(raw_bits, 5)
+                for v in res:
+                    f.write(int(v), raw_bits)
+            else:
+                f.write(best_k, 4)
+                for v in zz:
+                    q = int(v) >> best_k
+                    f.write(0, q)
+                    f.write(1, 1)
+                    f.write(int(v), best_k)
+        f.align()
+        frame = f.bytes()
+        w.out += frame + _crc16(frame).to_bytes(2, "big")
+    return bytes(w.out)

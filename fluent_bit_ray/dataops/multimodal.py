@@ -8,10 +8,11 @@ libraries are loaded once per actor in ``__init__``.
 PNG and WAV decode for REAL via the pure-stdlib codecs in
 ``codecs.py`` (zlib scanlines / RIFF PCM) — features come from actual
 pixels and samples; JPEG decodes via the pure-numpy baseline codec;
-MP4 demuxes for REAL at the container level (frame sampling slices
-encoded access units from mdat). Formats needing external codecs
-(flac; video codec decode itself — PIL/ffmpeg/torchaudio absent from
-this container) raise
+FLAC decodes via the pure-python decoder (fixed + LPC predictors,
+rice residuals, mid/side); MP4 demuxes for REAL at the container
+level (frame sampling slices encoded access units from mdat). Video
+codec decode itself (PIL/ffmpeg/torchaudio absent from this
+container) raises
 ``NotImplementedError`` unless ``fake=True``, which derives a
 deterministic fake decode from the payload bytes. The Ray-side
 plumbing — schema handling, small-batch sizing for large payloads,
@@ -249,17 +250,18 @@ class DecodeAudioStage:
 
     def _features(self, payload: bytes, codec: str) -> np.ndarray:
         if not self.fake:
-            if codec == "wav":
-                # REAL decode: RIFF PCM via codecs.py; channels mixed
-                # down, then the same windowed-RMS kernel
-                from .codecs import decode_wav
-                pcm16, _rate = decode_wav(payload)
+            if codec in ("wav", "flac"):
+                # REAL decode: RIFF PCM / FLAC via codecs.py; channels
+                # mixed down, then the same windowed-RMS kernel
+                from .codecs import decode_flac, decode_wav
+                pcm16, _rate = (decode_wav(payload) if codec == "wav"
+                                else decode_flac(payload))
                 if pcm16.ndim > 1:
                     pcm16 = pcm16.mean(axis=1)
                 return self._rms_windows(pcm16.astype(np.float32))
             raise NotImplementedError(
                 f"no codec for audio format {codec!r} in this "
-                "environment (wav decodes natively; construct "
+                "environment (wav/flac decode natively; construct "
                 "DecodeAudioStage(fake=True) for plumbing tests)")
         pcm = np.frombuffer(payload, dtype=np.int8).astype(np.float32)
         return self._rms_windows(pcm)

@@ -295,13 +295,15 @@ def test_audio_plumbing():
     e1 = st(t.slice(0, 4)).column("energies").to_pylist()
     e2 = st(t.slice(0, 4)).column("energies").to_pylist()
     assert e1 == e2 and all(v >= 0 for row in e1 for v in row)
-    # formats without a native codec raise cleanly (wav decodes for
-    # real via codecs.py — covered by the real-decode test)
+    # formats without a native codec raise cleanly (wav AND flac
+    # decode for real via codecs.py — covered by the real-decode tests)
     real = DecodeAudioStage(fake=False)
     with pytest.raises(NotImplementedError):
-        real._features(b"\x00" * 64, "flac")
+        real._features(b"\x00" * 64, "mp3")
     with pytest.raises(ValueError):  # wav path is real: bad bytes
         real._features(b"\x00" * 64, "wav")
+    with pytest.raises(ValueError):  # flac path is real: bad bytes
+        real._features(b"\x00" * 64, "flac")
 
 
 def test_minhash_counts_join_matches_broadcast_and_auto_routes(monkeypatch):
@@ -1008,3 +1010,159 @@ def test_mp4_frame_sampling_e2e():
     st = FrameSampleStage(every_k=1, sync_only=True)
     sync = st(t.slice(0, 1)).to_pandas()
     assert sync["frame_idx"].tolist() == [0, 4]  # stss keyframes
+
+
+# ------------------------------------------------------------- FLAC
+def test_flac_roundtrip_exact():
+    """encode_flac → decode_flac is bit-exact across fixed orders,
+    mono/stereo, multi-frame streams and the escape path."""
+    from fluent_bit_ray.dataops.codecs import decode_flac, encode_flac
+    rs = np.random.RandomState(5)
+    t = np.arange(10000)
+    sig = (3000 * np.sin(2 * np.pi * t / 50)
+           + rs.randint(-200, 200, len(t))).astype(np.int64)
+    enc = encode_flac(sig, 16000, blocksize=4096)
+    dec, rate = decode_flac(enc)
+    assert np.array_equal(dec, sig) and rate == 16000
+    assert len(enc) < len(sig) * 2 * 0.75  # rice coding really helps
+    st = np.stack([sig[:3000], np.roll(sig[:3000], 3)], axis=1)
+    dec2, r2 = decode_flac(encode_flac(st, 44100, blocksize=1024,
+                                       fixed_order=0))
+    assert np.array_equal(dec2, st) and r2 == 44100
+    wild = rs.randint(-30000, 30000, 3000).astype(np.int64)  # escape
+    dec3, _ = decode_flac(encode_flac(wild, 8000, blocksize=512,
+                                      fixed_order=1))
+    assert np.array_equal(dec3, wild)
+
+
+def test_flac_hand_built_constant():
+    """Byte-level FLAC stream written by hand from the spec (RFC 9639):
+    STREAMINFO + one frame with a CONSTANT subframe — decoder
+    correctness independent of encode_flac."""
+    from fluent_bit_ray.dataops.codecs import _crc8, _crc16, decode_flac
+    si = bytearray()
+    si += (4).to_bytes(2, "big") * 2      # min/max blocksize
+    si += b"\x00\x00\x00" * 2             # min/max framesize
+    # rate 8000 (20 bits) | chans-1 0 (3) | bps-1 15 (5) | total 4 (36)
+    si += bytes([8000 >> 12, (8000 >> 4) & 0xFF,
+                 ((8000 & 0xF) << 4) | (0 << 1) | (15 >> 4),
+                 ((15 & 0xF) << 4) | 0, 0, 0, 0, 4])
+    si += b"\x00" * 16                    # md5 unset
+    meta = bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+    # frame header bits: sync(14)=3FFE, res 0, blocking 0, bs_code 6,
+    # sr_code 0, ch 0, bps 100b(16-bit), res 0, frame#=0, bs-1=3
+    hdr = bytes([0xFF, 0xF8, 0x60, 0x08, 0x00, 0x03])
+    hdr += bytes([_crc8(hdr)])
+    # subframe: pad 0, type 000000 (CONSTANT), wasted 0, value -100
+    body = bytes([0x00]) + (-100 & 0xFFFF).to_bytes(2, "big")
+    frame = hdr + body
+    frame += _crc16(frame).to_bytes(2, "big")
+    out, rate = decode_flac(b"fLaC" + meta + frame)
+    assert rate == 8000
+    assert out.tolist() == [-100, -100, -100, -100]
+
+
+class _W:
+    """Test-local MSB bit writer (independent of codecs._MsbWriter)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def w(self, v, n):
+        self.bits += [(v >> (n - 1 - i)) & 1 for i in range(n)]
+
+    def bytes(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        return bytes(sum(b << (7 - i) for i, b in enumerate(self.bits[p:p + 8]))
+                     for p in range(0, len(self.bits), 8))
+
+
+def test_flac_lpc_midside_wasted_partitions():
+    """Decoder paths the simple encoder never emits, written bit-level
+    by a test-local writer: mid/side stereo, an LPC-order-2 subframe
+    with TWO rice partitions, and a CONSTANT side subframe with one
+    wasted bit. Expected samples computed independently below."""
+    from fluent_bit_ray.dataops.codecs import _crc8, _crc16, decode_flac
+    blocksize, order, shift, coefs = 8, 2, 1, [3, -1]
+    warm = [10, 12]
+    resid = [1, -2, 0, 3, -1, 2]
+    mid = list(warm)
+    for i in range(order, blocksize):
+        mid.append(resid[i - order]
+                   + ((coefs[0] * mid[i - 1] + coefs[1] * mid[i - 2])
+                      >> shift))
+    side = 6  # stored as 3 with one wasted bit
+    left = [((m << 1 | (side & 1)) + side) >> 1 for m in mid]
+    right = [((m << 1 | (side & 1)) - side) >> 1 for m in mid]
+
+    si = _W()
+    si.w(blocksize, 16); si.w(blocksize, 16)  # noqa: E702
+    si.w(0, 24); si.w(0, 24)                   # noqa: E702
+    si.w(16000, 20); si.w(1, 3); si.w(15, 5)   # noqa: E702  2ch, 16bps
+    si.w(blocksize, 36)
+    sib = si.bytes() + b"\x00" * 16
+    meta = bytes([0x80]) + len(sib).to_bytes(3, "big") + sib
+
+    h = _W()
+    h.w(0x3FFE, 14); h.w(0, 1); h.w(0, 1)      # noqa: E702
+    h.w(6, 4)        # 8-bit blocksize-1 follows
+    h.w(0, 4)        # rate from streaminfo
+    h.w(10, 4)       # mid/side
+    h.w(4, 3); h.w(0, 1)                       # noqa: E702  16 bps
+    h.w(0, 8)        # frame number 0
+    h.w(blocksize - 1, 8)
+    hdr = h.bytes()
+    hdr += bytes([_crc8(hdr)])
+
+    b = _W()
+    # mid subframe: LPC order 2 (type 100001), no wasted bits
+    b.w(0, 1); b.w(0x20 | (order - 1), 6); b.w(0, 1)  # noqa: E702
+    for v in warm:
+        b.w(v & 0xFFFF, 16)
+    b.w(4 - 1, 4)            # qlp precision 4
+    b.w(shift & 0x1F, 5)
+    for c in coefs:
+        b.w(c & 0xF, 4)
+    b.w(0, 2)                # rice method 0
+    b.w(1, 4)                # partition order 1 → 2 partitions
+    # partition 1: blocksize/2 - order = 2 samples, k=0
+    # partition 2: blocksize/2 = 4 samples, k=1
+    zz = [(abs(r) << 1) - (r < 0) for r in resid]
+    b.w(0, 4)
+    for v in zz[:2]:
+        b.w(0, v); b.w(1, 1)                   # noqa: E702  unary only
+    b.w(1, 4)
+    for v in zz[2:]:
+        b.w(0, v >> 1); b.w(1, 1); b.w(v & 1, 1)  # noqa: E702
+    # side subframe (bps 17): CONSTANT, wasted=1 (flag 1 + unary 0)
+    b.w(0, 1); b.w(0, 6); b.w(1, 1); b.w(1, 1)  # noqa: E702
+    b.w(side >> 1, 16)       # 17-1 wasted bits
+    frame = hdr + b.bytes()
+    frame += _crc16(frame).to_bytes(2, "big")
+
+    out, rate = decode_flac(b"fLaC" + meta + frame)
+    assert rate == 16000
+    assert out[:, 0].tolist() == left
+    assert out[:, 1].tolist() == right
+
+
+def test_flac_audio_stage_e2e():
+    """DecodeAudioStage over real FLAC payloads matches the WAV path
+    on the same PCM (codec-independent features)."""
+    from fluent_bit_ray.dataops.codecs import encode_flac, encode_wav
+    from fluent_bit_ray.dataops.multimodal import DecodeAudioStage
+    rs = np.random.RandomState(9)
+    pcm = (2000 * np.sin(np.arange(2000) / 7)
+           + rs.randint(-100, 100, 2000)).astype(np.int16)
+    t = pa.table({
+        "audio_id": pa.array([1, 2], type=pa.int64()),
+        "payload": pa.array([encode_wav(pcm, 16000),
+                             encode_flac(pcm.astype(np.int64), 16000)],
+                            type=pa.binary()),
+        "codec": pa.array(["wav", "flac"])})
+    out = rd.from_arrow(t).map_batches(
+        DecodeAudioStage, fn_constructor_kwargs={"fake": False},
+        batch_format="pyarrow", concurrency=1).to_pandas()
+    e = out.sort_values("audio_id")["energies"].tolist()
+    assert np.allclose(e[0], e[1])
