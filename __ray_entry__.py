@@ -495,6 +495,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values(["conv_id", "turn_idx"])
                 .reset_index(drop=True))
 
+    def wide_parsed(sf_dir: str):
+        """1000-key wide-record stress (reference
+        tests/runtime/gen_data.py JSON_LONG: key_0..key_999 string map
+        + END_KEY sentinel) through parser → modify(rename/set) →
+        nest(key_9* under bucket9). Input is deterministic and
+        sf-independent (2048 rows); the oracle REBUILDS the same JSON
+        in DuckDB and re-parses it with json_extract/json_keys, so
+        the parse itself is cross-checked, not just row plumbing.
+        batch_size is sized to row WIDTH (~16 KB rows)."""
+        import json as _json
+
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from fluent_bit_ray.pipelines.pipeline import Pipeline
+        from fluent_bit_ray.sources.wide import wide_records
+
+        pipe = Pipeline(batch_size=256, stages=[
+            {"type": "parser", "key_name": "text",
+             "parsers": [{"name": "json", "format": "json"}]},
+            {"type": "modify", "rules": [("rename", "key_0", "first_key"),
+                                         ("set", "marker", "wide")]},
+            {"type": "nest", "operation": "nest", "wildcard": ["key_9*"],
+             "nest_under": "bucket9"},
+        ], sinks=[("all", "*")])
+        ds = pipe.run(rd.from_arrow(wide_records(2048, 1000))
+                      .repartition(8)).ds
+
+        def extract(df: pd.DataFrame) -> pd.DataFrame:
+            recs = [_json.loads(f) for f in df["fields"]]
+            return pd.DataFrame({
+                "row_id": np.array([r["row_id"] for r in recs],
+                                   dtype="int64"),
+                "first_key": [r["first_key"] for r in recs],
+                "marker": [r["marker"] for r in recs],
+                "n_bucket9": np.array([len(r["bucket9"]) for r in recs],
+                                      dtype="int64"),
+                "sentinel": [r["END_KEY"] for r in recs]})
+
+        out = ds.map_batches(extract, batch_format="pandas").to_pandas()
+        return out.sort_values("row_id").reset_index(drop=True)
+
     def collapsed_repeats(sf_dir: str):
         """'Last message repeated N times' (rsyslog
         $RepeatedMsgReduction): consecutive identical (role, text)
@@ -1211,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cms": events_user_cms,
         "sft_pairs": sft_pairs,
         "sft_refs": sft_refs,
+        "wide_parsed": wide_parsed,
         "collapsed_repeats": collapsed_repeats,
         "tool_transition_counts": tool_transition_counts,
         "docs_topk_per_source": docs_topk_per_source,
@@ -1698,6 +1742,24 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
             SELECT conv_id, turn_idx, ctx_start, ctx_len FROM c
             WHERE role = 'assistant' ORDER BY conv_id, turn_idx
+        """,
+        "wide_parsed": """
+            WITH body AS (
+              SELECT string_agg('"key_' || j || '": "val_' || j || '"',
+                                ',' ORDER BY j) AS kv
+              FROM range(1000) s(j)
+            ), r AS (
+              SELECT i, '{"row_id": ' || i || ',' || kv
+                        || ',"END_KEY": "JSON_END"}' AS text
+              FROM range(2048) t(i), body)
+            SELECT i AS row_id,
+                   json_extract_string(text, '$.key_0') AS first_key,
+                   'wide' AS marker,
+                   CAST(len(list_filter(json_keys(text),
+                                        k -> k LIKE 'key_9%'))
+                        AS BIGINT) AS n_bucket9,
+                   json_extract_string(text, '$.END_KEY') AS sentinel
+            FROM r ORDER BY row_id
         """,
         "tool_transition_counts": f"""
             WITH t AS ({t}),

@@ -1166,3 +1166,35 @@ def test_flac_audio_stage_e2e():
         batch_format="pyarrow", concurrency=1).to_pandas()
     e = out.sort_values("audio_id")["energies"].tolist()
     assert np.allclose(e[0], e[1])
+
+
+def test_simhash_arrow_kernel_matches_pandas_kernel():
+    """The Arrow-native simhash kernel (tokenize/factorize in Arrow C,
+    zero Python strings for the token stream) must produce EXACTLY the
+    signatures of the reference pandas kernel on adversarial inputs:
+    unicode, empty/whitespace-only text, nulls, and the chunked
+    reduceat path."""
+    import fluent_bit_ray.dataops.dedup as dd
+    from fluent_bit_ray.dataops.dedup import (_SimhashBatch,
+                                              _simhash_arrow_batch)
+    rs = np.random.RandomState(1)
+    vocab = [f"w{i}" for i in range(300)] + ["ünïcode", "日本語"]
+    texts = [" ".join(rs.choice(vocab, rs.randint(0, 60)))
+             for _ in range(400)]
+    texts += ["", "   ", "\t\n  ", "a", " a  b ", "None"]
+    texts[3] = None  # null text: object-dtype None, as Ray batches use
+    df = pd.DataFrame({"doc_id": range(len(texts)),
+                       "text": pd.Series(texts, dtype=object)})
+    tbl = pa.Table.from_pandas(df)
+    ref = _SimhashBatch("doc_id", "text")(df)["simhash"].to_numpy()
+    got = _simhash_arrow_batch(tbl, "doc_id", "text",
+                               {}).column("simhash").to_numpy()
+    assert np.array_equal(ref, got)
+    old = dd._SimhashBatch._CHUNK_TOKENS
+    try:
+        dd._SimhashBatch._CHUNK_TOKENS = 37  # force many chunks
+        got2 = _simhash_arrow_batch(tbl, "doc_id", "text",
+                                    {}).column("simhash").to_numpy()
+    finally:
+        dd._SimhashBatch._CHUNK_TOKENS = old
+    assert np.array_equal(ref, got2)
