@@ -1198,3 +1198,62 @@ def test_simhash_arrow_kernel_matches_pandas_kernel():
     finally:
         dd._SimhashBatch._CHUNK_TOKENS = old
     assert np.array_equal(ref, got2)
+
+
+def test_flac_hypothesis_roundtrip():
+    """Property: ANY int16 PCM (any length, 1-2 channels, any fixed
+    order) survives encode_flac → decode_flac bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from fluent_bit_ray.dataops.codecs import decode_flac, encode_flac
+
+    @settings(max_examples=25, deadline=None)
+    @given(pcm=arrays(np.int16, st.integers(1, 700),
+                      elements=st.integers(-32768, 32767)),
+           stereo=st.booleans(),
+           order=st.integers(0, 4),
+           blocksize=st.sampled_from([64, 192, 256]))
+    def check(pcm, stereo, order, blocksize):
+        a = pcm.astype(np.int64)
+        if stereo:
+            a = np.stack([a, -a], axis=1)
+        dec, rate = decode_flac(encode_flac(a, 16000,
+                                            blocksize=blocksize,
+                                            fixed_order=order))
+        assert rate == 16000
+        assert np.array_equal(dec, a)
+
+    check()
+
+
+def test_jpeg_hypothesis_bounded_error():
+    """Property: encode_jpeg → decode_jpeg stays within a bounded
+    error at high quality for ANY uint8 image shape ≥ 1×1 (pad/crop,
+    odd sizes, grey + RGB)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from fluent_bit_ray.dataops.codecs import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=15, deadline=None)
+    @given(h=st.integers(1, 40), w=st.integers(1, 40),
+           rgb=st.booleans(), data=st.data())
+    def check(h, w, rgb, data):
+        shape = (h, w, 3) if rgb else (h, w)
+        # smooth-ish content (DCT-friendly): gradient + small noise
+        base = (np.arange(h)[:, None] * 2
+                + np.arange(w)[None, :] * 3) % 200
+        img = base[..., None].repeat(3, axis=2) if rgb else base
+        noise = data.draw(arrays(np.int16, shape,
+                                 elements=st.integers(-8, 8)))
+        img = np.clip(img + noise, 0, 255).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(np.int32) - img.astype(np.int32))
+        # chroma subsampling bounds RGB error looser than grey
+        assert err.mean() <= (12 if rgb else 6), err.mean()
+
+    check()
