@@ -598,6 +598,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out, _ = kmeans(_embs(sf_dir), k=8, iters=2)
         return out
 
+    def emb_cluster_sample(sf_dir: str):
+        """Cluster-balanced sampling: exactly 4 vectors per k-means
+        cluster, chosen as the n smallest h64(vec_id) within each
+        cluster (dataops/cluster.py:cluster_balanced_sample) — the
+        topic-balanced subset step. Streaming end to end: broadcast
+        centroids, per-batch assignment, partial-top-n exchange."""
+        from fluent_bit_ray.dataops import cluster_balanced_sample
+        out = cluster_balanced_sample(_embs(sf_dir), k=8, iters=2,
+                                      n=4).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
     def orders_enriched(sf_dir: str):
         """Large⋈large fact/dim join through the engine's hash_join
         (Ray native hash-shuffle exchange) with column-pruned reads —
@@ -1259,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_transition_counts": tool_transition_counts,
         "docs_topk_per_source": docs_topk_per_source,
         "emb_kmeans": emb_kmeans,
+        "emb_cluster_sample": emb_cluster_sample,
         "orders_enriched": orders_enriched,
         "orders_semi_negbal": orders_semi_negbal,
         "purchase_asof_view": purchase_asof_view,
@@ -1391,6 +1403,25 @@ def _cms_oracle() -> str:
 def _kmeans_oracle() -> str:
     from fluent_bit_ray.dataops.cluster import kmeans_oracle_sql
     return kmeans_oracle_sql(k=8, iters=2)
+
+
+def _cluster_sample_oracle(n: int = 4) -> str:
+    """cluster_balanced_sample replayed in SQL: the full k-means
+    assignment (kmeans_oracle_sql, bit-exact) filtered to the n
+    smallest h64(md5(vec_id)) rows per cluster — the same
+    deterministic quota rule as curation.stratified_sample."""
+    from fluent_bit_ray.dataops.cluster import kmeans_oracle_sql
+    base = kmeans_oracle_sql(k=8, iters=2)
+    body, _, _ = base.rpartition("ORDER BY vec_id")
+    h = _h64_sql("md5(CAST(vec_id AS VARCHAR))")
+    return f"""
+        SELECT vec_id, cluster, dist FROM (
+          SELECT vec_id, cluster, dist,
+                 row_number() OVER (PARTITION BY cluster
+                                    ORDER BY {h}, vec_id) AS rk
+          FROM ({body})) WHERE rk <= {n}
+        ORDER BY vec_id
+    """
 
 
 def _quality_model_oracle() -> str:
@@ -1801,6 +1832,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "emb_kmeans": _kmeans_oracle(),
+        "emb_cluster_sample": _cluster_sample_oracle(),
         "emb_semantic_dup": _semantic_dedup_oracle(),
         "orders_enriched": """
             SELECT o_orderkey, o_orderpriority, o_totalprice,

@@ -3,7 +3,8 @@ from .textstats import (fingerprint_ds, langid_ds, quality_ds,  # noqa: F401
 from .redact import redact_ds  # noqa: F401
 from .search import document_frequencies, keyword_search_topk  # noqa: F401
 from .boilerplate import boilerplate_keys, remove_boilerplate  # noqa: F401
-from .cluster import kmeans, kmeans_fit, semantic_dedup_pairs  # noqa: F401
+from .cluster import (cluster_balanced_sample, kmeans,  # noqa: F401
+                      kmeans_fit, semantic_dedup_pairs)
 from .classifier import quality_model_scores  # noqa: F401
 from .lm import ngram_lm_scores  # noqa: F401
 from .dedup import (  # noqa: F401

@@ -134,6 +134,42 @@ def kmeans(embs, k: int = 8, iters: int = 1, col: str = "embedding",
     return out.sort_values(key).reset_index(drop=True), cent
 
 
+def cluster_balanced_sample(embs, k: int = 8, iters: int = 1,
+                            n: int = 5, col: str = "embedding",
+                            key: str = "vec_id", scale: float = 128.0):
+    """Cluster-balanced corpus sampling: EXACTLY ``n`` rows per k-means
+    cluster (the diversity-sampling step of training-data curation —
+    a topic-balanced subset instead of a frequency-weighted one).
+
+    Fully streaming composition: ``kmeans_fit`` broadcasts centroids,
+    assignment runs per batch, and the per-cluster quota is the same
+    deterministic n-smallest-h64(key) rule as
+    :func:`curation.stratified_sample` (partial-top-n exchange — at
+    most n × clusters rows move per batch; no RNG, identical at any
+    parallelism). Returns a Dataset of (key, cluster, dist) rows.
+    """
+    import ray
+
+    from .curation import stratified_sample
+
+    cent = kmeans_fit(embs, k=k, iters=iters, col=col, key=key,
+                      scale=scale)
+    qds = embs.map_batches(
+        lambda df: quantize_batch(df, col=col, key=key, scale=scale),
+        batch_format="pandas")
+    cent_ref = ray.put(cent)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        mat = np.stack(df["q"].to_numpy()).astype(np.int64)
+        cluster, dist = _assign(mat, c)
+        return pd.DataFrame({key: df[key], "cluster": cluster,
+                             "dist": dist})
+
+    asg = qds.map_batches(assign, batch_format="pandas")
+    return stratified_sample(asg, "cluster", key, n=n)
+
+
 _SEM_EMPTY = {"key_a": "int64", "key_b": "int64", "cluster": "int64",
               "dot_q": "int64"}
 

@@ -102,3 +102,32 @@ def test_semantic_dedup_pairs_matches_bruteforce():
     out2 = semantic_dedup_pairs(embs(mat, nparts=9), k=4, iters=1,
                                 thr_milli=950)
     assert out.equals(out2)
+
+
+def test_cluster_balanced_sample_exact_quota():
+    """Exactly n rows per non-empty cluster, deterministic across
+    parallelism (repartition changes nothing)."""
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+
+    from fluent_bit_ray.dataops import cluster_balanced_sample
+
+    rs = np.random.RandomState(11)
+    centers = rs.randn(4, 8) * 4
+    mat = np.vstack([c + 0.1 * rs.randn(50, 8) for c in centers])
+
+    def embs(nparts):
+        t = pa.table({
+            "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  type=pa.list_(pa.float32()))})
+        return rd.from_arrow(t).repartition(nparts)
+
+    a = cluster_balanced_sample(embs(2), k=4, iters=2, n=6).to_pandas()
+    b = cluster_balanced_sample(embs(9), k=4, iters=2, n=6).to_pandas()
+    a = a.sort_values("vec_id").reset_index(drop=True)
+    b = b.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+    per = a.groupby("cluster").size()
+    assert (per == 6).all() and len(per) == 4
