@@ -871,31 +871,39 @@ def _crc16(data: bytes) -> int:
 
 
 class _MsbReader:
-    """MSB-first bit reader over a byte buffer."""
+    """MSB-first bit reader over a byte buffer.
+
+    ``read`` is arithmetic on the byte slice (O(bytes spanned), no
+    per-bit Python); ``unary`` binary-searches a precomputed index of
+    one-bit positions (the naive per-call ``flatnonzero(bits[p:])``
+    rescans to end-of-stream on EVERY rice sample — quadratic)."""
 
     def __init__(self, data: bytes, pos_bits: int = 0):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.data = data
+        self._ones = np.flatnonzero(
+            np.unpackbits(np.frombuffer(data, dtype=np.uint8)))
         self.pos = pos_bits
 
     def read(self, n: int) -> int:
-        v = 0
         p = self.pos
-        for b in self.bits[p:p + n]:
-            v = (v << 1) | int(b)
-        self.pos = p + n
-        return v
+        end = p + n
+        b1 = (end + 7) >> 3
+        v = int.from_bytes(self.data[p >> 3:b1], "big")
+        v >>= b1 * 8 - end
+        self.pos = end
+        return v & ((1 << n) - 1)
 
     def read_signed(self, n: int) -> int:
         v = self.read(n)
         return v - (1 << n) if v >> (n - 1) else v
 
     def unary(self) -> int:
-        p = self.pos
-        nz = np.flatnonzero(self.bits[p:])
-        if len(nz) == 0:
+        i = np.searchsorted(self._ones, self.pos)
+        if i >= len(self._ones):
             raise ValueError("flac: ran off the end in unary code")
-        q = int(nz[0])
-        self.pos = p + q + 1
+        one = int(self._ones[i])
+        q = one - self.pos
+        self.pos = one + 1
         return q
 
     def align_byte(self):
@@ -1026,9 +1034,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
 
     chans_out: list[list[np.ndarray]] = [[] for _ in range(s_chans)]
     got = 0
+    br = _MsbReader(data)  # ONE reader: the ones-index builds once
     while got < total and pos < len(data):
         frame_start = pos
-        br = _MsbReader(data[pos:])
+        br.pos = pos * 8
         if br.read(14) != 0x3FFE:
             raise ValueError(f"flac: lost frame sync at byte {pos}")
         br.read(1)                        # reserved
@@ -1052,8 +1061,8 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         elif sr_code in (13, 14):
             br.read(16)
         bps = _FLAC_BPS.get(bps_code, s_bps)
-        hdr_end = (br.pos + 7) // 8
-        if _crc8(data[pos:pos + hdr_end + 1]) != 0:
+        hdr_end = (br.pos + 7) // 8       # absolute byte of the CRC-8
+        if _crc8(data[pos:hdr_end + 1]) != 0:
             raise ValueError("flac: frame header CRC-8 mismatch")
         br.pos = (hdr_end + 1) * 8
 
@@ -1082,13 +1091,13 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         if nch != s_chans:
             raise ValueError("flac: frame channel count != STREAMINFO")
         br.align_byte()
-        frame_len = br.pos // 8 + 2       # + CRC-16
-        if _crc16(data[frame_start:frame_start + frame_len]) != 0:
+        frame_end = br.pos // 8 + 2       # absolute, + CRC-16
+        if _crc16(data[frame_start:frame_end]) != 0:
             raise ValueError("flac: frame CRC-16 mismatch")
         for c in range(nch):
             chans_out[c].append(subs[c])
         got += blocksize
-        pos = frame_start + frame_len
+        pos = frame_end
 
     chans = [np.concatenate(c)[:total] for c in chans_out]
     out = chans[0] if s_chans == 1 else np.stack(chans, axis=1)
