@@ -538,6 +538,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = ds.map_batches(extract, batch_format="pandas").to_pandas()
         return out.sort_values("row_id").reset_index(drop=True)
 
+    def sft_refs_rendered(sf_dir: str):
+        """Lossless-refs cross-check: render (context, target) FROM the
+        constant-size reference rows at the consumer
+        (sft_render_from_refs: one conv_id co-partition exchange) —
+        the result must hash-match the sft_pairs oracle exactly,
+        proving the scaling-safe reference shape loses nothing."""
+        from fluent_bit_ray.dataops.sft import (sft_example_refs,
+                                                sft_render_from_refs)
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "role", "text"])
+        refs = sft_example_refs(ds, context_turns=4)
+        out = sft_render_from_refs(ds, refs).to_pandas()
+        return (out.sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+
     def collapsed_repeats(sf_dir: str):
         """'Last message repeated N times' (rsyslog
         $RepeatedMsgReduction): consecutive identical (role, text)
@@ -1265,6 +1280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_cms": events_user_cms,
         "sft_pairs": sft_pairs,
         "sft_refs": sft_refs,
+        "sft_refs_rendered": sft_refs_rendered,
         "wide_parsed": wide_parsed,
         "collapsed_repeats": collapsed_repeats,
         "tool_transition_counts": tool_transition_counts,
@@ -1750,6 +1766,20 @@ def oracle_sql() -> dict[str, str]:
         "events_user_hll": _hll_oracle(),
         "events_user_cms": _cms_oracle(),
         "sft_pairs": f"""
+            WITH t AS ({t}),
+            p AS (SELECT conv_id, turn_idx, role, text,
+                         role || ': ' || text AS piece FROM t),
+            c AS (SELECT conv_id, turn_idx, role, text AS target,
+                         concat_ws(chr(10),
+                           lag(piece, 4) OVER w, lag(piece, 3) OVER w,
+                           lag(piece, 2) OVER w, lag(piece, 1) OVER w)
+                           AS context
+                  FROM p
+                  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+            SELECT conv_id, turn_idx, context, target FROM c
+            WHERE role = 'assistant' ORDER BY conv_id, turn_idx
+        """,
+        "sft_refs_rendered": f"""
             WITH t AS ({t}),
             p AS (SELECT conv_id, turn_idx, role, text,
                          role || ': ' || text AS piece FROM t),
