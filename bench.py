@@ -284,7 +284,10 @@ def run_bench() -> None:
         # string keys per record through parser → modify → nest
         from fluent_bit_ray.pipelines.pipeline import Pipeline
         from fluent_bit_ray.sources.wide import wide_records
-        tbl = wide_records(4096, 1000)
+        # $GRAFT_WIDE_ROWS: scaling mode raises this so the fixed-size
+        # wide table has enough work to measure parallel efficiency
+        tbl = wide_records(int(os.environ.get("GRAFT_WIDE_ROWS", "4096")),
+                           1000)
         # batch_size sized to the ~16 KB rows: the default 16384-row
         # batch would coalesce the whole table into ONE task (and at
         # scale would put ~256 MB of decoded dicts in one worker heap)
@@ -383,6 +386,7 @@ def run_scaling() -> None:
     # the ~1 s fixed per-execution overhead at the hi level
     os.environ.setdefault("GRAFT_DOCS_MULT", "16")
     os.environ.setdefault("GRAFT_DOCS_MULT_HEAVY", "64")
+    os.environ.setdefault("GRAFT_WIDE_ROWS", "16384")
     _docs_path(sf_dir)  # pre-cache the synthetic documents table too
     from fluent_bit_ray.sources.documents import ensure_documents
     from fluent_bit_ray.sources.transcripts import sf_from_dir
