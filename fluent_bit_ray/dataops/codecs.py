@@ -937,8 +937,6 @@ def _flac_residual(br: _MsbReader, blocksize: int, order: int) -> np.ndarray:
     pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
     porder = br.read(4)
     nparts = 1 << porder
-    if blocksize % nparts or blocksize >> porder <= order and nparts > 1:
-        pass  # spec allows tight fits; sizes computed below
     out = np.empty(blocksize - order, dtype=np.int64)
     w = 0
     for p in range(nparts):
