@@ -210,6 +210,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["value_c"] = out["value_c"].astype("int64")
         return out.sort_values(["event_type", "minute_ts"]).reset_index(drop=True)
 
+    def lineitem_pricing(sf_dir: str):
+        """TPC-H-q1-style pricing summary over the widest numeric
+        table: column-pruned read (5 of 11 columns), per-batch PARTIAL
+        aggregation (one row per (flag, status) leaves each task),
+        then the tiny groupby — the canonical pre-aggregate-before-
+        shuffle shape. Money/qty quantized to int64 cents/hundredths
+        so the sums are order-independent and oracle-exact (no float
+        accumulation)."""
+        import pyarrow as pa
+        from ray.data.aggregate import Sum
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            qty = np.round(b.column("l_quantity")
+                           .to_numpy(zero_copy_only=False) * 100
+                           ).astype("int64")
+            price = np.round(b.column("l_extendedprice")
+                             .to_numpy(zero_copy_only=False) * 100
+                             ).astype("int64")
+            disc = np.round(b.column("l_discount")
+                            .to_numpy(zero_copy_only=False) * 100
+                            ).astype("int64")
+            df = pd.DataFrame({
+                "l_returnflag": b.column("l_returnflag").to_pylist(),
+                "l_linestatus": b.column("l_linestatus").to_pylist(),
+                "qty_c": qty, "price_c": price,
+                # disc_price in cents·1e2: price_c × (100 − disc_c)
+                "disc_price_c": price * (100 - disc)})
+            g = df.groupby(["l_returnflag", "l_linestatus"],
+                           sort=False).agg(
+                n=("qty_c", "size"), qty_c=("qty_c", "sum"),
+                price_c=("price_c", "sum"),
+                disc_price_c=("disc_price_c", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        out = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["l_returnflag", "l_linestatus"])
+               .aggregate(Sum("n", alias_name="n"),
+                          Sum("qty_c", alias_name="qty_c"),
+                          Sum("price_c", alias_name="price_c"),
+                          Sum("disc_price_c", alias_name="disc_price_c"))
+               .to_pandas())
+        for c in ("n", "qty_c", "price_c", "disc_price_c"):
+            out[c] = out[c].astype("int64")
+        return (out.sort_values(["l_returnflag", "l_linestatus"])
+                .reset_index(drop=True))
+
     # -- modify: rename msg→message through the chain, oracle-checked
     def modify_rename_msg(sf_dir: str):
         from fluent_bit_ray.pipelines.pipeline import Pipeline
@@ -1258,6 +1309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_tool_categories": enrich_tool_categories,
         "sp_window_tumbling": sp_window_tumbling,
         "events_flowcounter": events_flowcounter,
+        "lineitem_pricing": lineitem_pricing,
         "event_sessions": event_sessions,
         "modify_rename_msg": modify_rename_msg,
         "nested_log_seq": nested_log_seq,
@@ -1626,6 +1678,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(coalesce(CAST(round(dur * 1000) AS BIGINT), 0))::BIGINT AS dur_ms
             FROM parsed WHERE code = 200
             GROUP BY 1, 2 ORDER BY role, window_start
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*)::BIGINT AS n,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT
+                       AS qty_c,
+                   sum(CAST(round(l_extendedprice * 100)
+                            AS BIGINT))::BIGINT AS price_c,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100)
+                                     AS BIGINT)))::BIGINT
+                       AS disc_price_c
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "events_flowcounter": """
             SELECT event_type,
