@@ -421,6 +421,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["hamming"] = out["hamming"].astype("int64")
         return out.reset_index(drop=True)
 
+    def docs_dup_ngram_spans(sf_dir: str):
+        """Exact-substring-dedup core (Lee et al. 2022): every
+        (doc, pos) whose 8-token gram appears in ≥2 distinct docs.
+        One coarse hash exchange co-locates a gram's positions; the
+        mulmod rolling hash (B=1000003, M=2^31−1, all int64) is
+        replayed term-for-term in the oracle."""
+        from fluent_bit_ray.dataops.substring import dup_ngram_spans
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        return dup_ngram_spans(docs, k=8, min_docs=2)
+
     def docs_minhash_pairs(sf_dir: str):
         # exact-integer (inter, uni) output so the DuckDB oracle (the
         # same 64-permutation MinHash-LSH written in SQL) hash-matches
@@ -1322,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash": doc_simhash,
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_minhash_pairs": docs_minhash_pairs,
+        "docs_dup_ngram_spans": docs_dup_ngram_spans,
         "docs_jaccard_pairs": docs_jaccard_pairs,
         "docs_dedup_keep": docs_dedup_keep,
         "emb_dup_pairs": emb_dup_pairs,
@@ -1386,6 +1397,43 @@ def _h64_sql(md5_expr: str) -> str:
     le = "||".join(f"substr({md5_expr},{i},2)"
                    for i in (15, 13, 11, 9, 7, 5, 3, 1))
     return f"('0x' || {le})::UBIGINT"
+
+
+def _dup_ngram_oracle_sql(k: int = 8, min_docs: int = 2) -> str:
+    """dataops/substring.py replayed in SQL: same \\S+ tokens, same
+    h64-mod-M token hashes, the SAME k-term mulmod rolling hash (each
+    (h·Bʲ) % M term < 2⁶² fits BIGINT; the k-term sum < 2³⁴ before
+    the final mod), LEAD window per doc, distinct-doc count per gram."""
+    from fluent_bit_ray.dataops.substring import NGRAM_B, NGRAM_M
+    h = _h64_sql("md5(tk)")
+    terms = []
+    for j in range(k):
+        bp = pow(NGRAM_B, k - 1 - j, NGRAM_M)
+        col = "h" if j == 0 else f"lead(h, {j}) OVER w"
+        terms.append(f"(({col}) * {bp}) % {NGRAM_M}")
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, '\\S+')) AS tk,
+                 generate_subscripts(regexp_extract_all(text, '\\S+'), 1)
+                   - 1 AS pos
+          FROM documents),
+        th AS (SELECT doc_id, pos,
+                      CAST({h} % {NGRAM_M} AS BIGINT) AS h FROM tok),
+        gh AS (SELECT doc_id, pos,
+                      ({' + '.join(terms)}) % {NGRAM_M} AS gram_h,
+                      lead(h, {k - 1}) OVER w IS NOT NULL AS ok
+               FROM th
+               WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        q AS (SELECT doc_id, pos, gram_h FROM gh WHERE ok),
+        cnt AS (SELECT gram_h,
+                       count(DISTINCT doc_id)::BIGINT AS n_docs
+                FROM q GROUP BY gram_h)
+        SELECT q.doc_id, q.pos, q.gram_h::BIGINT AS gram_h, cnt.n_docs
+        FROM q JOIN cnt USING (gram_h)
+        WHERE cnt.n_docs >= {min_docs}
+        ORDER BY q.doc_id, q.pos, gram_h
+    """
 
 
 def _minhash_oracle_sql() -> str:
@@ -2667,6 +2715,7 @@ def oracle_sql() -> dict[str, str]:
         # integer (inter, uni) verification with the 0.7 threshold as
         # inter*10 >= uni*7 (no float rounding on either side)
         "docs_minhash_pairs": _minhash_oracle_sql(),
+        "docs_dup_ngram_spans": _dup_ngram_oracle_sql(),
         # connected components over the minhash pair set via a
         # recursive label-reachability CTE; keep = min key per
         # component + all unpaired docs (dedup_keep_list semantics)

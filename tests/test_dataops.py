@@ -1257,3 +1257,30 @@ def test_jpeg_hypothesis_bounded_error():
         assert err.mean() <= (12 if rgb else 6), err.mean()
 
     check()
+
+
+def test_dup_ngram_spans_planted():
+    """Exact-substring dedup core: a shared 8-token run is flagged at
+    the right positions in BOTH docs; unique text never flags; result
+    is identical at any parallelism."""
+    from fluent_bit_ray.dataops.substring import dup_ngram_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = ["intro words here " + shared + " tail one",
+             "other prefix " + shared + " different ending two",
+             "nothing in common with anybody at all whatsoever indeed"]
+
+    def run(nparts):
+        return dup_ngram_spans(docs_ds(texts).repartition(nparts),
+                               k=8, min_docs=2)
+
+    out = run(1)
+    assert out.equals(run(5))
+    spans0 = out[out["doc_id"] == 0]["pos"].tolist()
+    spans1 = out[out["doc_id"] == 1]["pos"].tolist()
+    assert spans0 == [3] and spans1 == [2]  # exactly the shared gram
+    assert (out["n_docs"] == 2).all()
+    assert not (out["doc_id"] == 2).any()
+    # three-way duplication counts distinct docs
+    out3 = dup_ngram_spans(docs_ds(texts + [shared]), k=8, min_docs=3)
+    assert (out3["n_docs"] == 3).all() and len(out3) == 3
