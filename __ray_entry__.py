@@ -431,6 +431,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _docs(sf_dir).select_columns(["doc_id", "text"])
         return dup_ngram_spans(docs, k=8, min_docs=2)
 
+    def docs_dup_span_ranges(sf_dir: str):
+        """Maximal duplicated token ranges (merged flagged positions,
+        gap ≤ k) per document — the spans exact-substring dedup cuts."""
+        from fluent_bit_ray.dataops.substring import dup_span_ranges
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        return dup_span_ranges(docs, k=8, min_docs=2)
+
+    def docs_dup_removed(sf_dir: str):
+        """Exact-substring removal (Lee et al. 2022): every flagged
+        span cut from every doc; one co-partitioned (text + flagged
+        positions) exchange on doc_id; kept tokens single-space
+        joined (documented whitespace-normalizing contract)."""
+        from fluent_bit_ray.dataops.substring import (
+            remove_dup_ngram_spans)
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        out = remove_dup_ngram_spans(docs, k=8, min_docs=2).to_pandas()
+        return (out.sort_values("doc_id").reset_index(drop=True))
+
     def docs_minhash_pairs(sf_dir: str):
         # exact-integer (inter, uni) output so the DuckDB oracle (the
         # same 64-permutation MinHash-LSH written in SQL) hash-matches
@@ -1333,6 +1351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_pairs": docs_simhash_pairs,
         "docs_minhash_pairs": docs_minhash_pairs,
         "docs_dup_ngram_spans": docs_dup_ngram_spans,
+        "docs_dup_span_ranges": docs_dup_span_ranges,
+        "docs_dup_removed": docs_dup_removed,
         "docs_jaccard_pairs": docs_jaccard_pairs,
         "docs_dedup_keep": docs_dedup_keep,
         "emb_dup_pairs": emb_dup_pairs,
@@ -1399,11 +1419,14 @@ def _h64_sql(md5_expr: str) -> str:
     return f"('0x' || {le})::UBIGINT"
 
 
-def _dup_ngram_oracle_sql(k: int = 8, min_docs: int = 2) -> str:
-    """dataops/substring.py replayed in SQL: same \\S+ tokens, same
-    h64-mod-M token hashes, the SAME k-term mulmod rolling hash (each
-    (h·Bʲ) % M term < 2⁶² fits BIGINT; the k-term sum < 2³⁴ before
-    the final mod), LEAD window per doc, distinct-doc count per gram."""
+def _dup_gram_cte(k: int, min_docs: int) -> str:
+    """dataops/substring.py's gram pass replayed in SQL: same \\S+
+    tokens, same h64-mod-M token hashes, the SAME k-term mulmod
+    rolling hash (each (h·Bʲ) % M term < 2⁶² fits BIGINT; the k-term
+    sum < 2³⁴ before the final mod), LEAD window per doc. Yields CTEs
+    ``tok(doc_id, tk, pos)``, ``q(doc_id, pos, gram_h)`` and
+    ``dupq(doc_id, pos)`` (the flagged positions: gram seen in ≥
+    min_docs distinct docs)."""
     from fluent_bit_ray.dataops.substring import NGRAM_B, NGRAM_M
     h = _h64_sql("md5(tk)")
     terms = []
@@ -1412,7 +1435,7 @@ def _dup_ngram_oracle_sql(k: int = 8, min_docs: int = 2) -> str:
         col = "h" if j == 0 else f"lead(h, {j}) OVER w"
         terms.append(f"(({col}) * {bp}) % {NGRAM_M}")
     return f"""
-        WITH tok AS (
+        tok AS (
           SELECT doc_id,
                  unnest(regexp_extract_all(text, '\\S+')) AS tk,
                  generate_subscripts(regexp_extract_all(text, '\\S+'), 1)
@@ -1428,11 +1451,82 @@ def _dup_ngram_oracle_sql(k: int = 8, min_docs: int = 2) -> str:
         q AS (SELECT doc_id, pos, gram_h FROM gh WHERE ok),
         cnt AS (SELECT gram_h,
                        count(DISTINCT doc_id)::BIGINT AS n_docs
-                FROM q GROUP BY gram_h)
+                FROM q GROUP BY gram_h),
+        dupq AS (SELECT q.doc_id, q.pos FROM q JOIN cnt USING (gram_h)
+                 WHERE cnt.n_docs >= {min_docs})"""
+
+
+def _dup_ngram_oracle_sql(k: int = 8, min_docs: int = 2) -> str:
+    return f"""
+        WITH {_dup_gram_cte(k, min_docs)}
         SELECT q.doc_id, q.pos, q.gram_h::BIGINT AS gram_h, cnt.n_docs
         FROM q JOIN cnt USING (gram_h)
         WHERE cnt.n_docs >= {min_docs}
         ORDER BY q.doc_id, q.pos, gram_h
+    """
+
+
+def _dup_span_ranges_oracle_sql(k: int = 8, min_docs: int = 2) -> str:
+    """dataops/substring.py:dup_span_ranges in SQL: gaps-and-islands
+    over the flagged positions — consecutive positions with gap ≤ k
+    merge (their [pos, pos+k) token covers overlap or touch)."""
+    return f"""
+        WITH {_dup_gram_cte(k, min_docs)},
+        brk AS (SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER
+                              (PARTITION BY doc_id ORDER BY pos) <= {k}
+                            THEN 0 ELSE 1 END AS b
+                FROM dupq),
+        isl AS (SELECT doc_id, pos,
+                       sum(b) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS sid
+                FROM brk)
+        SELECT doc_id, min(pos)::BIGINT AS span_start,
+               (max(pos) + {k})::BIGINT AS span_end,
+               (max(pos) + {k} - min(pos))::BIGINT AS n_tokens
+        FROM isl GROUP BY doc_id, sid
+        ORDER BY doc_id, span_start
+    """
+
+
+def _dup_removed_oracle_sql(k: int = 8, min_docs: int = 2) -> str:
+    """dataops/substring.py:remove_dup_ngram_spans in SQL: each
+    flagged position covers tokens [pos, pos+k); kept tokens are
+    re-joined with single spaces (the operator's documented
+    whitespace-normalizing contract)."""
+    return f"""
+        WITH {_dup_gram_cte(k, min_docs)},
+        cov AS (SELECT DISTINCT doc_id, pos + j.j AS cp
+                FROM dupq CROSS JOIN
+                     (SELECT unnest(range({k})) AS j) j),
+        kept AS (SELECT t.doc_id, t.pos, t.tk
+                 FROM tok t LEFT JOIN cov c
+                   ON c.doc_id = t.doc_id AND c.cp = t.pos
+                 WHERE c.cp IS NULL),
+        agg AS (SELECT doc_id,
+                       string_agg(tk, ' ' ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id),
+        rem AS (SELECT doc_id, count(*)::BIGINT AS n_removed
+                FROM cov GROUP BY doc_id),
+        brk AS (SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER
+                              (PARTITION BY doc_id ORDER BY pos) <= {k}
+                            THEN 0 ELSE 1 END AS b
+                FROM dupq),
+        isl AS (SELECT doc_id,
+                       sum(b) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS sid
+                FROM brk),
+        sp AS (SELECT doc_id, count(DISTINCT sid)::BIGINT AS n_spans
+               FROM isl GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+               COALESCE(rem.n_removed, 0)::BIGINT AS n_removed,
+               COALESCE(sp.n_spans, 0)::BIGINT AS n_spans
+        FROM documents d
+        LEFT JOIN agg USING (doc_id)
+        LEFT JOIN rem USING (doc_id)
+        LEFT JOIN sp USING (doc_id)
+        ORDER BY d.doc_id
     """
 
 
@@ -2716,6 +2810,8 @@ def oracle_sql() -> dict[str, str]:
         # inter*10 >= uni*7 (no float rounding on either side)
         "docs_minhash_pairs": _minhash_oracle_sql(),
         "docs_dup_ngram_spans": _dup_ngram_oracle_sql(),
+        "docs_dup_span_ranges": _dup_span_ranges_oracle_sql(),
+        "docs_dup_removed": _dup_removed_oracle_sql(),
         # connected components over the minhash pair set via a
         # recursive label-reachability CTE; keep = min key per
         # component + all unpaired docs (dedup_keep_list semantics)

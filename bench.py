@@ -306,6 +306,11 @@ def run_bench() -> None:
         ds = rd.read_parquet(docs_heavy, columns=["doc_id", "text"])
         return quality_model_scores(ds).count()
 
+    def bench_dup_removed():
+        from fluent_bit_ray.dataops.substring import remove_dup_ngram_spans
+        ds = rd.read_parquet(docs, columns=["doc_id", "text"])
+        return remove_dup_ngram_spans(ds, k=8, min_docs=2).count()
+
     benches = [("flagship_e2e", headline),
                ("parse_route_count", bench_parse_only),
                ("flowcounter", bench_flowcounter),
@@ -324,7 +329,8 @@ def run_bench() -> None:
                     ("pack_sequences", bench_pack),
                     ("curated_pipeline", bench_curated),
                     ("keyword_search", bench_keyword),
-                    ("quality_model", bench_quality_model)]
+                    ("quality_model", bench_quality_model),
+                    ("dup_removed", bench_dup_removed)]
     if os.path.exists(f"{sf_dir}/orders.parquet"):
         benches += [("hash_join", bench_hash_join),
                     ("asof_join", bench_asof_join),

@@ -86,15 +86,12 @@ def _gram_hash_batch(df: pd.DataFrame, k: int, text_col: str,
                          "pos": np.concatenate(out_pos)})
 
 
-def dup_ngram_spans(ds, k: int = 8, min_docs: int = 2,
-                    text_col: str = "text", id_col: str = "doc_id",
-                    partitions: int = 64) -> pd.DataFrame:
-    """Every (doc, pos) whose k-token gram appears in ≥ ``min_docs``
-    distinct documents, with the gram hash and its distinct-doc count.
-
-    Returns DataFrame[id_col, pos, gram_h, n_docs] sorted by
-    (id_col, pos, gram_h).
-    """
+def _dup_positions_ds(ds, k: int, min_docs: int, text_col: str,
+                      id_col: str, partitions: int):
+    """Dataset[(id_col, pos, gram_h, n_docs)] — one row per flagged
+    token position. The distributed core shared by the span/removal
+    operators: hash every position's k-gram, ONE coarse exchange on
+    the gram hash, sort + run-detection distinct-doc counts."""
     grams = ds.map_batches(
         lambda df: _gram_hash_batch(df, k=k, text_col=text_col,
                                     id_col=id_col),
@@ -123,7 +120,136 @@ def dup_ngram_spans(ds, k: int = 8, min_docs: int = 2,
         out["n_docs"] = n_docs[run_id[keep]].astype(np.int64)
         return out
 
-    out = coarse_partition_apply(grams, "gram_h", reduce_partition,
-                                 partitions=partitions).to_pandas()
+    return coarse_partition_apply(grams, "gram_h", reduce_partition,
+                                  partitions=partitions)
+
+
+def dup_ngram_spans(ds, k: int = 8, min_docs: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    partitions: int = 64) -> pd.DataFrame:
+    """Every (doc, pos) whose k-token gram appears in ≥ ``min_docs``
+    distinct documents, with the gram hash and its distinct-doc count.
+
+    Returns DataFrame[id_col, pos, gram_h, n_docs] sorted by
+    (id_col, pos, gram_h).
+    """
+    out = _dup_positions_ds(ds, k, min_docs, text_col, id_col,
+                            partitions).to_pandas()
     return (out.sort_values([id_col, "pos", "gram_h"])
             .reset_index(drop=True))
+
+
+def dup_span_ranges(ds, k: int = 8, min_docs: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    partitions: int = 64) -> pd.DataFrame:
+    """Maximal duplicated token ranges per document.
+
+    Flagged positions p cover tokens ``[p, p+k)``; overlapping or
+    adjacent coverage (gap ≤ k between consecutive flagged positions)
+    merges into one span — exactly the contiguous regions the removal
+    operator cuts. Returns DataFrame[id_col, span_start, span_end,
+    n_tokens] with ``span_end`` exclusive, sorted by (id, start).
+    """
+    pos_ds = _dup_positions_ds(ds, k, min_docs, text_col, id_col,
+                               partitions)
+
+    def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        dc = g[id_col].to_numpy()
+        ps = g["pos"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({id_col: [], "span_start": [],
+                                 "span_end": [], "n_tokens": []})
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = (dc[1:] != dc[:-1]) | (ps[1:] - ps[:-1] > k)
+        starts = ps[brk]
+        # a span's last position sits just before the next break
+        last = ps[np.nonzero(np.append(brk[1:], True))[0]]
+        return pd.DataFrame({
+            id_col: dc[brk], "span_start": starts,
+            "span_end": last + k,
+            "n_tokens": (last + k - starts).astype(np.int64)})
+
+    out = coarse_partition_apply(
+        pos_ds.select_columns([id_col, "pos"]), id_col,
+        merge_partition, partitions=partitions).to_pandas()
+    return (out.sort_values([id_col, "span_start"])
+            .reset_index(drop=True))
+
+
+def remove_dup_ngram_spans(ds, k: int = 8, min_docs: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           partitions: int = 64):
+    """Cut every duplicated span (per ``dup_span_ranges`` semantics)
+    out of every document — the removal step of exact-substring dedup
+    (Lee et al. 2022 remove ALL occurrences of a repeated substring).
+
+    Returns a Dataset[(id_col, clean_text, n_removed, n_spans)] with
+    one row per input document. ``clean_text`` is the kept tokens
+    joined by single spaces (tokenization is ``\\S+``, so original
+    whitespace is normalized — the documented contract, shared with
+    the SQL oracle). Shuffle shape: the corpus-scale gram exchange,
+    then ONE coarse co-partitioned exchange of (text + flagged
+    positions) on the doc id; text transits the object store once.
+    """
+    pos_ds = _dup_positions_ds(ds, k, min_docs, text_col, id_col,
+                               partitions)
+
+    def doc_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "pos": np.full(len(df), -1, dtype=np.int64),
+            text_col: df[text_col].astype(str)})
+
+    def pos_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "pos": df["pos"].astype(np.int64),
+            text_col: np.full(len(df), "", dtype=object)})
+
+    tagged = (ds.map_batches(doc_side, batch_format="pandas")
+              .union(pos_ds.select_columns([id_col, "pos"])
+                     .map_batches(pos_side, batch_format="pandas")))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["pos"] < 0]
+        flags = g[g["pos"] >= 0]
+        nd = len(docs)
+        toks = docs[text_col].astype(str).str.split()
+        counts = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        bounds = np.cumsum(counts) - counts
+        total = int(counts.sum())
+        flat = toks.explode().dropna().to_numpy(dtype=object)
+        rowof = pd.Series(np.arange(nd), index=docs[id_col].to_numpy())
+        frow = rowof.loc[flags[id_col].to_numpy()].to_numpy()
+        starts = bounds[frow] + flags["pos"].to_numpy(dtype=np.int64)
+        ends = np.minimum(starts + k, bounds[frow] + counts[frow])
+        diff = np.zeros(total + 1, dtype=np.int64)
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, ends, -1)
+        covered = np.cumsum(diff)[:total] > 0
+        docrow = np.repeat(np.arange(nd), counts)
+        kept = ~covered
+        joined = (pd.Series(flat[kept]).groupby(docrow[kept])
+                  .agg(" ".join))
+        clean = np.full(nd, "", dtype=object)
+        clean[joined.index.to_numpy()] = joined.to_numpy()
+        # a covered run starts where covered flips on, or at a doc
+        # boundary that begins covered
+        smask = covered.copy()
+        smask[1:] &= ~covered[:-1]
+        nz = bounds[counts > 0]
+        smask[nz] = covered[nz]
+        return pd.DataFrame({
+            id_col: docs[id_col].to_numpy(),
+            "clean_text": clean,
+            "n_removed": np.bincount(docrow[covered],
+                                     minlength=nd).astype(np.int64),
+            "n_spans": np.bincount(docrow[smask],
+                                   minlength=nd).astype(np.int64)})
+
+    return coarse_partition_apply(tagged, id_col, kernel,
+                                  partitions=partitions)

@@ -1284,3 +1284,72 @@ def test_dup_ngram_spans_planted():
     # three-way duplication counts distinct docs
     out3 = dup_ngram_spans(docs_ds(texts + [shared]), k=8, min_docs=3)
     assert (out3["n_docs"] == 3).all() and len(out3) == 3
+
+
+def test_dup_span_ranges_merging():
+    """Flagged positions within k of each other merge into one maximal
+    span; distinct regions stay separate; result is partition-stable."""
+    from fluent_bit_ray.dataops.substring import dup_span_ranges
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    # doc0 carries the shared run twice, far apart -> two spans
+    texts = ["x " + shared + " " + ("filler%d " % 0) * 12 + shared,
+             "pre " + shared + " mid words here y z",
+             "tail copy " + shared]
+
+    def run(nparts):
+        return dup_span_ranges(docs_ds(texts).repartition(nparts),
+                               k=8, min_docs=2)
+
+    out = run(1)
+    assert out.equals(run(4))
+    d0 = out[out["doc_id"] == 0]
+    assert len(d0) == 2                       # two disjoint spans
+    assert d0.iloc[0]["span_start"] == 1
+    assert d0.iloc[0]["span_end"] == 1 + 8    # single gram covers k
+    assert (d0["n_tokens"] == 8).all()
+    d1 = out[out["doc_id"] == 1]
+    assert d1["span_start"].tolist() == [1]
+
+
+def test_dup_span_ranges_gap_merge():
+    """Overlapping grams (consecutive flagged positions) collapse to
+    ONE span spanning the union of their covers."""
+    from fluent_bit_ray.dataops.substring import dup_span_ranges
+
+    # 10 shared tokens -> 3 flagged grams (pos 0,1,2) at k=8 in the
+    # bare doc; one span [0, 10)
+    shared = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    out = dup_span_ranges(docs_ds([shared, "zz " + shared + " qq"]),
+                          k=8, min_docs=2)
+    d0 = out[out["doc_id"] == 0]
+    assert d0["span_start"].tolist() == [0]
+    assert d0["span_end"].tolist() == [10]
+    assert d0["n_tokens"].tolist() == [10]
+
+
+def test_remove_dup_ngram_spans():
+    """Removal cuts every flagged cover, clips at doc end, keeps
+    unflagged docs whole, and empties fully-duplicated docs."""
+    from fluent_bit_ray.dataops.substring import remove_dup_ngram_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = ["keep1 keep2 " + shared + " keep3",
+             shared,                                   # fully covered
+             "untouched words that are entirely unique here today"]
+
+    def run(nparts):
+        ds = docs_ds(texts).repartition(nparts)
+        return (remove_dup_ngram_spans(ds, k=8, min_docs=2)
+                .to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+    out = run(1)
+    assert out.equals(run(5))
+    assert len(out) == 3                      # every doc present
+    assert out.loc[0, "clean_text"] == "keep1 keep2 keep3"
+    assert out.loc[0, "n_removed"] == 8 and out.loc[0, "n_spans"] == 1
+    assert out.loc[1, "clean_text"] == ""     # whole doc was the dup
+    assert out.loc[1, "n_removed"] == 8
+    assert out.loc[2, "clean_text"] == texts[2]
+    assert out.loc[2, "n_removed"] == 0 and out.loc[2, "n_spans"] == 0
