@@ -824,6 +824,156 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["doc_id", "source", "src_rank", "tier"]]
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def revenue_by_nation(sf_dir: str):
+        """TPC-H-Q5-shaped multi-join (customer-nation variant):
+        region/nation broadcast as a driver dict (tiny dims never
+        shuffle), customer filtered+enriched per batch, orders
+        date-filtered at a column-pruned read, lineitem PRE-AGGREGATED
+        by l_orderkey inside each batch before the fact-fact hash
+        join, and the final groupby runs over n_items≤nations rows per
+        task. Money in int64 cents·1e2 so sums are order-independent
+        and oracle-exact."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from fluent_bit_ray.joins import hash_join
+
+        nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+        reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+        asia = reg.loc[reg["r_name"] == "ASIA", "r_regionkey"]
+        nmap = (nat[nat["n_regionkey"].isin(asia)]
+                .set_index("n_nationkey")["n_name"].to_dict())
+
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey"])
+
+        def add_nation(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["c_nationkey"].isin(nmap)]
+            return pd.DataFrame({
+                "c_custkey": df["c_custkey"],
+                "n_name": df["c_nationkey"].map(nmap)})
+
+        cust = cust.map_batches(add_nation, batch_format="pandas")
+
+        lo = pd.Timestamp("1996-01-01")
+        hi = pd.Timestamp("1997-01-01")
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        orders = orders.map_batches(
+            lambda df: df.loc[(df["o_orderdate"] >= lo)
+                              & (df["o_orderdate"] < hi),
+                              ["o_orderkey", "o_custkey"]],
+            batch_format="pandas")
+        oc = hash_join(orders, cust, on="o_custkey",
+                       right_on="c_custkey", num_partitions=16)
+        oc = oc.select_columns(["o_orderkey", "n_name"])
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+        def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+            price = np.round(df["l_extendedprice"].to_numpy() * 100
+                             ).astype(np.int64)
+            disc = np.round(df["l_discount"].to_numpy() * 100
+                            ).astype(np.int64)
+            g = pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                              "revenue_c": price * (100 - disc)})
+            return (g.groupby("l_orderkey", sort=False)
+                    .agg(n_items=("revenue_c", "size"),
+                         revenue_c=("revenue_c", "sum")).reset_index())
+
+        li = li.map_batches(li_partial, batch_format="pandas")
+        j = hash_join(li, oc, on="l_orderkey", right_on="o_orderkey",
+                      num_partitions=16)
+
+        def by_nation(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.groupby("n_name", sort=False)
+                    .agg(n_items=("n_items", "sum"),
+                         revenue_c=("revenue_c", "sum")).reset_index())
+
+        from ray.data.aggregate import Sum
+        out = (j.map_batches(by_nation, batch_format="pandas")
+               .groupby("n_name")
+               .aggregate(Sum("n_items", alias_name="n_items"),
+                          Sum("revenue_c", alias_name="revenue_c"))
+               .to_pandas())
+        out["n_items"] = out["n_items"].astype("int64")
+        out["revenue_c"] = out["revenue_c"].astype("int64")
+        return out.sort_values("n_name").reset_index(drop=True)
+
+    def top_customers_returns(sf_dir: str):
+        """TPC-H-Q10-shaped aggregate-then-join-smallest: returned
+        lineitems pre-aggregated per batch by order, hash-joined to
+        orders for the custkey, revenue summed per customer, then a
+        partial-top-k exchange (every block reduces to ≤20 rows before
+        ONE final task) — the 20 survivors alone join the customer and
+        nation dims. Deterministic under ties: (revenue desc, custkey
+        asc) in both engines."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from fluent_bit_ray.joins import hash_join
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                     "l_discount"])
+
+        def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["l_returnflag"] == "R"]
+            price = np.round(df["l_extendedprice"].to_numpy() * 100
+                             ).astype(np.int64)
+            disc = np.round(df["l_discount"].to_numpy() * 100
+                            ).astype(np.int64)
+            g = pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                              "revenue_c": price * (100 - disc)})
+            return (g.groupby("l_orderkey", sort=False)
+                    .agg(revenue_c=("revenue_c", "sum")).reset_index())
+
+        li = li.map_batches(li_partial, batch_format="pandas")
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+        j = hash_join(li, orders, on="l_orderkey",
+                      right_on="o_orderkey", num_partitions=16)
+
+        from ray.data.aggregate import Sum
+        rev = (j.map_batches(
+            lambda df: (df.groupby("o_custkey", sort=False)
+                        .agg(revenue_c=("revenue_c", "sum"))
+                        .reset_index()), batch_format="pandas")
+            .groupby("o_custkey")
+            .aggregate(Sum("revenue_c", alias_name="revenue_c")))
+
+        def topk(df: pd.DataFrame) -> pd.DataFrame:
+            return df.sort_values(
+                ["revenue_c", "o_custkey"],
+                ascending=[False, True]).head(20)
+
+        top = (rev.map_batches(topk, batch_format="pandas")
+               .repartition(1)
+               .map_batches(topk, batch_format="pandas")
+               .to_pandas())
+        top["revenue_c"] = top["revenue_c"].astype("int64")
+
+        # only the 20 survivors touch the dims (driver-side: tiny)
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_nationkey"],
+            filters=[("c_custkey", "in",
+                      top["o_custkey"].tolist())]).to_pandas()
+        nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+        cust = cust.merge(nat[["n_nationkey", "n_name"]],
+                          left_on="c_nationkey", right_on="n_nationkey")
+        out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        out = out.rename(columns={"o_custkey": "custkey"})
+        out = out[["custkey", "c_name", "n_name", "revenue_c"]]
+        return (out.sort_values(["revenue_c", "custkey"],
+                                ascending=[False, True])
+                .reset_index(drop=True))
+
     def tf_score(sf_dir: str):
         """filter_tensorflow analogue end-to-end under a FULL oracle:
         embeddings are integer-quantized (floor(x*128 + 0.5) — exact,
@@ -1338,6 +1488,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sp_window_tumbling": sp_window_tumbling,
         "events_flowcounter": events_flowcounter,
         "lineitem_pricing": lineitem_pricing,
+        "revenue_by_nation": revenue_by_nation,
+        "top_customers_returns": top_customers_returns,
         "event_sessions": event_sessions,
         "modify_rename_msg": modify_rename_msg,
         "nested_log_seq": nested_log_seq,
@@ -1835,6 +1987,40 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   count(*)::BIGINT AS n_items,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100)
+                                     AS BIGINT)))::BIGINT AS revenue_c
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+            ORDER BY n.n_name
+        """,
+        "top_customers_returns": """
+            WITH rev AS (
+              SELECT o.o_custkey AS custkey,
+                     sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l.l_discount * 100)
+                                       AS BIGINT)))::BIGINT AS revenue_c
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_returnflag = 'R'
+              GROUP BY 1)
+            SELECT r.custkey, c.c_name, n.n_name, r.revenue_c
+            FROM rev r
+            JOIN customer c ON r.custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            ORDER BY r.revenue_c DESC, r.custkey
+            LIMIT 20
         """,
         "events_flowcounter": """
             SELECT event_type,
