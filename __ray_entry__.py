@@ -328,6 +328,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.sort_values(["user_id", "session_idx"]) \
             .reset_index(drop=True)
 
+    # -- ordered trailing-row window per user (ROWS BETWEEN .. PRECEDING)
+    def events_rolling(sf_dir: str):
+        """Per-user rolling 5-row spend over the event stream — the
+        ordered-window operator family Ray Data lacks natively. ONE
+        coarse user_id exchange; in-partition sort + cumsum kernel
+        with group-boundary clamps, zero per-key Python
+        (dataops/windows.py:rolling_window)."""
+        from fluent_bit_ray.dataops.windows import rolling_window
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id", "value"])
+        out = rolling_window(
+            ev, key="user_id", order=["ts", "event_id"],
+            value_col="value", window=5,
+            keep_cols=["event_id", "user_id", "ts"]).to_pandas()
+        out["roll_sum_c"] = out["roll_sum_c"].astype("int64")
+        out["roll_n"] = out["roll_n"].astype("int64")
+        out["ts"] = out["ts"].astype("datetime64[us]")
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    # -- long→wide count pivot over the fixed event-type domain
+    def events_pivot(sf_dir: str):
+        """Count pivot: per-batch scatter-add partial crosstab (each
+        block reduces to ≤|users-in-block| rows BEFORE the exchange),
+        then one Ray-native groupby-sum over the tiny partials
+        (dataops/windows.py:pivot_counts)."""
+        from fluent_bit_ray.dataops.windows import pivot_counts
+        cats = ["click", "error", "purchase", "signup", "view"]
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+        out = pivot_counts(ev, key="user_id", cat_col="event_type",
+                           categories=cats).to_pandas()
+        for c in cats:
+            out[c] = out[c].astype("int64")
+        return out.sort_values("user_id").reset_index(drop=True)
+
     # ---------------- training-data ops over documents / embeddings
     from fluent_bit_ray.dataops import (brute_force_topk, embedding_dup_pairs,
                                         exact_dedup, fingerprint_ds,
@@ -1491,6 +1526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": revenue_by_nation,
         "top_customers_returns": top_customers_returns,
         "event_sessions": event_sessions,
+        "events_rolling": events_rolling,
+        "events_pivot": events_pivot,
         "modify_rename_msg": modify_rename_msg,
         "nested_log_seq": nested_log_seq,
         "dedup_exact_transcripts": dedup_exact_transcripts,
@@ -2028,6 +2065,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n,
                    sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_c
             FROM events GROUP BY 1, 2 ORDER BY event_type, minute_ts
+        """,
+        "events_rolling": """
+            SELECT event_id, user_id, ts,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS roll_sum_c,
+                   CAST(count(*) OVER w AS BIGINT) AS roll_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   (count(*) FILTER (WHERE event_type = 'click'))::BIGINT
+                       AS click,
+                   (count(*) FILTER (WHERE event_type = 'error'))::BIGINT
+                       AS error,
+                   (count(*) FILTER (WHERE event_type = 'purchase'))::BIGINT
+                       AS purchase,
+                   (count(*) FILTER (WHERE event_type = 'signup'))::BIGINT
+                       AS signup,
+                   (count(*) FILTER (WHERE event_type = 'view'))::BIGINT
+                       AS view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "event_sessions": """
             WITH s AS (

@@ -311,6 +311,14 @@ def run_bench() -> None:
         ds = rd.read_parquet(docs, columns=["doc_id", "text"])
         return remove_dup_ngram_spans(ds, k=8, min_docs=2).count()
 
+    def bench_rolling():
+        from fluent_bit_ray.dataops.windows import rolling_window
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id", "value"])
+        return rolling_window(ev, key="user_id",
+                              order=["ts", "event_id"], value_col="value",
+                              window=5, keep_cols=["event_id"]).count()
+
     benches = [("flagship_e2e", headline),
                ("parse_route_count", bench_parse_only),
                ("flowcounter", bench_flowcounter),
@@ -335,7 +343,8 @@ def run_bench() -> None:
         benches += [("hash_join", bench_hash_join),
                     ("asof_join", bench_asof_join),
                     ("hll_sketch", bench_hll),
-                    ("cms_sketch", bench_cms)]
+                    ("cms_sketch", bench_cms),
+                    ("rolling_window", bench_rolling)]
 
     # GRAFT_BENCH_ONLY=a,b,c: focused runs (scaling forensics) — the
     # flagship headline is always kept so the JSON contract holds

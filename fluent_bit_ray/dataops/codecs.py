@@ -1134,6 +1134,9 @@ def encode_flac(pcm: np.ndarray, sample_rate: int = 16000,
     a = np.asarray(pcm, dtype=np.int64)
     if a.ndim == 1:
         a = a[:, None]
+    lim = 1 << (bps - 1)
+    if len(a) and (a.min() < -lim or a.max() >= lim):
+        raise ValueError(f"sample out of range for {bps}-bit FLAC")
     total, nch = a.shape
     w = _MsbWriter()
     w.out += b"fLaC"

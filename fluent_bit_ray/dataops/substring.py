@@ -45,16 +45,21 @@ _TOKH_CACHE_MAX = 2_000_000
 def _gram_hash_batch(df: pd.DataFrame, k: int, text_col: str,
                      id_col: str) -> pd.DataFrame:
     """One (gram_h, doc, pos) row per token position with ≥k tokens
-    remaining. Vectorized: factorize the batch's token stream, md5
-    only the distinct vocabulary, k shifted mulmod passes."""
-    out_h, out_doc, out_pos = [], [], []
+    remaining. Fully vectorized — no per-row loop: factorize the
+    batch's token stream, md5 only the distinct vocabulary, run the k
+    shifted mulmod passes over the ENTIRE flat stream at once, then
+    mask out the positions whose k-gram would cross a document
+    boundary (grams that straddle two docs produce garbage values at
+    masked-off positions and never escape)."""
+    empty = pd.DataFrame({"gram_h": pd.Series([], dtype="int64"),
+                          id_col: pd.Series([], dtype=df[id_col].dtype),
+                          "pos": pd.Series([], dtype="int64")})
     toks_all = df[text_col].astype(str).str.split()
-    bpow = [pow(NGRAM_B, k - 1 - j, NGRAM_M) for j in range(k)]
+    counts = toks_all.str.len().fillna(0).to_numpy(dtype=np.int64)
+    total = int(counts.sum())
+    if total < k:
+        return empty
     flat = toks_all.explode().dropna()
-    if len(flat) == 0:
-        return pd.DataFrame({"gram_h": pd.Series([], dtype="int64"),
-                             id_col: pd.Series([], dtype=df[id_col].dtype),
-                             "pos": pd.Series([], dtype="int64")})
     codes, uniques = pd.factorize(flat.to_numpy(dtype=object))
     hs = np.empty(len(uniques), dtype=np.int64)
     for i, w in enumerate(uniques):
@@ -65,25 +70,21 @@ def _gram_hash_batch(df: pd.DataFrame, k: int, text_col: str,
                 _TOKH_CACHE[w] = v
         hs[i] = v
     th = hs[codes]                             # per-position token hash
-    counts = toks_all.str.len().fillna(0).to_numpy(dtype=np.int64)
+    bpow = [pow(NGRAM_B, k - 1 - j, NGRAM_M) for j in range(k)]
+    n_cand = total - k + 1                     # global candidate starts
+    acc = np.zeros(n_cand, dtype=np.int64)
+    for j in range(k):                         # k passes, whole stream
+        acc = (acc + th[j:j + n_cand] * bpow[j]) % NGRAM_M
     bounds = np.cumsum(counts) - counts
-    for row, (st, n) in enumerate(zip(bounds, counts)):
-        if n < k:
-            continue
-        seg = th[st:st + n]
-        acc = np.zeros(n - k + 1, dtype=np.int64)
-        for j in range(k):                     # k vectorized passes
-            acc = (acc + seg[j:j + n - k + 1] * bpow[j]) % NGRAM_M
-        out_h.append(acc)
-        out_doc.append(np.full(n - k + 1, df[id_col].iloc[row]))
-        out_pos.append(np.arange(n - k + 1, dtype=np.int64))
-    if not out_h:
-        return pd.DataFrame({"gram_h": pd.Series([], dtype="int64"),
-                             id_col: pd.Series([], dtype=df[id_col].dtype),
-                             "pos": pd.Series([], dtype="int64")})
-    return pd.DataFrame({"gram_h": np.concatenate(out_h),
-                         id_col: np.concatenate(out_doc),
-                         "pos": np.concatenate(out_pos)})
+    docrow = np.repeat(np.arange(len(counts)), counts)[:n_cand]
+    pos = np.arange(n_cand, dtype=np.int64) - bounds[docrow]
+    valid = pos + k <= counts[docrow]
+    if not valid.any():
+        return empty
+    return pd.DataFrame({
+        "gram_h": acc[valid],
+        id_col: df[id_col].to_numpy()[docrow[valid]],
+        "pos": pos[valid]})
 
 
 def _dup_positions_ds(ds, k: int, min_docs: int, text_col: str,

@@ -1218,7 +1218,9 @@ def test_flac_hypothesis_roundtrip():
     def check(pcm, stereo, order, blocksize):
         a = pcm.astype(np.int64)
         if stereo:
-            a = np.stack([a, -a], axis=1)
+            # negate for an anti-correlated ch2, but keep it inside the
+            # 16-bit domain (-(-32768) would be out of range and raise)
+            a = np.stack([a, np.where(a == -32768, 32767, -a)], axis=1)
         dec, rate = decode_flac(encode_flac(a, 16000,
                                             blocksize=blocksize,
                                             fixed_order=order))
@@ -1226,6 +1228,16 @@ def test_flac_hypothesis_roundtrip():
         assert np.array_equal(dec, a)
 
     check()
+
+
+def test_flac_rejects_out_of_range_samples():
+    """16-bit FLAC can't hold +32768 — encoder must raise, not wrap."""
+    from fluent_bit_ray.dataops.codecs import encode_flac
+
+    with pytest.raises(ValueError, match="out of range"):
+        encode_flac(np.array([0, 32768], dtype=np.int64), 16000)
+    with pytest.raises(ValueError, match="out of range"):
+        encode_flac(np.array([-32769], dtype=np.int64), 16000)
 
 
 def test_jpeg_hypothesis_bounded_error():

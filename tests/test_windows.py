@@ -1,0 +1,75 @@
+"""Ordered rolling windows + count pivot (dataops/windows.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fluent_bit_ray.dataops.windows import pivot_counts, rolling_window
+
+
+def ev_ds(rows):
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def roll(ds, window, partitions=4):
+    out = rolling_window(ds, key="user_id", order=["ts", "event_id"],
+                         value_col="value", window=window,
+                         keep_cols=["event_id"],
+                         partitions=partitions).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+ROWS = [
+    # user 1: three rows, out-of-order input
+    (2, 1, "2024-01-01 00:02", 3.00),
+    (0, 1, "2024-01-01 00:00", 1.00),
+    (1, 1, "2024-01-01 00:01", 2.00),
+    # user 2: single row
+    (3, 2, "2024-01-01 00:00", 5.00),
+    # user 3: tie on ts → event_id breaks it
+    (5, 3, "2024-01-01 00:00", 20.00),
+    (4, 3, "2024-01-01 00:00", 10.00),
+]
+
+
+def test_rolling_window_trailing_rows():
+    out = roll(ev_ds(ROWS), window=2)
+    # user 1 ordered 0,1,2: sums 100, 100+200, 200+300
+    assert out["roll_sum_c"].tolist() == [100, 300, 500, 500, 1000, 3000]
+    assert out["roll_n"].tolist() == [1, 2, 2, 1, 1, 2]
+
+
+def test_rolling_window_wider_than_group():
+    out = roll(ev_ds(ROWS), window=100)
+    assert out["roll_sum_c"].tolist() == [100, 300, 600, 500, 1000, 3000]
+    assert out["roll_n"].tolist() == [1, 2, 3, 1, 1, 2]
+
+
+def test_rolling_window_partition_independent():
+    a = roll(ev_ds(ROWS), window=2, partitions=1)
+    b = roll(ev_ds(ROWS), window=2, partitions=16)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_rolling_window_bad_window():
+    with pytest.raises(ValueError):
+        rolling_window(ev_ds(ROWS), key="user_id", order=["ts"],
+                       value_col="value", window=0)
+
+
+def test_pivot_counts_fixed_domain():
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "event_type": ["a", "b", "a", "b", "zzz", "a"]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (pivot_counts(ds, key="user_id", cat_col="event_type",
+                        categories=["a", "b"]).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    # "zzz" is outside the domain → ignored
+    assert out["a"].tolist() == [2, 0, 1]
+    assert out["b"].tolist() == [1, 1, 0]
+    assert list(out.columns) == ["user_id", "a", "b"]
