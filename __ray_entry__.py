@@ -347,6 +347,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["ts"] = out["ts"].astype("datetime64[us]")
         return out.sort_values("event_id").reset_index(drop=True)
 
+    # -- per-key lag: inter-turn latency over the transcript stream
+    def turn_gaps(sf_dir: str):
+        """lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx):
+        milliseconds since the previous turn of the same conversation
+        (-1 for the first turn — NULL-free so the value hash is
+        representation-stable). ONE coarse conv_id exchange; the
+        kernel is one sort + one C-level groupby shift
+        (dataops/windows.py:shift_within_key)."""
+        from fluent_bit_ray.dataops.windows import shift_within_key
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+        out = shift_within_key(
+            ds, key="conv_id", order=["turn_idx"], cols=["ts"],
+            periods=1, keep_cols=["conv_id", "turn_idx", "ts"]).to_pandas()
+        gap = (out["ts"] - out["ts_lag1"]).dt.total_seconds() * 1000.0
+        out["gap_ms"] = gap.round().fillna(-1).astype("int64")
+        out = out.drop(columns=["ts", "ts_lag1"])
+        return (out.sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+
     # -- long→wide count pivot over the fixed event-type domain
     def events_pivot(sf_dir: str):
         """Count pivot: per-batch scatter-add partial crosstab (each
@@ -1528,6 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": event_sessions,
         "events_rolling": events_rolling,
         "events_pivot": events_pivot,
+        "turn_gaps": turn_gaps,
         "modify_rename_msg": modify_rename_msg,
         "nested_log_seq": nested_log_seq,
         "dedup_exact_transcripts": dedup_exact_transcripts,
@@ -2075,6 +2095,15 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        "turn_gaps": f"""
+            WITH t AS ({t})
+            SELECT conv_id, turn_idx,
+                   COALESCE(date_diff('millisecond',
+                            lag(ts) OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx), ts),
+                            -1)::BIGINT AS gap_ms
+            FROM t ORDER BY conv_id, turn_idx
         """,
         "events_pivot": """
             SELECT user_id,

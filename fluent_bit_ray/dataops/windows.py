@@ -8,6 +8,11 @@ coarse exchange on the partition key; inside each coarse partition the
 kernel is a single sort + cumsum with group-boundary clamps — zero
 per-key Python, any key cardinality.
 
+``shift_within_key`` — per-key lag/lead of arbitrary columns (SQL's
+lag()/lead() OVER (PARTITION BY key ORDER BY ...)): inter-turn
+latency, previous-event deltas, next-action lookahead. Same coarse
+exchange; the kernel is one sort + one C-level groupby shift.
+
 ``pivot_counts`` — long→wide count pivot over a SMALL fixed category
 domain (the categories become columns). Distributed shape: per-batch
 scatter-add partial crosstab (each block reduces to ≤ distinct-keys
@@ -64,6 +69,38 @@ def rolling_window(ds, key: str, order: list[str], value_col: str,
         out = g[kept].copy()
         out[f"{out_prefix}_sum_c"] = csum[idx + 1] - csum[lo]
         out[f"{out_prefix}_n"] = (idx - lo + 1).astype(np.int64)
+        return out
+
+    return coarse_partition_apply(ds, key, kernel, partitions=partitions)
+
+
+def shift_within_key(ds, key: str, order: list[str], cols: list[str],
+                     periods: int = 1, suffix: str | None = None,
+                     keep_cols: list[str] | None = None,
+                     partitions: int = 64):
+    """Per-key LAG (``periods`` > 0) / LEAD (``periods`` < 0) of
+    ``cols``, ordered by ``order`` within ``key`` — SQL's
+    lag(col, n) / lead(col, n) OVER (PARTITION BY key ORDER BY order).
+
+    Returns Dataset[keep_cols..., {col}{suffix}...] with one row per
+    input row; shifted cells with no source row in the same key are
+    NULL. ``suffix`` defaults to ``_lag{n}`` / ``_lead{n}``.
+    ``keep_cols`` defaults to [key, *order]. Same distributed shape as
+    ``rolling_window``: ONE coarse key exchange, then a single
+    in-partition sort + C-level groupby shift (zero per-key Python).
+    """
+    if periods == 0:
+        raise ValueError("periods must be nonzero (use the column itself)")
+    sfx = suffix if suffix is not None else (
+        f"_lag{periods}" if periods > 0 else f"_lead{-periods}")
+    kept = list(keep_cols) if keep_cols is not None else [key, *order]
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order], kind="mergesort")
+        out = g[kept].copy()
+        shifted = g.groupby(key, sort=False)[cols].shift(periods)
+        for c in cols:
+            out[f"{c}{sfx}"] = shifted[c].to_numpy()
         return out
 
     return coarse_partition_apply(ds, key, kernel, partitions=partitions)

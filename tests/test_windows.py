@@ -6,7 +6,8 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from fluent_bit_ray.dataops.windows import pivot_counts, rolling_window
+from fluent_bit_ray.dataops.windows import (pivot_counts, rolling_window,
+                                            shift_within_key)
 
 
 def ev_ds(rows):
@@ -59,6 +60,42 @@ def test_rolling_window_bad_window():
     with pytest.raises(ValueError):
         rolling_window(ev_ds(ROWS), key="user_id", order=["ts"],
                        value_col="value", window=0)
+
+
+def shift(ds, periods, partitions=4, **kw):
+    out = shift_within_key(ds, key="user_id", order=["ts", "event_id"],
+                           cols=["value"], periods=periods,
+                           keep_cols=["event_id"],
+                           partitions=partitions, **kw).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def test_shift_lag():
+    out = shift(ev_ds(ROWS), periods=1)
+    # user 1 ordered 0,1,2 → lag: null,1,2; singles → null; user 3: null,10
+    v = out["value_lag1"].tolist()
+    assert v[0] is None or np.isnan(v[0])
+    assert v[1] == 1.0 and v[2] == 2.0
+    assert np.isnan(v[3]) and np.isnan(v[4])
+    assert v[5] == 10.0
+
+
+def test_shift_lead():
+    out = shift(ev_ds(ROWS), periods=-1)
+    v = out["value_lead1"].tolist()
+    assert v[0] == 2.0 and v[1] == 3.0
+    assert np.isnan(v[2]) and np.isnan(v[3]) and np.isnan(v[5])
+    assert v[4] == 20.0
+
+
+def test_shift_partition_independent_and_suffix():
+    a = shift(ev_ds(ROWS), periods=2, partitions=1, suffix="_p2")
+    b = shift(ev_ds(ROWS), periods=2, partitions=16, suffix="_p2")
+    pd.testing.assert_frame_equal(a, b)
+    assert "value_p2" in a.columns
+    with pytest.raises(ValueError):
+        shift_within_key(ev_ds(ROWS), key="user_id", order=["ts"],
+                         cols=["value"], periods=0)
 
 
 def test_pivot_counts_fixed_domain():
