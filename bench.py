@@ -92,6 +92,20 @@ def _docs_path(sf_dir: str) -> str | None:
         return None
 
 
+def _events_path(sf_dir: str) -> str:
+    """events table for the window benches: the driver's when present
+    (and no multiplier), else the deterministic synthetic one (scaling
+    mode runs at sf1, which the driver does not ship, with
+    $GRAFT_EVENTS_MULT sized so the job isn't fixed-overhead noise)."""
+    mult = float(os.environ.get("GRAFT_EVENTS_MULT", "1"))
+    p = f"{sf_dir}/events.parquet"
+    if os.path.exists(p) and mult == 1:
+        return p
+    from fluent_bit_ray.sources.events import ensure_events
+    from fluent_bit_ray.sources.transcripts import sf_from_dir
+    return ensure_events(sf_from_dir(sf_dir) * mult)
+
+
 def run_bench() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -313,11 +327,19 @@ def run_bench() -> None:
 
     def bench_rolling():
         from fluent_bit_ray.dataops.windows import rolling_window
-        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+        ev = rd.read_parquet(_events_path(sf_dir),
                              columns=["event_id", "ts", "user_id", "value"])
         return rolling_window(ev, key="user_id",
                               order=["ts", "event_id"], value_col="value",
                               window=5, keep_cols=["event_id"]).count()
+
+    def bench_turn_gaps():
+        from fluent_bit_ray.dataops.windows import shift_within_key
+        from fluent_bit_ray.sources.transcripts import read_transcripts
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+        return shift_within_key(ds, key="conv_id", order=["turn_idx"],
+                                cols=["ts"], periods=1,
+                                keep_cols=["conv_id", "turn_idx"]).count()
 
     benches = [("flagship_e2e", headline),
                ("parse_route_count", bench_parse_only),
@@ -343,8 +365,9 @@ def run_bench() -> None:
         benches += [("hash_join", bench_hash_join),
                     ("asof_join", bench_asof_join),
                     ("hll_sketch", bench_hll),
-                    ("cms_sketch", bench_cms),
-                    ("rolling_window", bench_rolling)]
+                    ("cms_sketch", bench_cms)]
+    benches += [("rolling_window", bench_rolling),
+                ("turn_gaps", bench_turn_gaps)]
 
     # GRAFT_BENCH_ONLY=a,b,c: focused runs (scaling forensics) — the
     # flagship headline is always kept so the JSON contract holds
@@ -402,11 +425,13 @@ def run_scaling() -> None:
     os.environ.setdefault("GRAFT_DOCS_MULT", "16")
     os.environ.setdefault("GRAFT_DOCS_MULT_HEAVY", "64")
     os.environ.setdefault("GRAFT_WIDE_ROWS", "16384")
+    os.environ.setdefault("GRAFT_EVENTS_MULT", "8")
     _docs_path(sf_dir)  # pre-cache the synthetic documents table too
     from fluent_bit_ray.sources.documents import ensure_documents
     from fluent_bit_ray.sources.transcripts import sf_from_dir
     ensure_documents(sf_from_dir(sf_dir)
                      * float(os.environ["GRAFT_DOCS_MULT_HEAVY"]))
+    _events_path(sf_dir)  # pre-cache synthetic events for the window benches
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
