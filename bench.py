@@ -425,7 +425,9 @@ def run_scaling() -> None:
     os.environ.setdefault("GRAFT_DOCS_MULT", "16")
     os.environ.setdefault("GRAFT_DOCS_MULT_HEAVY", "64")
     os.environ.setdefault("GRAFT_WIDE_ROWS", "16384")
-    os.environ.setdefault("GRAFT_EVENTS_MULT", "8")
+    # 32 ⇒ 32M events: the raw hash exchange cut rolling_window ~6×,
+    # so at mult 8 the job is fixed-overhead-floored at the hi level
+    os.environ.setdefault("GRAFT_EVENTS_MULT", "32")
     _docs_path(sf_dir)  # pre-cache the synthetic documents table too
     from fluent_bit_ray.sources.documents import ensure_documents
     from fluent_bit_ray.sources.transcripts import sf_from_dir

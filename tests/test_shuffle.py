@@ -67,3 +67,65 @@ def test_coarse_partition_apply_key_colocation():
     got = dict(zip(out["k"], out["n"]))
     assert got == exp.to_dict()
     assert len(out) == len(exp)  # one row per key → never split
+
+
+def test_hash_exchange_apply_key_colocation_string_key():
+    """Raw-Ray unsorted exchange: all rows of one key reach exactly one
+    kernel call, identical guarantee to coarse_partition_apply."""
+    from fluent_bit_ray.shuffle import hash_exchange_apply
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ks = sorted(set(df["k"]))
+        return pa.table({"k": ks,
+                         "n": [int((df["k"] == k).sum()) for k in ks]})
+
+    out = hash_exchange_apply(_ds(), "k", per_partition,
+                              partitions=8).to_pandas()
+    exp = _ds().to_pandas()["k"].value_counts()
+    assert dict(zip(out["k"], out["n"])) == exp.to_dict()
+    assert len(out) == len(exp)  # one row per key -> never split
+
+
+def test_hash_exchange_matches_coarse_partition_apply():
+    """Same kernel through both exchanges -> identical result set, for
+    integer keys, at several partition counts incl. the degenerate 1."""
+    from fluent_bit_ray.shuffle import hash_exchange_apply
+
+    def mk():
+        rs = np.random.RandomState(11)
+        return rd.from_pandas(pd.DataFrame({
+            "uid": rs.randint(0, 40, 300).astype(np.int64),
+            "v": rs.randint(0, 9, 300).astype(np.int64)}))
+
+    def kern(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().groupby("uid", sort=True)["v"].sum().reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    base = (coarse_partition_apply(mk(), "uid", lambda g:
+            g.groupby("uid", sort=True)["v"].sum().reset_index(),
+            partitions=8)
+            .to_pandas().sort_values("uid").reset_index(drop=True))
+    for p in (1, 3, 8, 64):
+        got = (hash_exchange_apply(mk(), "uid", kern, partitions=p)
+               .to_pandas().sort_values("uid").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, base)
+
+
+def test_hash_exchange_tree_fold(monkeypatch):
+    """Reduce fan-in above _MAX_FANIN goes through the concat tree —
+    force it by shrinking the fold threshold below the block count."""
+    import fluent_bit_ray.shuffle as sh
+
+    monkeypatch.setattr(sh, "_MAX_FANIN", 4)
+    ds = _ds(n=600).repartition(24)
+
+    def kern(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ks = sorted(set(df["k"]))
+        return pa.table({"k": ks,
+                         "n": [int((df["k"] == k).sum()) for k in ks]})
+
+    out = sh.hash_exchange_apply(ds, "k", kern, partitions=4).to_pandas()
+    exp = _ds(n=600).to_pandas()["k"].value_counts()
+    assert dict(zip(out["k"], out["n"])) == exp.to_dict()
