@@ -50,20 +50,33 @@ def _hp_column(df: pd.DataFrame, keys: list[str], partitions: int
     return hp[codes]
 
 
-def coarse_partition_apply(ds, key, per_partition_fn, partitions: int = 64,
-                           batch_format: str = "pandas"):
+def coarse_partition_apply(ds, key, per_partition_fn,
+                           partitions: int | None = None,
+                           batch_format: str = "pandas",
+                           exchange: str = "raw"):
     """Like ``coarse_group_apply`` but the kernel receives the WHOLE
     coarse partition (all rows whose key hashes to it) and is expected
     to be key-aware internally (vectorized groupby/cumsum) — zero
     per-key Python. Guarantee: all rows of one key land in one call.
 
-    ``batch_format="pyarrow"`` keeps the whole exchange Arrow-native:
-    the partition column is appended to the zero-copy Arrow batch (no
-    pandas conversion on either side of the shuffle) and the kernel
-    receives/returns ``pa.Table``. Integer single-key only (the hot
-    shape); falls back to the pandas path otherwise.
+    Single-key calls route through ``hash_exchange_apply`` (raw-Ray
+    unsorted exchange — measured ~2–6× the sort-groupby shuffle; see
+    its docstring). Composite keys — or ``exchange="sort"`` — use the
+    original Dataset-native ``groupby(_hp).map_groups`` path, which is
+    also the lazy option (the raw exchange executes its input when
+    called). ``batch_format`` picks the kernel's frame type on either
+    route. ``partitions=None`` sizes to the cluster on the raw route
+    and means 64 on the sort route.
     """
     keys = [key] if isinstance(key, str) else list(key)
+
+    if exchange == "raw" and len(keys) == 1:
+        return hash_exchange_apply(ds, keys[0], per_partition_fn,
+                                   partitions=partitions,
+                                   kernel_format=batch_format)
+
+    if partitions is None:
+        partitions = 64
 
     if batch_format == "pyarrow" and len(keys) == 1:
         k = keys[0]
@@ -125,6 +138,14 @@ def _hp_of_arrow(col, partitions: int) -> np.ndarray:
     if pa.types.is_integer(arr.type):
         mixed = _splitmix64(arr.to_numpy(zero_copy_only=False))
         return (mixed % np.uint64(partitions)).astype(np.int64)
+    if pa.types.is_floating(arr.type):
+        # float keys (e.g. an int column gone float64 through a union
+        # with nulls): hash the BIT PATTERN — equal values get equal
+        # partitions, which is all co-location needs (the map need not
+        # match the pandas path, only be self-consistent)
+        vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+        bits = (vals + 0.0).view(np.uint64)      # -0.0 → 0.0 first
+        return (_splitmix64(bits) % np.uint64(partitions)).astype(np.int64)
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         dct = arr.dictionary_encode()
         uniq = dct.dictionary.to_pylist()
@@ -137,7 +158,8 @@ def _hp_of_arrow(col, partitions: int) -> np.ndarray:
 
 
 def hash_exchange_apply(ds, key: str, per_partition_fn,
-                        partitions: int | None = None):
+                        partitions: int | None = None,
+                        kernel_format: str = "pyarrow"):
     """UNSORTED hash exchange + per-partition Arrow kernel, built on
     raw Ray tasks. Semantically identical to
     ``coarse_partition_apply(..., batch_format="pyarrow")`` — all rows
@@ -163,6 +185,33 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
     import ray
     import ray.data as rd
 
+    if kernel_format == "pandas":
+        # pandas-kernel adapter: conversion happens inside the reduce
+        # task (same place Ray's map_groups would do it). Empty
+        # partitions never reach the kernel (the driver drops them via
+        # the split-side counts) — an empty pandas frame round-trips
+        # with null/object dtypes and would poison the output schema.
+        pandas_fn = per_partition_fn
+
+        def per_partition_fn(t: pa.Table):          # noqa: F811
+            from ray.data.block import BlockAccessor
+
+            # strip pandas schema metadata first: from_pandas-built
+            # blocks embed dtype reprs (e.g. Ray TensorDtype) that
+            # pyarrow's to_pandas cannot reconstruct
+            out = pandas_fn(BlockAccessor.for_block(
+                t.replace_schema_metadata(None)).to_pandas())
+            # preserve the kernel's batch type as the BLOCK type, like
+            # map_groups does: DataFrame → pandas block (downstream
+            # unions with other pandas-block datasets stay homogeneous),
+            # Arrow table / dict of columns → arrow block
+            if isinstance(out, pa.Table):
+                return out.replace_schema_metadata(None)
+            if isinstance(out, dict):
+                from ray.data.block import BlockType
+                return BlockAccessor.batch_to_block(out, BlockType.ARROW)
+            return out
+
     if partitions is None:
         # size to the cluster: ~4 reduce tasks per core for stragglers,
         # but not so many that the T×P object matrix dominates (measured
@@ -172,26 +221,69 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
         partitions = max(16, min(256, 4 * ncpu))
     P = partitions
 
-    @ray.remote(num_returns=P)
+    @ray.remote(num_returns=P + 1)
     def split_block(block):
-        t = (pa.Table.from_pandas(block, preserve_index=False)
-             if isinstance(block, pd.DataFrame) else block)
+        from ray.data.block import BlockAccessor
+
+        # blocks may be pandas (incl. tensor-dtype columns) — Ray's
+        # accessor converts faithfully where bare from_pandas cannot
+        t = (block if isinstance(block, pa.Table)
+             else BlockAccessor.for_block(block).to_arrow())
+        if t.num_rows == 0:
+            # empty blocks can carry DEGRADED schemas (a flat_map that
+            # produced nothing); emit no pieces rather than poisoning
+            # the per-partition concat (map_batches also skips them)
+            return (*(None,) * P, np.zeros(P, dtype=np.int64))
         hp = _hp_of_arrow(t[key], P)
         order = np.argsort(hp, kind="stable")      # radix sort on int64
         sorted_t = t.take(order)
         bounds = np.searchsorted(hp[order], np.arange(P + 1))
-        return tuple(sorted_t.slice(bounds[i], bounds[i + 1] - bounds[i])
-                     for i in range(P))
+        # last return: per-partition row counts, so the driver can skip
+        # empty partitions without fetching any table
+        return (*(sorted_t.slice(bounds[i], bounds[i + 1] - bounds[i])
+                  for i in range(P)),
+                (bounds[1:] - bounds[:-1]).astype(np.int64))
 
     @ray.remote
     def concat_pieces(*pieces):
-        return pa.concat_tables(pieces)
+        live = [p for p in pieces if p is not None]
+        if not live:
+            return None
+        return pa.concat_tables(live, promote_options="permissive")
+
+    def _concat(tables):
+        # promote null-typed columns (Ray unions of empty/nonempty
+        # frames type the empty side null) instead of failing
+        return pa.concat_tables(tables, promote_options="permissive")
 
     @ray.remote
     def reduce_part(*pieces):
-        tables = [pa.Table.from_pandas(p, preserve_index=False)
-                  if isinstance(p, pd.DataFrame) else p for p in pieces]
-        return per_partition_fn(pa.concat_tables(tables))
+        from ray.data.block import BlockAccessor
+
+        tables = [p if isinstance(p, pa.Table)
+                  else BlockAccessor.for_block(p).to_arrow()
+                  for p in pieces if p is not None]
+        nonempty = [t for t in tables if t.num_rows]
+        return per_partition_fn(_concat(nonempty or tables))
+
+    @ray.remote
+    def _is_arrow(block) -> bool:
+        return isinstance(block, pa.Table)
+
+    def _wrap(out_refs):
+        # one exchange's kernel returns one batch type; probe the first
+        # block REMOTELY (nothing is fetched to the driver) and build
+        # the Dataset with the matching block layout
+        if kernel_format != "pandas" or ray.get(_is_arrow.remote(
+                out_refs[0])):
+            return rd.from_arrow_refs(out_refs)
+        return rd.from_pandas_refs(out_refs)
+
+    def empty_result():
+        if kernel_format == "pandas":
+            return rd.from_items([])
+        empty = pa.Table.from_pylist([], schema=ds.schema().base_schema)
+        return rd.from_arrow(per_partition_fn(empty))
 
     if P == 1:
         # degenerate single partition: no split needed, one reduce over
@@ -200,24 +292,33 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
         block_refs = [br for bundle in ds.iter_internal_ref_bundles()
                       for br, _ in bundle.blocks]
         if not block_refs:
-            empty = pa.Table.from_pylist([], schema=ds.schema().base_schema)
-            return rd.from_arrow(per_partition_fn(empty))
-        return rd.from_arrow_refs([reduce_part.remote(*block_refs)])
+            return empty_result()
+        return _wrap([reduce_part.remote(*block_refs)])
 
-    piece_refs = []
+    piece_refs, count_refs = [], []
     for bundle in ds.iter_internal_ref_bundles():
         for block_ref, _ in bundle.blocks:
-            piece_refs.append(split_block.remote(block_ref))
+            *pieces, counts = split_block.remote(block_ref)
+            piece_refs.append(pieces)
+            count_refs.append(counts)
 
     if not piece_refs:
-        empty = pa.Table.from_pylist([], schema=ds.schema().base_schema)
-        return rd.from_arrow(per_partition_fn(empty))
+        return empty_result()
+
+    # tiny (P int64s per input block) — a barrier, but every reduce needs
+    # every split anyway; lets the driver drop empty partitions (a pandas
+    # kernel cannot type an empty frame) without fetching any table
+    part_rows = np.sum(ray.get(count_refs), axis=0)
 
     out_refs = []
     for i in range(P):
+        if part_rows[i] == 0:
+            continue
         col = [pr[i] for pr in piece_refs]
         while len(col) > _MAX_FANIN:            # tree fold for huge inputs
             col = [concat_pieces.remote(*col[j:j + _MAX_FANIN])
                    for j in range(0, len(col), _MAX_FANIN)]
         out_refs.append(reduce_part.remote(*col))
-    return rd.from_arrow_refs(out_refs)
+    if not out_refs:
+        return empty_result()
+    return _wrap(out_refs)
