@@ -304,9 +304,10 @@ def _bucket_pairs(ds_banded, key: str, max_bucket: int = 64,
         return pd.DataFrame({"key_a": rows_a,
                              "key_b": rows_b}).drop_duplicates()
 
-    cand = (ds_banded.map_batches(add_hb, batch_format="pandas")
-            .groupby("hb")
-            .map_groups(pairs_of_partition, batch_format="pandas"))
+    from ..shuffle import hash_exchange_apply
+    cand = hash_exchange_apply(
+        ds_banded.map_batches(add_hb, batch_format="pandas"), "hb",
+        pairs_of_partition, kernel_format="pandas")
     # global dedupe of pairs produced by multiple bands: coarse
     # partition by pair identity + in-task drop_duplicates. (A Ray
     # groupby(key_a,key_b).aggregate here measured ~2 s of fixed cost
@@ -824,8 +825,9 @@ def simhash_dup_pairs(ds, key: str = "doc_id", text_col: str = "text",
         return pd.DataFrame({"key_a": rows_a, "key_b": rows_b,
                              "hamming": rows_h})
 
-    pairs = (banded.groupby("hb")
-             .map_groups(pairs_of_partition, batch_format="pandas")).to_pandas()
+    from ..shuffle import hash_exchange_apply
+    pairs = hash_exchange_apply(banded, "hb", pairs_of_partition,
+                                kernel_format="pandas").to_pandas()
     if len(pairs) == 0:
         return pd.DataFrame({"key_a": [], "key_b": [], "hamming": []})
     pairs = pairs.drop_duplicates(["key_a", "key_b"])
@@ -1105,10 +1107,12 @@ def embedding_dup_pairs(ds, key: str = "vec_id", col: str = "embedding",
                                          n_planes=n_planes, seed=seed,
                                          partitions=partitions),
             batch_format="pandas")
-        pairs = (banded.groupby("hb")
-                 .map_groups(lambda g: _lsh_pairs_of_partition(
-                     g, key=key, threshold=threshold, max_bucket=max_bucket),
-                     batch_format="pandas")).to_pandas()
+        from ..shuffle import hash_exchange_apply
+        pairs = hash_exchange_apply(
+            banded, "hb",
+            lambda g: _lsh_pairs_of_partition(
+                g, key=key, threshold=threshold, max_bucket=max_bucket),
+            kernel_format="pandas").to_pandas()
         if len(pairs) == 0:
             return pd.DataFrame({"key_a": [], "key_b": [], "cosine": []})
         return (pairs.drop_duplicates(["key_a", "key_b"])

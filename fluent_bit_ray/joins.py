@@ -266,7 +266,8 @@ def asof_join(left, right, on: str, by, direction: str = "backward",
                 [(c, target.field(c).type) for c in out_names]))
         return tbl
 
-    return tagged.groupby(_HP).map_groups(kernel, batch_format="pyarrow")
+    from .shuffle import hash_exchange_apply
+    return hash_exchange_apply(tagged, _HP, kernel)
 
 
 # --------------------------------------------------------- range join
@@ -357,4 +358,22 @@ def range_join(left, right, left_val: str, right_lo: str, right_hi: str,
         return tbl.select(out_names).cast(pa.schema(
             [(c, target.field(c).type) for c in out_names]))
 
-    return tagged.groupby(_HP).map_groups(kernel, batch_format="pyarrow")
+    from .shuffle import hash_exchange_apply
+    def per_partition(t: pa.Table) -> pa.Table:
+        # the raw exchange co-locates SEVERAL buckets per partition;
+        # the bucket-replication semantics need the kernel to see one
+        # bucket at a time (a left row fanned into two buckets must
+        # not cross-join against the other bucket's rights)
+        hp = t[_HP].combine_chunks().to_numpy(zero_copy_only=False)
+        uniq = np.unique(hp)
+        if len(uniq) <= 1:
+            return kernel(t)
+        order = np.argsort(hp, kind="stable")
+        st = t.take(order)
+        bounds = np.searchsorted(hp[order], uniq)
+        bounds = np.append(bounds, len(hp))
+        return pa.concat_tables(
+            [kernel(st.slice(bounds[i], bounds[i + 1] - bounds[i]))
+             for i in range(len(uniq))])
+
+    return hash_exchange_apply(tagged, _HP, per_partition)

@@ -212,28 +212,47 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
                 return BlockAccessor.batch_to_block(out, BlockType.ARROW)
             return out
 
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+
+    # collect input blocks WITH metadata first (drives the upstream
+    # streaming execution): row counts size the exchange — on an 80k-row
+    # corpus a blind 4×CPU=128-partition matrix over 128 blocks costs
+    # more in per-object driver overhead (T×P refs) than the kernels do
+    bundles = list(ds.iter_internal_ref_bundles())
+    entries = [(block_ref, md.num_rows)
+               for bundle in bundles for block_ref, md in bundle.blocks]
+    known_rows = (sum(n for _, n in entries if n is not None)
+                  if entries else 0)
+
     if partitions is None:
-        # size to the cluster: ~4 reduce tasks per core for stragglers,
-        # but not so many that the T×P object matrix dominates (measured
-        # 64M rows at 4 CPUs: parts=64 21.9 s vs parts=16 14.1 s — small
-        # partitions mean more per-object fixed cost per useful byte)
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        partitions = max(16, min(256, 4 * ncpu))
+        # ≥ ~100k rows per partition so reduce tasks do real work, but
+        # at least one partition per core for kernel parallelism and at
+        # most 4/core (measured 64M rows at 4 CPUs: parts=64 21.9 s vs
+        # parts=16 14.1 s — small partitions mean more per-object fixed
+        # cost per useful byte)
+        if known_rows:
+            partitions = int(np.clip(-(-known_rows // 100_000),
+                                     min(ncpu, 256), min(4 * ncpu, 256)))
+        else:
+            partitions = max(16, min(256, 4 * ncpu))
     P = partitions
 
     @ray.remote(num_returns=P + 1)
-    def split_block(block):
+    def split_block(*blocks):
         from ray.data.block import BlockAccessor
 
         # blocks may be pandas (incl. tensor-dtype columns) — Ray's
         # accessor converts faithfully where bare from_pandas cannot
-        t = (block if isinstance(block, pa.Table)
-             else BlockAccessor.for_block(block).to_arrow())
-        if t.num_rows == 0:
-            # empty blocks can carry DEGRADED schemas (a flat_map that
-            # produced nothing); emit no pieces rather than poisoning
-            # the per-partition concat (map_batches also skips them)
+        tables = [b if isinstance(b, pa.Table)
+                  else BlockAccessor.for_block(b).to_arrow()
+                  for b in blocks]
+        # drop empties: they can carry DEGRADED schemas (a flat_map
+        # that produced nothing) and would poison the concat
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
             return (*(None,) * P, np.zeros(P, dtype=np.int64))
+        t = tables[0] if len(tables) == 1 else pa.concat_tables(
+            tables, promote_options="permissive")
         hp = _hp_of_arrow(t[key], P)
         order = np.argsort(hp, kind="stable")      # radix sort on int64
         sorted_t = t.take(order)
@@ -285,25 +304,41 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
         empty = pa.Table.from_pylist([], schema=ds.schema().base_schema)
         return rd.from_arrow(per_partition_fn(empty))
 
+    if not entries:
+        return empty_result()
+
     if P == 1:
         # degenerate single partition: no split needed, one reduce over
         # the raw blocks (num_returns=1 would also return a bare ref,
         # not a 1-tuple, so the generic path can't serve it)
-        block_refs = [br for bundle in ds.iter_internal_ref_bundles()
-                      for br, _ in bundle.blocks]
-        if not block_refs:
-            return empty_result()
-        return _wrap([reduce_part.remote(*block_refs)])
+        return _wrap([reduce_part.remote(*[br for br, _ in entries])])
+
+    # coalesce small blocks into split tasks of ~200k rows (at least
+    # one group per core): shrinks the T×P object matrix — the driver-
+    # side cost per exchange is ~T×P ref handoffs, so halving T halves
+    # it; blocks of unknown size go one per task
+    target = max(200_000, known_rows // max(2 * ncpu, 1) or 1)
+    groups, cur, cur_rows = [], [], 0
+    for br, n in entries:
+        if n is None:
+            if cur:
+                groups.append(cur)
+                cur, cur_rows = [], 0
+            groups.append([br])
+            continue
+        cur.append(br)
+        cur_rows += n
+        if cur_rows >= target:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        groups.append(cur)
 
     piece_refs, count_refs = [], []
-    for bundle in ds.iter_internal_ref_bundles():
-        for block_ref, _ in bundle.blocks:
-            *pieces, counts = split_block.remote(block_ref)
-            piece_refs.append(pieces)
-            count_refs.append(counts)
-
-    if not piece_refs:
-        return empty_result()
+    for grp in groups:
+        *pieces, counts = split_block.remote(*grp)
+        piece_refs.append(pieces)
+        count_refs.append(counts)
 
     # tiny (P int64s per input block) — a barrier, but every reduce needs
     # every split anyway; lets the driver drop empty partitions (a pandas

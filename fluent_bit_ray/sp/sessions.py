@@ -59,18 +59,5 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts",
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    import zlib
-
-    def add_hp(df: pd.DataFrame) -> pd.DataFrame:
-        codes, uniques = pd.factorize(df[key])
-        hp = np.fromiter(
-            (zlib.crc32(str(u).encode("utf-8")) % 64 for u in uniques),
-            dtype=np.int64, count=len(uniques))
-        df = df.copy()
-        df["_hp"] = hp[codes]
-        return df
-
-    return (ds.map_batches(add_hp, batch_format="pandas")
-            .groupby("_hp")
-            .map_groups(lambda g: per_partition(g.drop(columns=["_hp"])),
-                        batch_format="pandas"))
+    from ..shuffle import coarse_partition_apply
+    return coarse_partition_apply(ds, key, per_partition)

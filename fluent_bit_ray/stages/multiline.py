@@ -241,22 +241,5 @@ class MultilineStage(Stage):
                            for s in seg[starts]],
             })
 
-        import zlib
-
-        import numpy as np
-
-        def add_hp(df: pd.DataFrame) -> pd.DataFrame:
-            codes, uniques = pd.factorize(df[key])
-            hp = np.fromiter(
-                (zlib.crc32(str(u).encode("utf-8")) % 64 for u in uniques),
-                dtype=np.int64, count=len(uniques))
-            df = df.copy()
-            df["_hp"] = hp[codes]
-            return df
-
-        def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-            return join_partition(g.drop(columns=["_hp"]))
-
-        return (ds.map_batches(add_hp, batch_format="pandas")
-                .groupby("_hp")
-                .map_groups(per_partition, batch_format="pandas"))
+        from ..shuffle import coarse_partition_apply
+        return coarse_partition_apply(ds, key, join_partition)
