@@ -366,6 +366,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values(["conv_id", "turn_idx"])
                 .reset_index(drop=True))
 
+    # -- per-user ordered ranks (row_number / rank / dense_rank)
+    def events_rank(sf_dir: str):
+        """rank()/dense_rank() OVER (PARTITION BY user_id ORDER BY
+        value): one exchange + one lexsort + boundary arithmetic
+        (dataops/windows.py:rank_within_key). The op also emits
+        row_number, but that column is tie-order-dependent (no total
+        tiebreak in the ORDER BY), so the query drops it and compares
+        only the tie-invariant rank columns."""
+        from fluent_bit_ray.dataops.windows import rank_within_key
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "value"])
+        out = rank_within_key(
+            ev, key="user_id", order=["value"],
+            keep_cols=["event_id", "user_id"]).to_pandas()
+        out = out.drop(columns=["row_number"])
+        for c in ("rank", "dense_rank"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    # -- per-user expanding (run-to-date) spend
+    def events_cum_spend(sf_dir: str):
+        """SUM/COUNT OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) — the expanding-window family
+        (dataops/windows.py:cumulative_within_key)."""
+        from fluent_bit_ray.dataops.windows import cumulative_within_key
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id", "value"])
+        out = cumulative_within_key(
+            ev, key="user_id", order=["ts", "event_id"],
+            value_col="value", keep_cols=["event_id", "user_id"]).to_pandas()
+        out["cum_sum_c"] = out["cum_sum_c"].astype("int64")
+        out["cum_n"] = out["cum_n"].astype("int64")
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    # -- per-user trailing TIME window (RANGE frame, peers included)
+    def events_rolling_time(sf_dir: str):
+        """SUM/COUNT OVER (PARTITION BY user_id ORDER BY ts RANGE
+        BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW): the
+        time-range window — both frame edges from two vectorized
+        searchsorted calls over a per-key-rebased monotone time axis
+        (dataops/windows.py:rolling_time_window)."""
+        from fluent_bit_ray.dataops.windows import rolling_time_window
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id", "value"])
+        out = rolling_time_window(
+            ev, key="user_id", ts_col="ts", value_col="value",
+            span_s=600.0, keep_cols=["event_id", "user_id"]).to_pandas()
+        out["span_sum_c"] = out["span_sum_c"].astype("int64")
+        out["span_n"] = out["span_n"].astype("int64")
+        return out.sort_values("event_id").reset_index(drop=True)
+
     # -- long→wide count pivot over the fixed event-type domain
     def events_pivot(sf_dir: str):
         """Count pivot: per-batch scatter-add partial crosstab (each
@@ -1546,6 +1597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers_returns": top_customers_returns,
         "event_sessions": event_sessions,
         "events_rolling": events_rolling,
+        "events_rank": events_rank,
+        "events_cum_spend": events_cum_spend,
+        "events_rolling_time": events_rolling_time,
         "events_pivot": events_pivot,
         "turn_gaps": turn_gaps,
         "modify_rename_msg": modify_rename_msg,
@@ -2104,6 +2158,35 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY turn_idx), ts),
                             -1)::BIGINT AS gap_ms
             FROM t ORDER BY conv_id, turn_idx
+        """,
+        "events_rank": """
+            SELECT event_id, user_id,
+                   rank() OVER w AS rank,
+                   dense_rank() OVER w AS dense_rank
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value)
+            ORDER BY event_id
+        """,
+        "events_cum_spend": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS cum_sum_c,
+                   CAST(count(*) OVER w AS BIGINT) AS cum_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+            ORDER BY event_id
+        """,
+        "events_rolling_time": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS span_sum_c,
+                   CAST(count(*) OVER w AS BIGINT) AS span_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "events_pivot": """
             SELECT user_id,

@@ -174,3 +174,138 @@ def pivot_counts(ds, key: str, cat_col: str, categories: list[str]):
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby(key)
             .aggregate(*[Sum(c, alias_name=c) for c in cats]))
+
+
+def rank_within_key(ds, key: str, order: list[str],
+                    keep_cols: list[str] | None = None,
+                    partitions: int | None = None):
+    """Per-key ordered ranks — SQL's row_number()/rank()/dense_rank()
+    OVER (PARTITION BY key ORDER BY order), all three in one pass.
+
+    Returns Dataset[keep_cols..., row_number, rank, dense_rank] (int64,
+    1-based). Ties are rows with EQUAL order values within the key:
+    rank repeats with gaps, dense_rank repeats without. Same shape as
+    the other window ops: one coarse key exchange, one in-partition
+    lexsort, then pure boundary arithmetic.
+    """
+    kept = list(keep_cols) if keep_cols is not None else [key, *order]
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        empty = pa.array([], pa.int64())
+        if n == 0:
+            return (t.select(kept).append_column("row_number", empty)
+                    .append_column("rank", empty)
+                    .append_column("dense_rank", empty))
+        perm = _sort_perm(t, key, order)
+        kc = t[key].combine_chunks().to_numpy(zero_copy_only=False)[perm]
+        idx = np.arange(n, dtype=np.int64)
+        sidx = _group_starts(kc)
+        # value-run starts: key change OR any order column change
+        vstart = sidx == idx
+        for c in order:
+            ov = t[c].combine_chunks().to_numpy(zero_copy_only=False)[perm]
+            neq = np.empty(n, dtype=bool)
+            neq[0] = True
+            neq[1:] = ov[1:] != ov[:-1]
+            vstart |= neq
+        row_number = idx - sidx + 1
+        vrun_first = np.maximum.accumulate(np.where(vstart, idx, 0))
+        rank = vrun_first - sidx + 1
+        vrun_id = np.cumsum(vstart)              # global 1..R
+        key_first_vrun = vrun_id[sidx]
+        dense = vrun_id - key_first_vrun + 1
+        return (t.select(kept).take(perm)
+                .append_column("row_number", pa.array(row_number))
+                .append_column("rank", pa.array(rank))
+                .append_column("dense_rank", pa.array(dense)))
+
+    return hash_exchange_apply(ds, key, kernel, partitions=partitions)
+
+
+def cumulative_within_key(ds, key: str, order: list[str], value_col: str,
+                          out_prefix: str = "cum",
+                          keep_cols: list[str] | None = None,
+                          partitions: int | None = None):
+    """Per-key EXPANDING sum + count of ``value_col`` (int64 cents) —
+    SQL's SUM(v) OVER (PARTITION BY key ORDER BY order ROWS UNBOUNDED
+    PRECEDING). Returns Dataset[keep_cols..., {p}_sum_c, {p}_n]."""
+    kept = list(keep_cols) if keep_cols is not None else [key, *order]
+    sum_name, n_name = f"{out_prefix}_sum_c", f"{out_prefix}_n"
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return (t.select(kept)
+                    .append_column(sum_name, pa.array([], pa.int64()))
+                    .append_column(n_name, pa.array([], pa.int64())))
+        perm = _sort_perm(t, key, order)
+        v = t[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False)[perm]
+        cents = np.round(v.astype(np.float64) * 100).astype(np.int64)
+        kc = t[key].combine_chunks().to_numpy(zero_copy_only=False)[perm]
+        idx = np.arange(n, dtype=np.int64)
+        sidx = _group_starts(kc)
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        return (t.select(kept).take(perm)
+                .append_column(sum_name, pa.array(csum[idx + 1] - csum[sidx]))
+                .append_column(n_name, pa.array(idx - sidx + 1)))
+
+    return hash_exchange_apply(ds, key, kernel, partitions=partitions)
+
+
+def rolling_time_window(ds, key: str, ts_col: str, value_col: str,
+                        span_s: float, out_prefix: str = "span",
+                        keep_cols: list[str] | None = None,
+                        partitions: int | None = None):
+    """Per-key TIME-range trailing window — SQL's SUM(v) OVER
+    (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL span PRECEDING
+    AND CURRENT ROW): each row sums value (int64 cents) over the key's
+    rows with ts in [row.ts − span, row.ts]. RANGE semantics include
+    ts-PEERS of the current row (rows with the identical timestamp),
+    exactly like the SQL frame.
+
+    Kernel shape: one lexsort by (key, ts), then BOTH frame edges come
+    from two vectorized searchsorted calls over a per-key-rebased
+    monotone time axis (runs separated by a gap wider than any probe) —
+    no per-key Python at any cardinality.
+    """
+    kept = list(keep_cols) if keep_cols is not None else [key, ts_col]
+    sum_name, n_name = f"{out_prefix}_sum_c", f"{out_prefix}_n"
+    span_us = np.int64(round(float(span_s) * 1_000_000))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return (t.select(kept)
+                    .append_column(sum_name, pa.array([], pa.int64()))
+                    .append_column(n_name, pa.array([], pa.int64())))
+        perm = _sort_perm(t, key, [ts_col])
+        ts = (t[ts_col].combine_chunks().to_numpy(zero_copy_only=False)
+              [perm].astype("datetime64[us]").astype(np.int64))
+        v = t[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False)[perm]
+        cents = np.round(v.astype(np.float64) * 100).astype(np.int64)
+        kc = t[key].combine_chunks().to_numpy(zero_copy_only=False)[perm]
+        idx = np.arange(n, dtype=np.int64)
+        sidx = _group_starts(kc)
+        gid = np.cumsum(sidx == idx)               # key index 1..K
+        # rebase each key's timestamps to its own start and separate
+        # keys by (max_rel + span + 2) so probes never cross runs and
+        # the axis stays monotone — values stay well inside int64
+        rel = ts - ts[sidx]
+        gap = np.int64(rel.max()) + span_us + np.int64(2)
+        if int(gid[-1]) * int(gap) > 2**62:
+            raise OverflowError(
+                "rolling_time_window axis overflow: too many keys × too "
+                "wide a key time range in one partition — raise "
+                "`partitions`")
+        glob = gid * gap + rel
+        lo = np.searchsorted(glob, glob - span_us, side="left")
+        hi = np.searchsorted(glob, glob, side="right")   # include peers
+        csum = np.concatenate([[0], np.cumsum(cents)])
+        return (t.select(kept).take(perm)
+                .append_column(sum_name, pa.array(csum[hi] - csum[lo]))
+                .append_column(n_name, pa.array(hi - lo)))
+
+    return hash_exchange_apply(ds, key, kernel, partitions=partitions)

@@ -110,3 +110,91 @@ def test_pivot_counts_fixed_domain():
     assert out["a"].tolist() == [2, 0, 1]
     assert out["b"].tolist() == [1, 1, 0]
     assert list(out.columns) == ["user_id", "a", "b"]
+
+
+def test_rank_within_key_matches_duckdb():
+    import duckdb
+    from fluent_bit_ray.dataops.windows import rank_within_key
+
+    rs = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "uid": rs.randint(0, 9, 200).astype(np.int64),
+        "score": rs.randint(0, 5, 200).astype(np.int64),   # many ties
+        "eid": np.arange(200, dtype=np.int64),
+    })
+    got = (rank_within_key(rd.from_pandas(df), key="uid", order=["score"],
+                           keep_cols=["eid"], partitions=4)
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT eid,
+               row_number() OVER w AS row_number,
+               rank()       OVER w AS rank,
+               dense_rank() OVER w AS dense_rank
+        FROM df WINDOW w AS (PARTITION BY uid ORDER BY score)
+        ORDER BY eid""").df()
+    # row_number needs a full tiebreak to be deterministic; ours breaks
+    # ties by input order within equal (key, order) — compare the
+    # tie-stable columns exactly and row_number as a SET per tie group
+    pd.testing.assert_series_equal(
+        got["rank"].astype("int64"), exp["rank"].astype("int64"))
+    pd.testing.assert_series_equal(
+        got["dense_rank"].astype("int64"),
+        exp["dense_rank"].astype("int64"))
+    merged = df.assign(rn=got.set_index("eid").loc[df.eid, "row_number"]
+                       .to_numpy())
+    for _, g in merged.groupby(["uid", "score"]):
+        assert sorted(g["rn"]) == list(range(int(g["rn"].min()),
+                                             int(g["rn"].min()) + len(g)))
+
+
+def test_cumulative_within_key_matches_pandas():
+    from fluent_bit_ray.dataops.windows import cumulative_within_key
+
+    rs = np.random.RandomState(8)
+    df = pd.DataFrame({
+        "uid": rs.randint(0, 11, 300).astype(np.int64),
+        "t": np.arange(300, dtype=np.int64),
+        "v": np.round(rs.uniform(0, 50, 300), 2),
+    })
+    got = (cumulative_within_key(rd.from_pandas(df), key="uid",
+                                 order=["t"], value_col="v",
+                                 keep_cols=["t"], partitions=4)
+           .to_pandas().sort_values("t").reset_index(drop=True))
+    cents = np.round(df["v"].to_numpy() * 100).astype(np.int64)
+    exp = (pd.DataFrame({"uid": df.uid, "t": df.t, "c": cents})
+           .sort_values(["uid", "t"]))
+    exp["cum"] = exp.groupby("uid")["c"].cumsum()
+    exp["n"] = exp.groupby("uid").cumcount() + 1
+    exp = exp.sort_values("t").reset_index(drop=True)
+    assert (got["cum_sum_c"].to_numpy() == exp["cum"].to_numpy()).all()
+    assert (got["cum_n"].to_numpy() == exp["n"].to_numpy()).all()
+
+
+def test_rolling_time_window_matches_duckdb_range():
+    import duckdb
+    from fluent_bit_ray.dataops.windows import rolling_time_window
+
+    rs = np.random.RandomState(9)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "uid": rs.randint(0, 7, 250).astype(np.int64),
+        # coarse seconds so ts PEERS exist (RANGE includes them)
+        "ts": base + rs.randint(0, 120, 250).astype("timedelta64[s]"),
+        "v": np.round(rs.uniform(0, 20, 250), 2),
+        "eid": np.arange(250, dtype=np.int64),
+    })
+    got = (rolling_time_window(rd.from_pandas(df), key="uid", ts_col="ts",
+                               value_col="v", span_s=30.0,
+                               keep_cols=["eid"], partitions=4)
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT eid,
+               SUM(CAST(ROUND(v*100) AS BIGINT)) OVER w AS s,
+               COUNT(*) OVER w AS n
+        FROM df WINDOW w AS (PARTITION BY uid ORDER BY ts
+            RANGE BETWEEN INTERVAL 30 SECOND PRECEDING AND CURRENT ROW)
+        ORDER BY eid""").df()
+    assert (got["span_sum_c"].to_numpy()
+            == exp["s"].to_numpy().astype(np.int64)).all()
+    assert (got["span_n"].to_numpy()
+            == exp["n"].to_numpy().astype(np.int64)).all()
