@@ -417,6 +417,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["span_n"] = out["span_n"].astype("int64")
         return out.sort_values("event_id").reset_index(drop=True)
 
+    # -- per-user trailing-row MIN/MAX (sliding extremes)
+    def events_rolling_minmax(sf_dir: str):
+        """MIN/MAX(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) — extremes don't
+        telescope like sums, so the kernel pads each key run with
+        window−1 sentinels and takes one vectorized
+        sliding_window_view min/max (dataops/windows.py:
+        rolling_extremes)."""
+        from fluent_bit_ray.dataops.windows import rolling_extremes
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id", "value"])
+        out = rolling_extremes(
+            ev, key="user_id", order=["ts", "event_id"],
+            value_col="value", window=5,
+            keep_cols=["event_id", "user_id"]).to_pandas()
+        out["roll_min_c"] = out["roll_min_c"].astype("int64")
+        out["roll_max_c"] = out["roll_max_c"].astype("int64")
+        return out.sort_values("event_id").reset_index(drop=True)
+
     # -- long→wide count pivot over the fixed event-type domain
     def events_pivot(sf_dir: str):
         """Count pivot: per-batch scatter-add partial crosstab (each
@@ -1598,6 +1617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": event_sessions,
         "events_rolling": events_rolling,
         "events_rank": events_rank,
+        "events_rolling_minmax": events_rolling_minmax,
         "events_cum_spend": events_cum_spend,
         "events_rolling_time": events_rolling_time,
         "events_pivot": events_pivot,
@@ -2158,6 +2178,17 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY turn_idx), ts),
                             -1)::BIGINT AS gap_ms
             FROM t ORDER BY conv_id, turn_idx
+        """,
+        "events_rolling_minmax": """
+            SELECT event_id, user_id,
+                   CAST(min(CAST(round(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS roll_min_c,
+                   CAST(max(CAST(round(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS roll_max_c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "events_rank": """
             SELECT event_id, user_id,

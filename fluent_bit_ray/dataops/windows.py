@@ -309,3 +309,56 @@ def rolling_time_window(ds, key: str, ts_col: str, value_col: str,
                 .append_column(n_name, pa.array(hi - lo)))
 
     return hash_exchange_apply(ds, key, kernel, partitions=partitions)
+
+
+def rolling_extremes(ds, key: str, order: list[str], value_col: str,
+                     window: int, out_prefix: str = "roll",
+                     keep_cols: list[str] | None = None,
+                     partitions: int | None = None):
+    """Trailing-row rolling MIN + MAX of ``value_col`` (int64 cents)
+    per key — SQL's MIN/MAX(v) OVER (PARTITION BY key ORDER BY order
+    ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW).
+
+    Extremes don't telescope like sums, so the kernel pads each key
+    run with window-1 sentinel cells and takes one vectorized
+    ``sliding_window_view`` min/max over the padded axis — O(n·window)
+    C-level work, zero per-key Python, any key cardinality.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    kept = list(keep_cols) if keep_cols is not None else [key, *order]
+    min_name, max_name = f"{out_prefix}_min_c", f"{out_prefix}_max_c"
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return (t.select(kept)
+                    .append_column(min_name, pa.array([], pa.int64()))
+                    .append_column(max_name, pa.array([], pa.int64())))
+        perm = _sort_perm(t, key, order)
+        v = t[value_col].combine_chunks().to_numpy(
+            zero_copy_only=False)[perm]
+        cents = np.round(v.astype(np.float64) * 100).astype(np.int64)
+        kc = t[key].combine_chunks().to_numpy(zero_copy_only=False)[perm]
+        idx = np.arange(n, dtype=np.int64)
+        sidx = _group_starts(kc)
+        if window == 1:
+            res_min = res_max = cents
+        else:
+            starts = idx[sidx == idx]               # group start positions
+            gid0 = np.cumsum(sidx == idx) - 1       # 0-based group index
+            w1 = window - 1
+            from numpy.lib.stride_tricks import sliding_window_view
+            pad_at = np.repeat(starts, w1)
+            pos = idx + w1 * (gid0 + 1)             # row's padded position
+            pmin = np.insert(cents, pad_at, np.iinfo(np.int64).max)
+            res_min = sliding_window_view(pmin, window).min(axis=1)[
+                pos - w1]
+            pmax = np.insert(cents, pad_at, np.iinfo(np.int64).min)
+            res_max = sliding_window_view(pmax, window).max(axis=1)[
+                pos - w1]
+        return (t.select(kept).take(perm)
+                .append_column(min_name, pa.array(res_min))
+                .append_column(max_name, pa.array(res_max)))
+
+    return hash_exchange_apply(ds, key, kernel, partitions=partitions)

@@ -198,3 +198,55 @@ def test_rolling_time_window_matches_duckdb_range():
             == exp["s"].to_numpy().astype(np.int64)).all()
     assert (got["span_n"].to_numpy()
             == exp["n"].to_numpy().astype(np.int64)).all()
+
+
+def test_rolling_extremes_matches_duckdb():
+    import duckdb
+    from fluent_bit_ray.dataops.windows import rolling_extremes
+
+    rs = np.random.RandomState(10)
+    df = pd.DataFrame({
+        "uid": rs.randint(0, 8, 260).astype(np.int64),
+        "t": np.arange(260, dtype=np.int64),
+        "v": np.round(rs.uniform(-30, 30, 260), 2),
+    })
+    got = (rolling_extremes(rd.from_pandas(df), key="uid", order=["t"],
+                            value_col="v", window=4,
+                            keep_cols=["t"], partitions=4)
+           .to_pandas().sort_values("t").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT t,
+               MIN(CAST(ROUND(v*100) AS BIGINT)) OVER w AS mn,
+               MAX(CAST(ROUND(v*100) AS BIGINT)) OVER w AS mx
+        FROM df WINDOW w AS (PARTITION BY uid ORDER BY t
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY t""").df()
+    assert (got["roll_min_c"].to_numpy()
+            == exp["mn"].to_numpy().astype(np.int64)).all()
+    assert (got["roll_max_c"].to_numpy()
+            == exp["mx"].to_numpy().astype(np.int64)).all()
+
+
+def test_rolling_extremes_window_one_and_partition_independent():
+    from fluent_bit_ray.dataops.windows import rolling_extremes
+
+    rs = np.random.RandomState(12)
+    df = pd.DataFrame({
+        "uid": rs.randint(0, 5, 90).astype(np.int64),
+        "t": np.arange(90, dtype=np.int64),
+        "v": np.round(rs.uniform(0, 9, 90), 2),
+    })
+    one = (rolling_extremes(rd.from_pandas(df), "uid", ["t"], "v",
+                            window=1, keep_cols=["t"], partitions=1)
+           .to_pandas().sort_values("t").reset_index(drop=True))
+    cents = np.round(df.sort_values("t")["v"].to_numpy() * 100).astype(
+        np.int64)
+    assert (one["roll_min_c"].to_numpy() == cents).all()
+    assert (one["roll_max_c"].to_numpy() == cents).all()
+    a = (rolling_extremes(rd.from_pandas(df), "uid", ["t"], "v",
+                          window=3, keep_cols=["t"], partitions=2)
+         .to_pandas().sort_values("t").reset_index(drop=True))
+    b = (rolling_extremes(rd.from_pandas(df), "uid", ["t"], "v",
+                          window=3, keep_cols=["t"], partitions=16)
+         .to_pandas().sort_values("t").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
