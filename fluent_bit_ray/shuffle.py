@@ -129,6 +129,10 @@ def coarse_group_apply(ds, key, per_group_fn, partitions: int = 64):
 # single task takes an unbounded argument list
 _MAX_FANIN = 256
 
+# driver-memory ceiling for the raw exchange: above this many split
+# groups the T×P ref matrix is handed to the sort-based shuffle instead
+_RAW_MAX_GROUPS = 4096
+
 
 def _hp_of_arrow(col, partitions: int) -> np.ndarray:
     """Partition id per row of an Arrow column — the SAME value→bucket
@@ -333,6 +337,18 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
             cur, cur_rows = [], 0
     if cur:
         groups.append(cur)
+
+    if len(groups) > _RAW_MAX_GROUPS:
+        # driver-memory guard: the exchange tracks T×P object refs on
+        # the driver; past ~_RAW_MAX_GROUPS split groups (≈ 800M rows
+        # at the 200k-row coalescing target) that matrix outgrows what
+        # one driver should hold — hand the job to Ray's sort-based
+        # shuffle, which streams its ref bookkeeping internally (the
+        # input plan re-executes; at this scale that is the cheap part)
+        return coarse_partition_apply(
+            ds, key,
+            per_partition_fn if kernel_format != "pandas" else pandas_fn,
+            partitions=P, batch_format=kernel_format, exchange="sort")
 
     piece_refs, count_refs = [], []
     for grp in groups:

@@ -129,3 +129,24 @@ def test_hash_exchange_tree_fold(monkeypatch):
     out = sh.hash_exchange_apply(ds, "k", kern, partitions=4).to_pandas()
     exp = _ds(n=600).to_pandas()["k"].value_counts()
     assert dict(zip(out["k"], out["n"])) == exp.to_dict()
+
+
+def test_hash_exchange_sort_fallback_above_group_ceiling(monkeypatch):
+    """Past _RAW_MAX_GROUPS split groups the exchange must hand the job
+    to the sort-based shuffle (driver ref-matrix guard) — results
+    identical."""
+    import fluent_bit_ray.shuffle as sh
+
+    def kern(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ks = sorted(set(df["k"]))
+        return pa.table({"k": ks,
+                         "n": [int((df["k"] == k).sum()) for k in ks]})
+
+    base = sh.hash_exchange_apply(_ds(n=400), "k", kern,
+                                  partitions=4).to_pandas()
+    monkeypatch.setattr(sh, "_RAW_MAX_GROUPS", 2)
+    forced = sh.hash_exchange_apply(_ds(n=400).repartition(8), "k", kern,
+                                    partitions=4).to_pandas()
+    key = lambda d: d.sort_values("k").reset_index(drop=True)  # noqa: E731
+    pd.testing.assert_frame_equal(key(forced), key(base))
