@@ -151,12 +151,22 @@ def _hp_of_arrow(col, partitions: int) -> np.ndarray:
         bits = (vals + 0.0).view(np.uint64)      # -0.0 → 0.0 first
         return (_splitmix64(bits) % np.uint64(partitions)).astype(np.int64)
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-        dct = arr.dictionary_encode()
-        uniq = dct.dictionary.to_pylist()
-        hu = np.fromiter(
-            (zlib.crc32(str(u).encode("utf-8")) % partitions for u in uniq),
-            dtype=np.int64, count=len(uniq))
-        return hu[dct.indices.to_numpy(zero_copy_only=False)]
+        try:
+            # Rust-vectorized, seed-pinned (verified identical across
+            # processes for one polars build — all workers in a job
+            # share the image, which is all partitioning needs)
+            import polars as pl
+
+            h = pl.from_arrow(arr).hash(seed=0).to_numpy()
+            return (h % np.uint64(partitions)).astype(np.int64)
+        except ImportError:
+            dct = arr.dictionary_encode()
+            uniq = dct.dictionary.to_pylist()
+            hu = np.fromiter(
+                (zlib.crc32(str(u).encode("utf-8")) % partitions
+                 for u in uniq),
+                dtype=np.int64, count=len(uniq))
+            return hu[dct.indices.to_numpy(zero_copy_only=False)]
     raise TypeError(f"hash exchange needs an integer or string key, "
                     f"got {arr.type}")
 
