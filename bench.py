@@ -333,6 +333,14 @@ def run_bench() -> None:
                               order=["ts", "event_id"], value_col="value",
                               window=5, keep_cols=["event_id"]).count()
 
+    def bench_rolling_time():
+        from fluent_bit_ray.dataops.windows import rolling_time_window
+        ev = rd.read_parquet(_events_path(sf_dir),
+                             columns=["event_id", "ts", "user_id", "value"])
+        return rolling_time_window(ev, key="user_id", ts_col="ts",
+                                   value_col="value", span_s=600.0,
+                                   keep_cols=["event_id"]).count()
+
     def bench_turn_gaps():
         from fluent_bit_ray.dataops.windows import shift_within_key
         from fluent_bit_ray.sources.transcripts import read_transcripts
@@ -367,6 +375,7 @@ def run_bench() -> None:
                     ("hll_sketch", bench_hll),
                     ("cms_sketch", bench_cms)]
     benches += [("rolling_window", bench_rolling),
+                ("rolling_time_window", bench_rolling_time),
                 ("turn_gaps", bench_turn_gaps)]
 
     # GRAFT_BENCH_ONLY=a,b,c: focused runs (scaling forensics) — the
