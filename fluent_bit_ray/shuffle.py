@@ -185,12 +185,12 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
     19.5 s wall (70 CPU·s in SortReduce alone), Ray HASH_SHUFFLE
     repartition 43 s, this exchange 3.2 s.
 
-    Shape: split tasks are submitted AS READ BLOCKS LAND (the input
-    iterator drives the streaming executor, so split overlaps read);
-    each split bucket-sorts its block by the key hash (radix argsort +
-    one zero-copy take) and returns ``partitions`` table slices as
-    separate objects; each reduce concatenates its slices and runs the
-    kernel. Like any all-to-all this materializes one pass of the
+    Shape: input bundles are collected first (their row-count metadata
+    sizes the partition count and coalesces small blocks into ~200k-row
+    split groups); each split task bucket-sorts its blocks by the key
+    hash (radix argsort + one zero-copy take) and returns
+    ``partitions`` table slices as separate objects; each reduce
+    concatenates its slices and runs the kernel. Like any all-to-all this materializes one pass of the
     input in the object store (the sort shuffle does too); blocks
     spill rather than sit in worker heaps. Reduce fan-in is bounded by
     a tree fold above ``_MAX_FANIN`` input blocks so no task takes
