@@ -340,19 +340,31 @@ def curate_transcripts(ds, min_turns: int = 6,
                               minlength=len(uniques)) > 0
         return ok[codes]
 
-    # FUSED into two full-text conv exchanges + one tiny pair exchange
-    # (the r3 docs-curated lesson: naive stage chaining re-shuffles the
-    # corpus once per stage — 4 text exchanges; this runs 2).
-    # Pass 1: gate inside the conv exchange, emit only the DISTINCT
-    # (h64(text), conv) pairs of surviving rows (16 B rows).
-    def pairs_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[gate_mask(df)]
+    # FUSED into ONE full-text conv exchange + one tiny pair exchange
+    # (the r3 docs-curated lesson, taken further in r4: the exchange
+    # returns a refs-backed Dataset already partitioned by conv, so the
+    # pairs scan AND the final pass are plain map_batches over those
+    # blocks — re-consuming them costs no re-execution and no second
+    # all-to-all. The old two-exchange shape measured a ~5 s
+    # non-scaling phase cost PER text exchange at sf1.)
+    # Exchange: gate inside, output the surviving rows (conv-complete
+    # blocks).
+    def gate_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[gate_mask(df)]
+
+    gated = coarse_partition_apply(ds, "conv_id", gate_kernel,
+                                   partitions=partitions)
+
+    # Distinct (h64(text), conv) pairs per block: each conv is whole
+    # inside one block, so per-block distinct == per-conv distinct
+    # (16 B rows leave the node, never text).
+    def pairs_batch(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({"h": _h64_col(df["text"]),
                             "g": df["conv_id"].astype(str)})
         return out.drop_duplicates()
 
-    pairs = coarse_partition_apply(ds, "conv_id", pairs_kernel,
-                                   partitions=partitions)
+    pairs = gated.map_batches(pairs_batch, batch_format="pandas",
+                              batch_size=None)
 
     def count_kernel(part: pd.DataFrame) -> pd.DataFrame:
         vc = part.drop_duplicates()["h"].value_counts()
@@ -365,10 +377,10 @@ def curate_transcripts(ds, min_turns: int = 6,
         np.array([], dtype=np.uint64)
     bad_ref = ray.put(bad)
 
-    # Pass 2: gate again (vectorized, trivial vs the exchange), drop
-    # boilerplate rows, collapse runs, render — one kernel.
+    # Final pass: map over the same conv-partitioned blocks — drop
+    # boilerplate rows, collapse runs, render — one kernel, no
+    # re-shuffle (rows are already gated).
     def final_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[gate_mask(df)]
         b = ray.get(bad_ref)
         if len(b) and len(df):
             h = _h64_col(df["text"])
@@ -398,5 +410,5 @@ def curate_transcripts(ds, min_turns: int = 6,
                          for s, e in zip(starts, ends)],
             "n_turns": (ends - starts).astype("int64")})
 
-    return coarse_partition_apply(ds, "conv_id", final_kernel,
-                                  partitions=partitions)
+    return gated.map_batches(final_kernel, batch_format="pandas",
+                             batch_size=None)

@@ -185,12 +185,14 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
     19.5 s wall (70 CPU·s in SortReduce alone), Ray HASH_SHUFFLE
     repartition 43 s, this exchange 3.2 s.
 
-    Shape: input bundles are collected first (their row-count metadata
-    sizes the partition count and coalesces small blocks into ~200k-row
-    split groups); each split task bucket-sorts its blocks by the key
-    hash (radix argsort + one zero-copy take) and returns
-    ``partitions`` table slices as separate objects; each reduce
-    concatenates its slices and runs the kernel. Like any all-to-all this materializes one pass of the
+    Shape: with ``partitions=None`` the input bundles are collected
+    first (their row-count metadata sizes the partition count); with an
+    explicit ``partitions`` the bundles are STREAMED — split tasks are
+    submitted while the upstream read is still producing blocks. Either
+    way small blocks coalesce into ~200k-row split groups; each split
+    task bucket-sorts its blocks by the key hash (radix argsort + one
+    zero-copy take) and returns ``partitions`` table slices as separate
+    objects; each reduce concatenates its slices and runs the kernel. Like any all-to-all this materializes one pass of the
     input in the object store (the sort shuffle does too); blocks
     spill rather than sit in worker heaps. Reduce fan-in is bounded by
     a tree fold above ``_MAX_FANIN`` input blocks so no task takes
@@ -228,27 +230,36 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
 
-    # collect input blocks WITH metadata first (drives the upstream
-    # streaming execution): row counts size the exchange — on an 80k-row
-    # corpus a blind 4×CPU=128-partition matrix over 128 blocks costs
-    # more in per-object driver overhead (T×P refs) than the kernels do
-    bundles = list(ds.iter_internal_ref_bundles())
-    entries = [(block_ref, md.num_rows)
-               for bundle in bundles for block_ref, md in bundle.blocks]
-    known_rows = (sum(n for _, n in entries if n is not None)
-                  if entries else 0)
-
     if partitions is None:
+        # sizing needs total rows, so collect input blocks WITH
+        # metadata first (drives the upstream streaming execution):
+        # on an 80k-row corpus a blind 4×CPU=128-partition matrix over
+        # 128 blocks costs more in per-object driver overhead (T×P
+        # refs) than the kernels do.
         # ≥ ~100k rows per partition so reduce tasks do real work, but
         # at least one partition per core for kernel parallelism and at
         # most 4/core (measured 64M rows at 4 CPUs: parts=64 21.9 s vs
         # parts=16 14.1 s — small partitions mean more per-object fixed
         # cost per useful byte)
+        bundles = list(ds.iter_internal_ref_bundles())
+        entries = [(block_ref, md.num_rows)
+                   for bundle in bundles
+                   for block_ref, md in bundle.blocks]
+        known_rows = (sum(n for _, n in entries if n is not None)
+                      if entries else 0)
         if known_rows:
             partitions = int(np.clip(-(-known_rows // 100_000),
                                      min(ncpu, 256), min(4 * ncpu, 256)))
         else:
             partitions = max(16, min(256, 4 * ncpu))
+    else:
+        # explicit partition count: no need to see the whole input
+        # before acting — bundles are STREAMED below, so split tasks
+        # run while the upstream read is still producing blocks
+        # (collect-first measured ~1–1.5 s of idle phase gap per
+        # exchange at 16 CPUs on sf1)
+        entries = None
+        known_rows = 0
     P = partitions
 
     @ray.remote(num_returns=P + 1)
@@ -318,53 +329,76 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
         empty = pa.Table.from_pylist([], schema=ds.schema().base_schema)
         return rd.from_arrow(per_partition_fn(empty))
 
-    if not entries:
+    def entry_iter():
+        if entries is not None:
+            yield from entries
+        else:
+            for bundle in ds.iter_internal_ref_bundles():
+                for block_ref, md in bundle.blocks:
+                    yield block_ref, md.num_rows
+
+    if entries is not None and not entries:
         return empty_result()
 
     if P == 1:
         # degenerate single partition: no split needed, one reduce over
         # the raw blocks (num_returns=1 would also return a bare ref,
         # not a 1-tuple, so the generic path can't serve it)
-        return _wrap([reduce_part.remote(*[br for br, _ in entries])])
+        refs = [br for br, _ in entry_iter()]
+        if not refs:
+            return empty_result()
+        return _wrap([reduce_part.remote(*refs)])
 
     # coalesce small blocks into split tasks of ~200k rows (at least
     # one group per core): shrinks the T×P object matrix — the driver-
     # side cost per exchange is ~T×P ref handoffs, so halving T halves
-    # it; blocks of unknown size go one per task
+    # it; blocks of unknown size go one per task. Groups are SUBMITTED
+    # as they close, so in the streamed (explicit-partitions) mode
+    # splits overlap the upstream read.
     target = max(200_000, known_rows // max(2 * ncpu, 1) or 1)
-    groups, cur, cur_rows = [], [], 0
-    for br, n in entries:
+    piece_refs, count_refs = [], []
+
+    def submit(grp):
+        *pieces, counts = split_block.remote(*grp)
+        piece_refs.append(pieces)
+        count_refs.append(counts)
+
+    overflow = False
+    cur, cur_rows = [], 0
+    for br, n in entry_iter():
+        if len(piece_refs) >= _RAW_MAX_GROUPS:
+            overflow = True
+            break
         if n is None:
             if cur:
-                groups.append(cur)
+                submit(cur)
                 cur, cur_rows = [], 0
-            groups.append([br])
+            submit([br])
             continue
         cur.append(br)
         cur_rows += n
         if cur_rows >= target:
-            groups.append(cur)
+            submit(cur)
             cur, cur_rows = [], 0
-    if cur:
-        groups.append(cur)
+    if not overflow and cur:
+        submit(cur)
 
-    if len(groups) > _RAW_MAX_GROUPS:
+    if overflow:
         # driver-memory guard: the exchange tracks T×P object refs on
         # the driver; past ~_RAW_MAX_GROUPS split groups (≈ 800M rows
         # at the 200k-row coalescing target) that matrix outgrows what
         # one driver should hold — hand the job to Ray's sort-based
         # shuffle, which streams its ref bookkeeping internally (the
-        # input plan re-executes; at this scale that is the cheap part)
+        # input plan re-executes, and in streamed mode the already-
+        # submitted split tasks are abandoned; at this scale that is
+        # the cheap part)
         return coarse_partition_apply(
             ds, key,
             per_partition_fn if kernel_format != "pandas" else pandas_fn,
             partitions=P, batch_format=kernel_format, exchange="sort")
 
-    piece_refs, count_refs = [], []
-    for grp in groups:
-        *pieces, counts = split_block.remote(*grp)
-        piece_refs.append(pieces)
-        count_refs.append(counts)
+    if not piece_refs:
+        return empty_result()
 
     # tiny (P int64s per input block) — a barrier, but every reduce needs
     # every split anyway; lets the driver drop empty partitions (a pandas

@@ -246,9 +246,16 @@ def ensure_transcripts(sf_dir: str) -> str:
 def read_transcripts(sf_dir: str, columns: list[str] | None = None):
     """Ray Dataset over the (cached) synthetic transcript shards.
 
-    Block count adapts to the cluster: ~1.5 blocks per CPU (bounded
-    by row count) — measured sweet spot between per-task dispatch
-    overhead and straggler tolerance on this host.
+    Block count is the max of a cluster floor (~1.5 blocks per CPU,
+    so small tables still use every core) and a DATA-DRIVEN term
+    (~128k rows per block). The old pure-per-CPU formula made block
+    size grow with input: at sf4 / 16 CPUs it planned 24 one-million-
+    row tasks (~61 CPU·s, 1.2 GB peak heap each) — two unbalanced
+    waves, measured 0.54 scaling efficiency where sf1 gave 0.90.
+    Capping rows-per-block keeps task makespan and worker heap flat
+    as the input grows, which is the property that actually matters
+    at 100 TB (the per-CPU floor would be irrelevant there; the cap
+    is what bounds straggler size and heap).
     """
     import ray
     import ray.data as rd
@@ -259,6 +266,7 @@ def read_transcripts(sf_dir: str, columns: list[str] | None = None):
     except Exception:
         ncpu = 8
     rows = n_rows_for_sf(sf_from_dir(sf_dir))
-    blocks = max(1, min(rows // 8192, ncpu + ncpu // 2))
+    blocks = max(1, min(rows // 8192,
+                        max(ncpu + ncpu // 2, rows // 131072)))
     return rd.read_parquet(path, columns=columns,
                            override_num_blocks=blocks)
