@@ -293,15 +293,18 @@ def run_bench() -> None:
                                                "role", "text"])
         return curate_transcripts(ds).count()
 
+    # reference tests/runtime/gen_data.py JSON_LONG shape: 1000 string
+    # keys per record. Pre-cached as parquet shards OUTSIDE the timed
+    # region ($GRAFT_WIDE_ROWS: scaling mode raises the row count so
+    # the fixed-size table has enough work to measure efficiency) —
+    # generating 16k × 16 KB JSON strings is ~2 s of serial driver
+    # work that used to poison the measurement.
+    from fluent_bit_ray.sources.wide import ensure_wide_records
+    wide_path = ensure_wide_records(
+        int(os.environ.get("GRAFT_WIDE_ROWS", "4096")), 1000)
+
     def bench_wide_record():
-        # reference tests/runtime/gen_data.py JSON_LONG shape: 1000
-        # string keys per record through parser → modify → nest
         from fluent_bit_ray.pipelines.pipeline import Pipeline
-        from fluent_bit_ray.sources.wide import wide_records
-        # $GRAFT_WIDE_ROWS: scaling mode raises this so the fixed-size
-        # wide table has enough work to measure parallel efficiency
-        tbl = wide_records(int(os.environ.get("GRAFT_WIDE_ROWS", "4096")),
-                           1000)
         # batch_size sized to the ~16 KB rows: the default 16384-row
         # batch would coalesce the whole table into ONE task (and at
         # scale would put ~256 MB of decoded dicts in one worker heap)
@@ -313,7 +316,7 @@ def run_bench() -> None:
             {"type": "nest", "operation": "nest", "wildcard": ["key_9*"],
              "nest_under": "bucket9"},
         ], sinks=[("all", "*")])
-        return pipe.run(rd.from_arrow(tbl).repartition(32)).ds.count()
+        return pipe.run(rd.read_parquet(wide_path)).ds.count()
 
     def bench_quality_model():
         from fluent_bit_ray.dataops import quality_model_scores

@@ -41,3 +41,31 @@ def wide_records(n_rows: int, n_keys: int = 1000,
         "role": pa.array(["user"] * n_rows, type=pa.large_string()),
         "text": pa.array(texts, type=pa.large_string()),
     })
+
+
+def ensure_wide_records(n_rows: int, n_keys: int = 1000,
+                        kind: str = "string", shards: int = 32) -> str:
+    """Cache ``wide_records`` as sharded parquet under /tmp and return
+    the directory. Benchmarks read THIS instead of generating in the
+    timed region: building 16k × 16 KB JSON strings is ~2 s of serial
+    driver work, which poisons any parallel-efficiency measurement
+    (and at real scale the wide records would arrive from storage
+    anyway, not a driver loop)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"/tmp/graft_wide/v1/r{n_rows}_k{n_keys}_{kind}"
+    done = f"{path}/_DONE"
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    tbl = wide_records(n_rows, n_keys, kind)
+    per = -(-n_rows // shards)
+    for s in range(shards):
+        piece = tbl.slice(s * per, per)
+        if piece.num_rows:
+            pq.write_table(piece, f"{path}/part-{s:05d}.parquet")
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
