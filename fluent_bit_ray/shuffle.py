@@ -229,37 +229,44 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
             return out
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+    cap = min(4 * ncpu, 256)
 
+    def _raw_entries():
+        for bundle in ds.iter_internal_ref_bundles():
+            for block_ref, md in bundle.blocks:
+                yield block_ref, md.num_rows
+
+    stream = _raw_entries()
+    known_rows = 0
     if partitions is None:
-        # sizing needs total rows, so collect input blocks WITH
-        # metadata first (drives the upstream streaming execution):
-        # on an 80k-row corpus a blind 4×CPU=128-partition matrix over
-        # 128 blocks costs more in per-object driver overhead (T×P
-        # refs) than the kernels do.
-        # ≥ ~100k rows per partition so reduce tasks do real work, but
-        # at least one partition per core for kernel parallelism and at
-        # most 4/core (measured 64M rows at 4 CPUs: parts=64 21.9 s vs
-        # parts=16 14.1 s — small partitions mean more per-object fixed
-        # cost per useful byte)
-        bundles = list(ds.iter_internal_ref_bundles())
-        entries = [(block_ref, md.num_rows)
-                   for bundle in bundles
-                   for block_ref, md in bundle.blocks]
-        known_rows = (sum(n for _, n in entries if n is not None)
-                      if entries else 0)
-        if known_rows:
+        # sizing wants total rows (≥ ~100k rows per partition so reduce
+        # tasks do real work, at least one partition per core for kernel
+        # parallelism, at most 4/core — measured 64M rows at 4 CPUs:
+        # parts=64 21.9 s vs parts=16 14.1 s; on an 80k-row corpus a
+        # blind 4×CPU=128-partition matrix costs more in per-object
+        # driver overhead than the kernels do). But it doesn't need to
+        # see the WHOLE input: buffer bundles only until the formula
+        # saturates at its cap, then fix P and stream the rest — small
+        # inputs size exactly as before, large inputs overlap split
+        # tasks with the upstream read (collect-first measured ~1–1.5 s
+        # of idle phase gap per exchange at 16 CPUs on sf1).
+        buffered = []
+        for br, n in stream:
+            buffered.append((br, n))
+            known_rows += n or 0
+            if known_rows >= cap * 100_000:
+                break
+        if not buffered:
+            # fall through with an empty stream; handled below
+            partitions = max(16, min(256, cap))
+        elif known_rows:
             partitions = int(np.clip(-(-known_rows // 100_000),
-                                     min(ncpu, 256), min(4 * ncpu, 256)))
+                                     min(ncpu, 256), cap))
         else:
-            partitions = max(16, min(256, 4 * ncpu))
-    else:
-        # explicit partition count: no need to see the whole input
-        # before acting — bundles are STREAMED below, so split tasks
-        # run while the upstream read is still producing blocks
-        # (collect-first measured ~1–1.5 s of idle phase gap per
-        # exchange at 16 CPUs on sf1)
-        entries = None
-        known_rows = 0
+            partitions = max(16, min(256, cap))
+        from itertools import chain
+        stream = chain(buffered, stream)
+    # else: explicit partition count — pure streaming, nothing buffered
     P = partitions
 
     @ray.remote(num_returns=P + 1)
@@ -329,22 +336,11 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
         empty = pa.Table.from_pylist([], schema=ds.schema().base_schema)
         return rd.from_arrow(per_partition_fn(empty))
 
-    def entry_iter():
-        if entries is not None:
-            yield from entries
-        else:
-            for bundle in ds.iter_internal_ref_bundles():
-                for block_ref, md in bundle.blocks:
-                    yield block_ref, md.num_rows
-
-    if entries is not None and not entries:
-        return empty_result()
-
     if P == 1:
         # degenerate single partition: no split needed, one reduce over
         # the raw blocks (num_returns=1 would also return a bare ref,
         # not a 1-tuple, so the generic path can't serve it)
-        refs = [br for br, _ in entry_iter()]
+        refs = [br for br, _ in stream]
         if not refs:
             return empty_result()
         return _wrap([reduce_part.remote(*refs)])
@@ -365,7 +361,7 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
 
     overflow = False
     cur, cur_rows = [], 0
-    for br, n in entry_iter():
+    for br, n in stream:
         if len(piece_refs) >= _RAW_MAX_GROUPS:
             overflow = True
             break
