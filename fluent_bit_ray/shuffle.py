@@ -133,6 +133,11 @@ _MAX_FANIN = 256
 # groups the T×P ref matrix is handed to the sort-based shuffle instead
 _RAW_MAX_GROUPS = 4096
 
+# auto-sizing target: ~this many rows per partition (also the
+# saturation unit for the deferred-sizing buffer — tests shrink it to
+# exercise the streamed path at unit scale)
+_ROWS_PER_PART = 100_000
+
 
 def _hp_of_arrow(col, partitions: int) -> np.ndarray:
     """Partition id per row of an Arrow column — the SAME value→bucket
@@ -254,13 +259,13 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
         for br, n in stream:
             buffered.append((br, n))
             known_rows += n or 0
-            if known_rows >= cap * 100_000:
+            if known_rows >= cap * _ROWS_PER_PART:
                 break
         if not buffered:
             # fall through with an empty stream; handled below
             partitions = max(16, min(256, cap))
         elif known_rows:
-            partitions = int(np.clip(-(-known_rows // 100_000),
+            partitions = int(np.clip(-(-known_rows // _ROWS_PER_PART),
                                      min(ncpu, 256), cap))
         else:
             partitions = max(16, min(256, cap))

@@ -266,7 +266,13 @@ def read_transcripts(sf_dir: str, columns: list[str] | None = None):
     except Exception:
         ncpu = 8
     rows = n_rows_for_sf(sf_from_dir(sf_dir))
-    blocks = max(1, min(rows // 8192,
-                        max(ncpu + ncpu // 2, rows // 131072)))
     return rd.read_parquet(path, columns=columns,
-                           override_num_blocks=blocks)
+                           override_num_blocks=block_count(rows, ncpu))
+
+
+def block_count(rows: int, ncpu: int) -> int:
+    """max(~1.5 blocks/CPU, ~128k rows/block), bounded so tiny tables
+    aren't shredded below ~8k rows/task. The data-driven term is the
+    one that matters as input grows (see read_transcripts docstring)."""
+    return max(1, min(rows // 8192,
+                      max(ncpu + ncpu // 2, rows // 131072)))

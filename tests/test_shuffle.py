@@ -150,3 +150,42 @@ def test_hash_exchange_sort_fallback_above_group_ceiling(monkeypatch):
                                     partitions=4).to_pandas()
     key = lambda d: d.sort_values("k").reset_index(drop=True)  # noqa: E731
     pd.testing.assert_frame_equal(key(forced), key(base))
+
+
+def test_hash_exchange_deferred_sizing_saturation(monkeypatch):
+    """Auto-sized exchanges buffer bundles only until the partition
+    formula saturates at its 4/CPU cap, then stream the rest into
+    split tasks. Shrink the rows-per-partition unit so a unit-scale
+    input crosses the saturation threshold — results must match the
+    small-input (fully buffered) path."""
+    import fluent_bit_ray.shuffle as sh
+
+    def kern(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ks = sorted(set(df["k"]))
+        return pa.table({"k": ks,
+                         "n": [int((df["k"] == k).sum()) for k in ks]})
+
+    base = sh.hash_exchange_apply(_ds(n=800), "k", kern,
+                                  partitions=None).to_pandas()
+    # 10 rows/partition → saturation at cap*10 rows, far below 800:
+    # the loop breaks early and the remaining bundles stream
+    monkeypatch.setattr(sh, "_ROWS_PER_PART", 10)
+    streamed = sh.hash_exchange_apply(_ds(n=800).repartition(16), "k",
+                                      kern, partitions=None).to_pandas()
+    key = lambda d: d.sort_values("k").reset_index(drop=True)  # noqa: E731
+    pd.testing.assert_frame_equal(key(streamed), key(base))
+
+
+def test_read_block_count_scales_with_rows():
+    """Block count is data-size-aware: fixed-per-CPU below ~128k rows
+    per block, then grows with the input so task makespan and worker
+    heap stay flat as data grows (the property that holds at 100 TB)."""
+    from fluent_bit_ray.sources.transcripts import block_count
+
+    assert block_count(600_000, 16) == 24          # floor: 1.5/CPU
+    assert block_count(6_000_000, 16) == 45        # data term takes over
+    assert block_count(24_000_000, 16) == 183      # keeps growing
+    assert block_count(24_000_000, 4) == 183       # independent of CPUs
+    assert block_count(20_000, 32) == 2            # tiny: no shredding
+    assert block_count(0, 8) == 1
