@@ -525,3 +525,50 @@ def test_tensorflow_stage_semantics():
                        "input_dim": 4, "hidden": 3, "out_dim": 2})
     got = st4.apply(ds).to_pandas().sort_values("rid")
     assert got["rid"].tolist() == [0, 3]
+
+
+def test_multiline_arrow_engine_matches_pandas():
+    """The parserless Arrow fast path must produce byte-identical
+    segments to the pandas reference path — shuffled input, multiple
+    convs, gap flushes, null text (pandas astype(str) renders "None"),
+    and non-firstline-leading convs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(12):
+        n = int(rng.integers(1, 30))
+        for t in range(n):
+            r = rng.random()
+            if r < 0.3:
+                txt = f"{t} start of segment c{c}"
+            elif r < 0.35:
+                txt = None
+            else:
+                txt = f"continuation {c}:{t} body"
+            sec = t * (1 if r < 0.9 else 50)
+            rows.append((f"conv-{c:02d}", t, txt, sec))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "sec"])
+    df["ts"] = pd.to_datetime(df["sec"], unit="s")
+    df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
+
+    def run(engine, gap):
+        spec = {"type": "multiline", "firstline": r"^\d",
+                "engine": engine}
+        if gap:
+            spec["flush_gap_s"] = 5
+        out = build_stage(spec).apply(rd.from_pandas(df)).to_pandas()
+        return out.sort_values(["conv_id", "first_turn"]) \
+            .reset_index(drop=True).astype({"text": str})
+
+    for gap in (False, True):
+        a = run("auto", gap)
+        p = run("pandas", gap)
+        pd.testing.assert_frame_equal(a, p)
+    # a pattern RE2 cannot compile (lookbehind) falls back to the
+    # pandas path without error
+    st = build_stage({"type": "multiline", "firstline": r"(?<=A)\d"})
+    out = st.apply(rd.from_pandas(df)).to_pandas()
+    assert len(out) > 0
