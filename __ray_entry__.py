@@ -1339,6 +1339,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["conv_id", "first_turn", "n_parts", "text"]]
         return out.sort_values(["conv_id", "first_turn"]).reset_index(drop=True)
 
+    def multiline_chunked(sf_dir: str):
+        """Same semantics as multiline_segments but with hot-key
+        chunk-splitting FORCED at gate scale (chunk_rows=2048: the
+        Zipf-head conv at sf0.01 has ~6k turns → 3 ordered chunks +
+        boundary merge). Hash-matching multiline_segments' oracle
+        proves the chunk decomposition is lossless."""
+        from fluent_bit_ray.stages import build_stage
+        st = build_stage({"type": "multiline", "firstline": FIRSTLINE,
+                          "chunk_rows": 2048})
+        out = st.apply(read_transcripts(sf_dir)).to_pandas()
+        out["first_turn"] = out["first_turn"].astype("int64")
+        out["n_parts"] = out["n_parts"].astype("int64")
+        out = out[["conv_id", "first_turn", "n_parts", "text"]]
+        return out.sort_values(["conv_id", "first_turn"]).reset_index(drop=True)
+
     def multiline_segments_gap(sf_dir: str):
         """Multiline with the event-time flush-timeout rule: rows whose
         turn_idx % 7 == 3 arrive 10 s late (synthetic quiet period);
@@ -1679,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": doc_len_quantiles,
         "ua_browser_counts": ua_browser_counts,
         "multiline_segments": multiline_segments,
+        "multiline_chunked": multiline_chunked,
         "multiline_segments_gap": multiline_segments_gap,
         "multiline_parsed": multiline_parsed,
         "sp_count_window": sp_count_window,
@@ -2005,7 +2021,7 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY sink
         """
 
-    return {
+    sqls = {
         # the config-built pipeline must reproduce the same routing
         # truth table as the hand-built flagship chain
         "config_route_counts": route_counts_sql,
@@ -3246,3 +3262,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY key_a, key_b
         """,
     }
+    # the chunk-split multiline must reproduce the unchunked
+    # segmentation byte-for-byte — same oracle, same hash
+    sqls["multiline_chunked"] = sqls["multiline_segments"]
+    return sqls

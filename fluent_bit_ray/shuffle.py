@@ -53,7 +53,8 @@ def _hp_column(df: pd.DataFrame, keys: list[str], partitions: int
 def coarse_partition_apply(ds, key, per_partition_fn,
                            partitions: int | None = None,
                            batch_format: str = "pandas",
-                           exchange: str = "raw"):
+                           exchange: str = "raw",
+                           salt_col: str | None = None):
     """Like ``coarse_group_apply`` but the kernel receives the WHOLE
     coarse partition (all rows whose key hashes to it) and is expected
     to be key-aware internally (vectorized groupby/cumsum) — zero
@@ -73,7 +74,12 @@ def coarse_partition_apply(ds, key, per_partition_fn,
     if exchange == "raw" and len(keys) == 1:
         return hash_exchange_apply(ds, keys[0], per_partition_fn,
                                    partitions=partitions,
-                                   kernel_format=batch_format)
+                                   kernel_format=batch_format,
+                                   salt_col=salt_col)
+    # NOTE: salt_col is raw-exchange-only; the sort fallback co-locates
+    # WHOLE keys, which is strictly stronger and stays correct for any
+    # kernel that groups by (key, salt) internally — the hot key just
+    # isn't split there.
 
     if partitions is None:
         partitions = 64
@@ -139,14 +145,13 @@ _RAW_MAX_GROUPS = 4096
 _ROWS_PER_PART = 100_000
 
 
-def _hp_of_arrow(col, partitions: int) -> np.ndarray:
-    """Partition id per row of an Arrow column — the SAME value→bucket
-    map as ``_hp_column`` (splitmix64 for integers, crc32-of-utf8 for
-    strings via the dictionary so each distinct value hashes once)."""
+def _hash64_of_arrow(col) -> np.ndarray:
+    """Full-width uint64 hash per row of an Arrow column (splitmix64
+    for integers, bit-pattern mix for floats, polars' seed-pinned
+    vectorized hash for strings with a crc32-per-distinct fallback)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     if pa.types.is_integer(arr.type):
-        mixed = _splitmix64(arr.to_numpy(zero_copy_only=False))
-        return (mixed % np.uint64(partitions)).astype(np.int64)
+        return _splitmix64(arr.to_numpy(zero_copy_only=False))
     if pa.types.is_floating(arr.type):
         # float keys (e.g. an int column gone float64 through a union
         # with nulls): hash the BIT PATTERN — equal values get equal
@@ -154,7 +159,7 @@ def _hp_of_arrow(col, partitions: int) -> np.ndarray:
         # match the pandas path, only be self-consistent)
         vals = arr.to_numpy(zero_copy_only=False).astype(np.float64)
         bits = (vals + 0.0).view(np.uint64)      # -0.0 → 0.0 first
-        return (_splitmix64(bits) % np.uint64(partitions)).astype(np.int64)
+        return _splitmix64(bits)
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         try:
             # Rust-vectorized, seed-pinned (verified identical across
@@ -162,23 +167,38 @@ def _hp_of_arrow(col, partitions: int) -> np.ndarray:
             # share the image, which is all partitioning needs)
             import polars as pl
 
-            h = pl.from_arrow(arr).hash(seed=0).to_numpy()
-            return (h % np.uint64(partitions)).astype(np.int64)
+            return pl.from_arrow(arr).hash(seed=0).to_numpy()
         except ImportError:
             dct = arr.dictionary_encode()
             uniq = dct.dictionary.to_pylist()
             hu = np.fromiter(
-                (zlib.crc32(str(u).encode("utf-8")) % partitions
-                 for u in uniq),
-                dtype=np.int64, count=len(uniq))
+                (zlib.crc32(str(u).encode("utf-8")) for u in uniq),
+                dtype=np.uint64, count=len(uniq))
             return hu[dct.indices.to_numpy(zero_copy_only=False)]
     raise TypeError(f"hash exchange needs an integer or string key, "
                     f"got {arr.type}")
 
 
+def _hp_of_arrow(col, partitions: int, salt=None) -> np.ndarray:
+    """Partition id per row of an Arrow column. With ``salt`` (an
+    integer array, e.g. an order-chunk id) the map becomes
+    mix(hash(key) + salt) so one hot key's chunks spread across
+    partitions — the caller owns re-merging chunk boundaries."""
+    h = _hash64_of_arrow(col)
+    if salt is not None:
+        s = (salt.combine_chunks() if isinstance(salt, pa.ChunkedArray)
+             else salt)
+        s = (s.to_numpy(zero_copy_only=False).astype(np.uint64)
+             if not isinstance(s, np.ndarray) else s.astype(np.uint64))
+        h = _splitmix64(h + s)
+    return (h % np.uint64(partitions)).astype(np.int64)
+
+
 def hash_exchange_apply(ds, key: str, per_partition_fn,
                         partitions: int | None = None,
-                        kernel_format: str = "pyarrow"):
+                        kernel_format: str = "pyarrow",
+                        salt_col: str | None = None,
+                        side_schema: "pa.Schema | None" = None):
     """UNSORTED hash exchange + per-partition Arrow kernel, built on
     raw Ray tasks. Semantically identical to
     ``coarse_partition_apply(..., batch_format="pyarrow")`` — all rows
@@ -202,9 +222,20 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
     spill rather than sit in worker heaps. Reduce fan-in is bounded by
     a tree fold above ``_MAX_FANIN`` input blocks so no task takes
     unbounded argument lists at cluster scale.
+
+    ``side_schema``: when given, the kernel returns a TUPLE
+    ``(main_table, side_table_or_None)`` and the call returns
+    ``(main_ds, side_ds)``. The side channel is for small
+    per-partition by-products (e.g. chunk-boundary records of a
+    hot-key-split scan kernel) — it rides as a second task return, so
+    the main output carries no tag columns and needs no post-filter
+    pass. Arrow kernels only.
     """
     import ray
     import ray.data as rd
+
+    if side_schema is not None and kernel_format == "pandas":
+        raise ValueError("side_schema requires an Arrow kernel")
 
     if kernel_format == "pandas":
         # pandas-kernel adapter: conversion happens inside the reduce
@@ -290,7 +321,8 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
             return (*(None,) * P, np.zeros(P, dtype=np.int64))
         t = tables[0] if len(tables) == 1 else pa.concat_tables(
             tables, promote_options="permissive")
-        hp = _hp_of_arrow(t[key], P)
+        hp = _hp_of_arrow(t[key], P,
+                          salt=t[salt_col] if salt_col else None)
         order = np.argsort(hp, kind="stable")      # radix sort on int64
         sorted_t = t.take(order)
         bounds = np.searchsorted(hp[order], np.arange(P + 1))
@@ -312,7 +344,7 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
         # frames type the empty side null) instead of failing
         return pa.concat_tables(tables, promote_options="permissive")
 
-    @ray.remote
+    @ray.remote(num_returns=2 if side_schema is not None else 1)
     def reduce_part(*pieces):
         from ray.data.block import BlockAccessor
 
@@ -320,13 +352,21 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
                   else BlockAccessor.for_block(p).to_arrow()
                   for p in pieces if p is not None]
         nonempty = [t for t in tables if t.num_rows]
-        return per_partition_fn(_concat(nonempty or tables))
+        out = per_partition_fn(_concat(nonempty or tables))
+        if side_schema is None:
+            return out
+        main, side = out
+        return main, (side if side is not None
+                      else side_schema.empty_table())
 
     @ray.remote
     def _is_arrow(block) -> bool:
         return isinstance(block, pa.Table)
 
     def _wrap(out_refs):
+        if side_schema is not None:
+            return (rd.from_arrow_refs([m for m, _ in out_refs]),
+                    rd.from_arrow_refs([s for _, s in out_refs]))
         # one exchange's kernel returns one batch type; probe the first
         # block REMOTELY (nothing is fetched to the driver) and build
         # the Dataset with the matching block layout
@@ -339,7 +379,13 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
         if kernel_format == "pandas":
             return rd.from_items([])
         empty = pa.Table.from_pylist([], schema=ds.schema().base_schema)
-        return rd.from_arrow(per_partition_fn(empty))
+        out = per_partition_fn(empty)
+        if side_schema is not None:
+            main, side = out
+            return (rd.from_arrow(main),
+                    rd.from_arrow(side if side is not None
+                                  else side_schema.empty_table()))
+        return rd.from_arrow(out)
 
     if P == 1:
         # degenerate single partition: no split needed, one reduce over
@@ -348,7 +394,8 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
         refs = [br for br, _ in stream]
         if not refs:
             return empty_result()
-        return _wrap([reduce_part.remote(*refs)])
+        out = reduce_part.remote(*refs)
+        return _wrap([out] if side_schema is None else [tuple(out)])
 
     # coalesce small blocks into split tasks of ~200k rows (at least
     # one group per core): shrinks the T×P object matrix — the driver-
@@ -393,6 +440,46 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
         # input plan re-executes, and in streamed mode the already-
         # submitted split tasks are abandoned; at this scale that is
         # the cheap part)
+        if side_schema is not None:
+            # the sort shuffle has no second return: ride the side rows
+            # in-band behind a tag column and split after (slower —
+            # two filter passes — but this path only exists past the
+            # ref-matrix ceiling)
+            import pyarrow.compute as pc
+
+            def tagged(t: pa.Table):
+                main, side = per_partition_fn(t)
+                main = main.append_column(
+                    "_side", pa.nulls(main.num_rows, pa.bool_()))
+                if side is None or side.num_rows == 0:
+                    return main
+                side = side.rename_columns(
+                    ["_s_" + c for c in side.column_names])
+                side = side.append_column(
+                    "_side", pa.array(np.ones(side.num_rows, dtype=bool)))
+                return pa.concat_tables([main, side],
+                                        promote_options="permissive")
+
+            both = coarse_partition_apply(
+                ds, key, tagged,
+                partitions=P, batch_format="pyarrow", exchange="sort")
+
+            def keep_main(t: pa.Table) -> pa.Table:
+                t = t.filter(pc.is_null(t["_side"]))
+                return t.select([c for c in t.column_names
+                                 if c != "_side"
+                                 and not c.startswith("_s_")])
+
+            def keep_side(t: pa.Table) -> pa.Table:
+                t = t.filter(pc.equal(t["_side"], True))
+                names = ["_s_" + c for c in side_schema.names]
+                if not set(names) <= set(t.column_names):
+                    return side_schema.empty_table()
+                return t.select(names).rename_columns(
+                    list(side_schema.names)).cast(side_schema)
+
+            return (both.map_batches(keep_main, batch_format="pyarrow"),
+                    both.map_batches(keep_side, batch_format="pyarrow"))
         return coarse_partition_apply(
             ds, key,
             per_partition_fn if kernel_format != "pandas" else pandas_fn,
@@ -414,7 +501,8 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
         while len(col) > _MAX_FANIN:            # tree fold for huge inputs
             col = [concat_pieces.remote(*col[j:j + _MAX_FANIN])
                    for j in range(0, len(col), _MAX_FANIN)]
-        out_refs.append(reduce_part.remote(*col))
+        out = reduce_part.remote(*col)
+        out_refs.append(out if side_schema is None else tuple(out))
     if not out_refs:
         return empty_result()
     return _wrap(out_refs)

@@ -60,7 +60,8 @@ class MultilineStage(Stage):
                  order_col: str = "turn_idx", text_col: str = "text",
                  joiner: str = "\n", flush_gap_s: float | None = None,
                  ts_col: str = "ts", firstline_parser=None,
-                 cont_parsers=None, engine: str = "auto", **kw):
+                 cont_parsers=None, engine: str = "auto",
+                 chunk_rows: int | None = 1 << 18, **kw):
         """``flush_gap_s`` is the event-time analogue of the reference's
         ``Flush_MS`` timeout (tail_multiline.c:56-75): an event-time gap
         > flush_gap_s between consecutive rows CLOSES the open buffer,
@@ -90,6 +91,17 @@ class MultilineStage(Stage):
         - output gains a ``fields`` column (JSON, empty when nothing
           parsed) only when parsers are configured, keeping the
           parserless schema unchanged.
+
+        ``chunk_rows`` (hot-key salting, Arrow engine only): a key
+        whose rows exceed it is split into ordered chunks of that many
+        rows, each segmented independently, with the chunk-boundary
+        segments re-merged through a second (tiny) exchange — so one
+        hot key (a Zipf-headed tag owning 10% of a 100 TB stream)
+        never lands in a single task. CONTRACT: ``order_col`` must be
+        DENSE per key (0,1,2,... — the engine's lineage offsets and
+        the transcript turn index both are); a per-chunk density guard
+        raises otherwise. ``chunk_rows=None`` disables splitting
+        (arbitrary order values, whole key per task).
         """
         super().__init__(**kw)
         self.firstline = firstline
@@ -102,6 +114,7 @@ class MultilineStage(Stage):
         self.flush_gap_s = flush_gap_s
         self.ts_col = ts_col
         self.engine = engine  # "auto" | "pandas" (tests pin the slow path)
+        self.chunk_rows = chunk_rows
 
     def apply(self, ds):
         rx = re.compile(self.firstline)
@@ -286,6 +299,8 @@ class MultilineStage(Stage):
         kernel 10.3→7.2 s, identical segment counts). Semantics are
         the parserless ``join_partition`` exactly (same run/segment
         arithmetic; nulls render as "None" to match ``astype(str)``)."""
+        if self.chunk_rows:
+            return self._apply_arrow_chunked(ds)
         import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -355,3 +370,330 @@ class MultilineStage(Stage):
         from ..shuffle import coarse_partition_apply
         return coarse_partition_apply(ds, key, join_partition_arrow,
                                       batch_format="pyarrow")
+
+    def _apply_arrow_chunked(self, ds):
+        """Hot-key-safe Arrow path: rows are exchanged by
+        (key, order_col // chunk_rows) so a Zipf-headed key spreads
+        over many partitions; each chunk is segmented independently
+        by the same vector kernel; chunk-boundary state (the open
+        trailing segment and the leading continuation run) travels as
+        TINY records through a second exchange keyed by the bare key,
+        where a sequential per-key walk stitches the boundaries. The
+        segment arithmetic matches the unchunked kernel exactly — a
+        run that starts with a firstline folds into one segment, any
+        other run emits its rows as singletons, and an event-time gap
+        > flush_gap_s closes the open buffer (boundary gaps are
+        evaluated in the merge from the carried timestamps).
+
+        Requires DENSE per-key order values (see __init__ docstring);
+        a per-chunk density guard raises on holes/duplicates."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pat = self.firstline
+        key, order_col, text_col = self.key, self.order_col, self.text_col
+        joiner = self.joiner
+        gap_s, ts_col = self.flush_gap_s, self.ts_col
+        C = int(self.chunk_rows)
+
+        def add_ck(t: pa.Table) -> pa.Table:
+            ck = pc.divide(pc.cast(t[order_col], pa.int64()),
+                           pa.scalar(C, pa.int64()))
+            return t.append_column("_ck", ck)
+
+        def _rec_schema(key_type) -> pa.Schema:
+            return pa.schema([
+                pa.field(key, key_type),
+                pa.field("first_turn", pa.int64()),
+                pa.field("n_parts", pa.int64()),
+                pa.field(text_col, pa.large_string()),
+                pa.field("_kind", pa.int8()),
+                pa.field("_ck", pa.int64()),
+                pa.field("folded", pa.bool_()),
+                pa.field("covers_all", pa.bool_()),
+                pa.field("first_ts", pa.int64()),
+                pa.field("last_ts", pa.int64()),
+                pa.field("lead_turns", pa.large_list(pa.int64())),
+                pa.field("lead_texts", pa.large_list(pa.large_string())),
+            ])
+
+        def join_chunk_partition(t: pa.Table):
+            """Returns (interior_segments, boundary_records|None): the
+            final segments of this partition's (key, chunk) groups plus
+            the tiny open-trailing / pending-leading records that the
+            per-key merge stitches."""
+            n = t.num_rows
+            key_type = t.schema.field(key).type
+            schema = _rec_schema(key_type)
+            core_schema = pa.schema([
+                pa.field(key, key_type),
+                pa.field("first_turn", pa.int64()),
+                pa.field("n_parts", pa.int64()),
+                pa.field(text_col, pa.large_string()),
+            ])
+            if n == 0:
+                return core_schema.empty_table(), None
+            conv = t[key].combine_chunks()
+            codes = conv.dictionary_encode().indices \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            turn = pc.cast(t[order_col].combine_chunks(), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            order = np.lexsort((turn, codes))
+            o_arr = pa.array(order)
+            text_s = pc.take(
+                pc.cast(t[text_col].combine_chunks(), pa.large_string()),
+                o_arr)
+            if text_s.null_count:
+                text_s = pc.fill_null(text_s, "None")
+            codes_s = codes[order]
+            turn_s = turn[order]
+            ck_s = turn_s // C
+
+            cs = np.ones(n, dtype=bool)       # (key, chunk) group starts
+            cs[1:] = ((codes_s[1:] != codes_s[:-1])
+                      | (ck_s[1:] != ck_s[:-1]))
+            g_starts = np.flatnonzero(cs)
+            g_ends = np.append(g_starts[1:], n)
+            g_min_t, g_max_t = turn_s[g_starts], turn_s[g_ends - 1]
+            if ((g_min_t < 0).any()
+                    or (g_max_t - g_min_t + 1 != g_ends - g_starts).any()):
+                raise ValueError(
+                    "multiline chunk_rows requires DENSE non-negative "
+                    f"'{order_col}' values per '{key}' (holes or "
+                    "duplicates found); pass chunk_rows=None for "
+                    "arbitrary order values")
+
+            isf = pc.fill_null(
+                pc.match_substring_regex(text_s, pattern=pat),
+                False).to_numpy(zero_copy_only=False)
+            if gap_s is not None:
+                ts = pc.take(t[ts_col].combine_chunks(), o_arr) \
+                    .cast(pa.timestamp("ns")) \
+                    .to_numpy(zero_copy_only=False).astype("int64")
+                gap_brk = np.zeros(n, dtype=bool)
+                gap_brk[1:] = ((ts[1:] - ts[:-1]) > gap_s * 1e9) & ~cs[1:]
+                new_run = isf | cs | gap_brk
+            else:
+                ts = np.zeros(n, dtype=np.int64)
+                new_run = isf | cs
+            run = np.cumsum(new_run)
+            run_starts = np.flatnonzero(new_run)
+            folded = isf[run_starts][run - 1]
+            seg = np.where(folded, run, run[-1] + 1 + np.arange(n))
+            brk = np.empty(n, dtype=bool)
+            brk[0] = True
+            brk[1:] = seg[1:] != seg[:-1]
+            starts = np.flatnonzero(brk)
+            n_segs = len(starts)
+            nparts = np.diff(np.append(starts, n))
+            offsets = pa.array(np.append(starts, n).astype(np.int64),
+                               type=pa.int64())
+            la = pa.LargeListArray.from_arrays(offsets, text_s)
+            joined = pc.binary_join(
+                la, pa.scalar(joiner, type=pa.large_string()))
+            seg_first_turn = turn_s[starts]
+            seg_folded = isf[starts]
+
+            # ---- group metadata for boundary classification
+            g_ck = ck_s[g_starts]
+            g_first_isf = isf[g_starts]
+            g_full = g_max_t == (g_ck + 1) * C - 1
+            g_of_row = np.cumsum(cs) - 1
+            rs_pad = np.append(run_starts, n)
+            pos = np.searchsorted(run_starts, g_starts)  # exact hits
+            lead_end = np.minimum(rs_pad[pos + 1], g_ends)
+            g_has_lead = (g_ck > 0) & ~g_first_isf
+            g_covers_all = g_has_lead & (lead_end >= g_ends)
+            g_first_ts, g_last_ts = ts[g_starts], ts[g_ends - 1]
+
+            fs = np.searchsorted(starts, g_starts)       # exact hits
+            last_seg = np.append(fs[1:], n_segs) - 1
+            seg_g = g_of_row[starts]
+            seg_leading = g_has_lead[seg_g] & (starts < lead_end[seg_g])
+
+            trail_gi = np.flatnonzero(g_full & ~g_covers_all)
+            trail_seg = last_seg[trail_gi]
+            trail_folded = seg_folded[trail_seg]
+            pull = np.zeros(n_segs, dtype=bool)
+            pull[trail_seg[trail_folded]] = True
+
+            def nulls(m, typ):
+                return pa.nulls(m, type=typ)
+
+            full = pa.table({
+                key: pc.take(conv, pa.array(order[starts])),
+                "first_turn": pa.array(seg_first_turn),
+                "n_parts": pa.array(nparts.astype(np.int64)),
+                text_col: joined,
+            }, schema=core_schema)
+            excl = np.flatnonzero(seg_leading | pull)
+            if len(excl) == 0:
+                # the common partition (no hot-key chunks): zero extra
+                # copies vs the unchunked kernel
+                interior = full
+            else:
+                # drop the few boundary segments via zero-copy slices
+                # around them (a take would re-copy every text byte)
+                bounds = np.concatenate([[-1], excl, [n_segs]])
+                slices = [full.slice(int(a) + 1, int(b) - int(a) - 1)
+                          for a, b in zip(bounds[:-1], bounds[1:])
+                          if b - a > 1]
+                interior = (pa.concat_tables(slices) if slices
+                            else core_schema.empty_table())
+
+            tabs = []
+            gi_lead = np.flatnonzero(g_has_lead)
+            if len(gi_lead):
+                rep = lead_end[gi_lead] - g_starts[gi_lead]
+                tot = int(rep.sum())
+                base = np.cumsum(rep) - rep
+                idx = (np.repeat(g_starts[gi_lead], rep)
+                       + np.arange(tot) - np.repeat(base, rep))
+                offs = pa.array(np.append(0, np.cumsum(rep)).astype(np.int64),
+                                type=pa.int64())
+                lt = len(gi_lead)
+                tabs.append(pa.table({
+                    key: pc.take(conv, pa.array(order[g_starts[gi_lead]])),
+                    "first_turn": nulls(lt, pa.int64()),
+                    "n_parts": nulls(lt, pa.int64()),
+                    text_col: nulls(lt, pa.large_string()),
+                    "_kind": pa.array(np.ones(lt, dtype=np.int8)),
+                    "_ck": pa.array(g_ck[gi_lead]),
+                    "folded": nulls(lt, pa.bool_()),
+                    "covers_all": pa.array(g_covers_all[gi_lead]),
+                    "first_ts": pa.array(g_first_ts[gi_lead]),
+                    "last_ts": pa.array(g_last_ts[gi_lead]),
+                    "lead_turns": pa.LargeListArray.from_arrays(
+                        offs, pa.array(turn_s[idx])),
+                    "lead_texts": pa.LargeListArray.from_arrays(
+                        offs, pc.take(text_s, pa.array(idx))),
+                }, schema=schema))
+
+            if len(trail_gi):
+                tt = len(trail_gi)
+                tabs.append(pa.table({
+                    key: pc.take(conv, pa.array(order[g_starts[trail_gi]])),
+                    "first_turn": pa.array(seg_first_turn[trail_seg]),
+                    "n_parts": pa.array(nparts[trail_seg].astype(np.int64)),
+                    text_col: pc.take(joined, pa.array(trail_seg)),
+                    "_kind": pa.array(np.full(tt, 2, dtype=np.int8)),
+                    "_ck": pa.array(g_ck[trail_gi]),
+                    "folded": pa.array(trail_folded),
+                    "covers_all": nulls(tt, pa.bool_()),
+                    "first_ts": nulls(tt, pa.int64()),
+                    "last_ts": pa.array(g_last_ts[trail_gi]),
+                    "lead_turns": nulls(tt, pa.large_list(pa.int64())),
+                    "lead_texts": nulls(
+                        tt, pa.large_list(pa.large_string())),
+                }, schema=schema))
+
+            if not tabs:
+                return interior, None
+            return interior, (tabs[0] if len(tabs) == 1
+                              else pa.concat_tables(tabs))
+
+        def merge_boundaries(t: pa.Table) -> pa.Table:
+            from collections import defaultdict
+
+            key_type = t.schema.field(key).type
+            rows = t.to_pylist()
+            convs = defaultdict(lambda: ({}, {}))
+            for r in rows:
+                side = convs[r[key]][0 if r["_kind"] == 1 else 1]
+                side[r["_ck"]] = r
+            out_k, out_ft, out_np, out_tx = [], [], [], []
+            gap_ns = None if gap_s is None else gap_s * 1e9
+
+            def emit(cv, st):
+                out_k.append(cv)
+                out_ft.append(st["first_turn"])
+                out_np.append(st["n"])
+                out_tx.append(st["text"])
+
+            def trail_state(tr):
+                if tr is None:
+                    return None
+                return {"folded": bool(tr["folded"]),
+                        "first_turn": tr["first_turn"],
+                        "n": tr["n_parts"], "text": tr[text_col],
+                        "last_ts": tr["last_ts"]}
+
+            for cv, (leads, trails) in convs.items():
+                open_st = trail_state(trails.get(0))
+                max_ck = max(max(leads, default=0),
+                             max(trails, default=0))
+                for ck in range(1, max_ck + 1):
+                    tr, ld = trails.get(ck), leads.get(ck)
+                    if ld is None:
+                        # chunk starts with a firstline (or the key
+                        # ended at the boundary): the open buffer
+                        # closes as-is
+                        if open_st is not None and open_st["folded"]:
+                            emit(cv, open_st)
+                        open_st = trail_state(tr)
+                        continue
+                    gap = (gap_ns is not None and open_st is not None
+                           and ld["first_ts"] - open_st["last_ts"]
+                           > gap_ns)
+                    if (open_st is not None and open_st["folded"]
+                            and not gap):
+                        # the leading continuation run appends into
+                        # the open folded segment
+                        open_st["text"] = (
+                            open_st["text"] + joiner
+                            + joiner.join(ld["lead_texts"]))
+                        open_st["n"] += len(ld["lead_texts"])
+                        if ld["covers_all"]:
+                            open_st["last_ts"] = ld["last_ts"]
+                        else:
+                            emit(cv, open_st)
+                            open_st = trail_state(tr)
+                    else:
+                        # gap, unfolded predecessor, or no open state:
+                        # leading rows are singleton segments
+                        if open_st is not None and open_st["folded"]:
+                            emit(cv, open_st)
+                        for tt_, tx_ in zip(ld["lead_turns"],
+                                            ld["lead_texts"]):
+                            out_k.append(cv)
+                            out_ft.append(tt_)
+                            out_np.append(1)
+                            out_tx.append(tx_)
+                        if ld["covers_all"]:
+                            open_st = {"folded": False,
+                                       "last_ts": ld["last_ts"]}
+                        else:
+                            open_st = trail_state(tr)
+                if open_st is not None and open_st["folded"]:
+                    emit(cv, open_st)
+            return pa.table({
+                key: pa.array(out_k, type=key_type),
+                "first_turn": pa.array(out_ft, type=pa.int64()),
+                "n_parts": pa.array(out_np, type=pa.int64()),
+                text_col: pa.array(out_tx, type=pa.large_string()),
+            })
+
+        from ..shuffle import hash_exchange_apply
+        sch = ds.schema().base_schema
+        if isinstance(sch, pa.Schema):
+            key_type = sch.field(key).type
+        else:                       # pandas-block schema (numpy dtypes)
+            dt = dict(zip(sch.names, sch.types)).get(key)
+            try:
+                key_type = (pa.string() if dt is None or dt == object
+                            else pa.from_numpy_dtype(dt))
+            except pa.ArrowNotImplementedError:
+                key_type = pa.string()
+        interior, records = hash_exchange_apply(
+            ds.map_batches(add_ck, batch_format="pyarrow"),
+            key, join_chunk_partition,
+            salt_col="_ck", side_schema=_rec_schema(key_type))
+        # records exist only for keys that actually span chunks (full
+        # chunks and pending leading runs) — a handful of rows even at
+        # 100 TB, so counting them is metadata-cheap
+        if records.count() == 0:
+            return interior
+        merged = hash_exchange_apply(records, key, merge_boundaries,
+                                     partitions=8)
+        return interior.union(merged)

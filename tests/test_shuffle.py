@@ -189,3 +189,65 @@ def test_read_block_count_scales_with_rows():
     assert block_count(24_000_000, 4) == 183       # independent of CPUs
     assert block_count(20_000, 32) == 2            # tiny: no shredding
     assert block_count(0, 8) == 1
+
+
+def test_hash_exchange_salt_col_splits_hot_key():
+    """With salt_col, one hot key's chunks land in DIFFERENT kernel
+    calls (each seeing whole (key, salt) groups); without it the whole
+    key reaches one call."""
+    import fluent_bit_ray.shuffle as sh
+
+    n = 4000
+    df = pd.DataFrame({
+        "k": ["hot"] * (n - 100) + [f"k{i}" for i in range(100)],
+        "turn": list(range(n - 100)) + [0] * 100,
+    })
+    df["_ck"] = df["turn"] // 500
+
+    seen = []
+
+    def kern(t: pa.Table) -> pa.Table:
+        d = t.to_pandas()
+        g = d.groupby(["k", "_ck"]).size()
+        return pa.table({
+            "k": [k for k, _ in g.index],
+            "ck": [int(c) for _, c in g.index],
+            "rows": list(g.values),
+        })
+
+    out = sh.hash_exchange_apply(rd.from_pandas(df).repartition(8),
+                                 "k", kern, partitions=16,
+                                 salt_col="_ck").to_pandas()
+    hot = out[out["k"] == "hot"].sort_values("ck")
+    # every (hot, ck) group is complete in exactly one kernel call
+    assert hot["rows"].tolist() == [500] * 7 + [400]
+    assert len(hot) == 8
+
+
+def test_hash_exchange_side_schema():
+    """side_schema: kernel returns (main, side|None); the exchange
+    returns two datasets, with empty sides filled to the schema."""
+    import fluent_bit_ray.shuffle as sh
+
+    side_schema = pa.schema([pa.field("k", pa.string()),
+                             pa.field("n", pa.int64())])
+
+    def kern(t: pa.Table):
+        d = t.to_pandas()
+        main = pa.table({"k": d["k"], "v": d["v"]})
+        ks = sorted(set(d["k"]))
+        big = [k for k in ks if (d["k"] == k).sum() > 30]
+        side = (pa.table({"k": big,
+                          "n": [int((d["k"] == k).sum()) for k in big]},
+                         schema=side_schema) if big else None)
+        return main, side
+
+    df = pd.DataFrame({"k": ["hot"] * 200 + [f"k{i % 11}" for i in range(100)],
+                       "v": range(300)})
+    main, side = sh.hash_exchange_apply(
+        rd.from_pandas(df).repartition(6), "k", kern,
+        partitions=8, side_schema=side_schema)
+    m = main.to_pandas()
+    s = side.to_pandas()
+    assert len(m) == 300 and sorted(m["v"]) == list(range(300))
+    assert s[s["k"] == "hot"]["n"].tolist() == [200]

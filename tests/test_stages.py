@@ -554,19 +554,26 @@ def test_multiline_arrow_engine_matches_pandas():
     df["ts"] = pd.to_datetime(df["sec"], unit="s")
     df = df.sample(frac=1.0, random_state=3).reset_index(drop=True)
 
-    def run(engine, gap):
+    def run(engine, gap, chunk_rows="default"):
         spec = {"type": "multiline", "firstline": r"^\d",
                 "engine": engine}
         if gap:
             spec["flush_gap_s"] = 5
+        if chunk_rows != "default":
+            spec["chunk_rows"] = chunk_rows
         out = build_stage(spec).apply(rd.from_pandas(df)).to_pandas()
         return out.sort_values(["conv_id", "first_turn"]) \
             .reset_index(drop=True).astype({"text": str})
 
     for gap in (False, True):
-        a = run("auto", gap)
         p = run("pandas", gap)
-        pd.testing.assert_frame_equal(a, p)
+        # unchunked arrow kernel; chunked-but-single-chunk (default
+        # chunk size, no boundary records); chunked with a chunk size
+        # small enough that every conv splits (boundary merge,
+        # covers_all chains); and one where only some convs split
+        for chunk_rows in (None, "default", 4, 16):
+            a = run("auto", gap, chunk_rows)
+            pd.testing.assert_frame_equal(a, p)
     # a pattern RE2 cannot compile (lookbehind) falls back to the
     # pandas path without error
     st = build_stage({"type": "multiline", "firstline": r"(?<=A)\d"})

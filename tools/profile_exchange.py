@@ -26,6 +26,11 @@ def run_op(op: str, sf_dir: str):
         st = build_stage({"type": "multiline",
                           "firstline": r"^(\d|\{|CALL )"})
         return st.apply(read_transcripts(sf_dir)).count()
+    if op == "multiline_nochunk":
+        from fluent_bit_ray.stages import build_stage
+        st = build_stage({"type": "multiline", "chunk_rows": None,
+                          "firstline": r"^(\d|\{|CALL )"})
+        return st.apply(read_transcripts(sf_dir)).count()
     if op == "multiline_pandas":
         from fluent_bit_ray.stages import build_stage
         st = build_stage({"type": "multiline", "engine": "pandas",
