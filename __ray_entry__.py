@@ -359,7 +359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
         out = shift_within_key(
             ds, key="conv_id", order=["turn_idx"], cols=["ts"],
-            periods=1, keep_cols=["conv_id", "turn_idx", "ts"]).to_pandas()
+            periods=1, keep_cols=["conv_id", "turn_idx", "ts"],
+            chunk_rows=1 << 18).to_pandas()
         gap = (out["ts"] - out["ts_lag1"]).dt.total_seconds() * 1000.0
         out["gap_ms"] = gap.round().fillna(-1).astype("int64")
         out = out.drop(columns=["ts", "ts_lag1"])
@@ -693,7 +694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fluent_bit_ray.dataops.sft import sft_example_refs
         ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
                                                "role", "text"])
-        out = sft_example_refs(ds, context_turns=4).to_pandas()
+        out = sft_example_refs(ds, context_turns=4,
+                               assume_dense_order=True).to_pandas()
         out["ctx_start"] = out["ctx_start"].astype("float64")
         return (out.sort_values(["conv_id", "turn_idx"])
                 .reset_index(drop=True))
@@ -751,7 +753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                 sft_render_from_refs)
         ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
                                                "role", "text"])
-        refs = sft_example_refs(ds, context_turns=4)
+        refs = sft_example_refs(ds, context_turns=4,
+                                assume_dense_order=True)
         out = sft_render_from_refs(ds, refs).to_pandas()
         return (out.sort_values(["conv_id", "turn_idx"])
                 .reset_index(drop=True))
@@ -766,7 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fluent_bit_ray.dataops.sft import collapse_repeats
         ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
                                                "role", "text"])
-        out = collapse_repeats(ds).to_pandas()
+        out = collapse_repeats(ds, chunk_rows=1 << 18).to_pandas()
         return (out.sort_values(["conv_id", "turn_idx"])
                 .reset_index(drop=True))
 
@@ -1157,6 +1160,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         contract and the oracle replays it)."""
         from fluent_bit_ray.dataops.sft import curate_transcripts
         out = curate_transcripts(read_transcripts(sf_dir)).to_pandas()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out.sort_values("conv_id").reset_index(drop=True)
+
+    def convs_curated_chunked(sf_dir: str):
+        """The hot-key-split curation variant (side-channel gate
+        partials + per-chunk render + piece merge) FORCED at gate
+        scale (chunk_rows=2048 splits the Zipf-head conv into 3
+        chunks). Must hash-match convs_curated's oracle — proves the
+        chunk decomposition (incl. boilerplate-drop adjacency across
+        boundaries) is lossless. The cluster-scale switch for
+        conversations too hot for one task."""
+        from fluent_bit_ray.dataops.sft import curate_transcripts
+        out = curate_transcripts(read_transcripts(sf_dir),
+                                 chunk_rows=2048).to_pandas()
         out["n_turns"] = out["n_turns"].astype("int64")
         return out.sort_values("conv_id").reset_index(drop=True)
 
@@ -1684,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semantic_dup": emb_semantic_dup,
         "conv_rendered": conv_rendered,
         "convs_curated": convs_curated,
+        "convs_curated_chunked": convs_curated_chunked,
         "doc_decontaminate": doc_decontaminate,
         "docs_sample_mix": docs_sample_mix,
         "docs_sampled": docs_sampled,
@@ -3262,7 +3280,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY key_a, key_b
         """,
     }
-    # the chunk-split multiline must reproduce the unchunked
-    # segmentation byte-for-byte — same oracle, same hash
+    # the chunk-split variants must reproduce the whole-key results
+    # byte-for-byte — same oracle, same hash
     sqls["multiline_chunked"] = sqls["multiline_segments"]
+    sqls["convs_curated_chunked"] = sqls["convs_curated"]
     return sqls

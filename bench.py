@@ -273,13 +273,14 @@ def run_bench() -> None:
         from fluent_bit_ray.dataops.sft import sft_example_refs
         ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
                                                "role", "text"])
-        return sft_example_refs(ds, context_turns=4).count()
+        return sft_example_refs(ds, context_turns=4,
+                                assume_dense_order=True).count()
 
     def bench_collapse():
         from fluent_bit_ray.dataops.sft import collapse_repeats
         ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
                                                "role", "text"])
-        return collapse_repeats(ds).count()
+        return collapse_repeats(ds, chunk_rows=1 << 18).count()
 
     def bench_keyword():
         from fluent_bit_ray.dataops.search import keyword_search_topk
@@ -350,7 +351,8 @@ def run_bench() -> None:
         ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
         return shift_within_key(ds, key="conv_id", order=["turn_idx"],
                                 cols=["ts"], periods=1,
-                                keep_cols=["conv_id", "turn_idx"]).count()
+                                keep_cols=["conv_id", "turn_idx"],
+                                chunk_rows=1 << 18).count()
 
     benches = [("flagship_e2e", headline),
                ("parse_route_count", bench_parse_only),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..shuffle import coarse_partition_apply
 
@@ -99,7 +100,8 @@ def sft_examples(ds, context_turns: int = 4, sep: str = "\n",
 
 def sft_example_refs(ds, context_turns: int = 4,
                      target_role: str = "assistant",
-                     partitions: int = 64):
+                     partitions: int = 64,
+                     assume_dense_order: bool = False):
     """Reference-emitting SFT assembly — the 100 TB-scale shape.
 
     ``sft_examples`` materializes each assistant turn's context text,
@@ -116,8 +118,38 @@ def sft_example_refs(ds, context_turns: int = 4,
 
     ctx_start is null when the target is its conversation's first turn
     (ctx_len = 0).
+
+    ``assume_dense_order=True`` declares that ``turn_idx`` IS the
+    0-based position within its conversation (dense 0,1,2,... — true
+    for the engine's transcript/lineage streams). Then the refs are a
+    pure per-row map (ctx_len = min(k, turn_idx)) and NO exchange runs
+    at all — the op becomes stateless map_batches, the 100 TB shape.
+    With the default False, arbitrary order values are handled via one
+    coarse conv exchange.
     """
     k = int(context_turns)
+
+    if assume_dense_order:
+        def dense_kernel(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            ti = pc.cast(t["turn_idx"].combine_chunks(), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            m = pc.fill_null(pc.equal(t["role"].combine_chunks(),
+                                      target_role), False) \
+                .to_numpy(zero_copy_only=False)
+            m = np.asarray(m, dtype=bool)
+            ti_m = ti[m]
+            ctx_len = np.minimum(k, ti_m)
+            start = ti_m - ctx_len
+            return pa.table({
+                "conv_id": t["conv_id"].combine_chunks().filter(
+                    pa.array(m)),
+                "turn_idx": pa.array(ti_m),
+                "ctx_start": pa.array(start, mask=ctx_len == 0),
+                "ctx_len": pa.array(ctx_len.astype(np.int64)),
+            })
+
+        return ds.map_batches(dense_kernel, batch_format="pyarrow")
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         df = _sorted_conv(df)
@@ -209,11 +241,22 @@ def sft_render_from_refs(ds, refs, sep: str = "\n",
                                   partitions=partitions)
 
 
-def collapse_repeats(ds, partitions: int = 64):
+def collapse_repeats(ds, partitions: int = 64,
+                     chunk_rows: int | None = None):
     """Dataset[conv_id, turn_idx, role, text, repeats] — consecutive
     turns with identical (role, text) within a conversation collapse
     to their FIRST row plus the run length ("last message repeated N
-    times")."""
+    times").
+
+    ``chunk_rows`` (hot-key splitting): rows exchange by
+    (conv_id, turn_idx//chunk_rows) so the Zipf-head conversation
+    never lands in one task; interior runs are emitted locally and
+    each chunk's first/last run travels as a tiny boundary record
+    through a second exchange where matching (role, text) runs fold
+    across the boundary. DENSE 0-based turn_idx contract (runtime
+    guard), like MultilineStage.chunk_rows."""
+    if chunk_rows is not None:
+        return _collapse_repeats_chunked(ds, int(chunk_rows), partitions)
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         df = _sorted_conv(df)
@@ -242,6 +285,203 @@ def collapse_repeats(ds, partitions: int = 64):
 
     return coarse_partition_apply(ds, "conv_id", kernel,
                                   partitions=partitions)
+
+
+def _collapse_repeats_chunked(ds, C: int, partitions: int | None):
+    """Chunk-decomposed collapse: same output as the whole-key kernel,
+    with each (conv, turn//C) chunk collapsed independently and the
+    runs that touch a chunk boundary stitched through a side-channel
+    record exchange (shuffle.hash_exchange_apply side_schema)."""
+    import pyarrow.compute as pc
+
+    from ..shuffle import hash_exchange_apply
+
+    def add_ck(t: pa.Table) -> pa.Table:
+        ck = pc.divide(pc.cast(t["turn_idx"], pa.int64()),
+                       pa.scalar(C, pa.int64()))
+        return t.append_column("_ck", ck)
+
+    rec_schema = pa.schema([
+        pa.field("conv_id", pa.string()),
+        pa.field("_ck", pa.int64()),
+        pa.field("_kind", pa.int8()),          # 1 lead, 2 trail
+        pa.field("turn_idx", pa.int64()),
+        pa.field("role", pa.string()),
+        pa.field("text", pa.large_string()),
+        pa.field("repeats", pa.int64()),
+        pa.field("covers_all", pa.bool_()),
+    ])
+    core_fields = ["conv_id", "turn_idx", "role", "text", "repeats"]
+
+    def kernel(t: pa.Table):
+        n = t.num_rows
+        key_type = t.schema.field("conv_id").type
+        core_schema = pa.schema([
+            pa.field("conv_id", key_type),
+            pa.field("turn_idx", pa.int64()),
+            pa.field("role", t.schema.field("role").type),
+            pa.field("text", pa.large_string()),
+            pa.field("repeats", pa.int64()),
+        ])
+        if n == 0:
+            return core_schema.empty_table(), None
+        conv = t["conv_id"].combine_chunks()
+        codes = conv.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = pc.cast(t["turn_idx"].combine_chunks(), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, codes))
+        codes_s, turn_s = codes[order], turn[order]
+        ck_s = turn_s // C
+        o_arr = pa.array(order)
+        role_s = pc.take(t["role"].combine_chunks(), o_arr)
+        text_s = pc.cast(pc.take(t["text"].combine_chunks(), o_arr),
+                         pa.large_string())
+        role_np = role_s.to_numpy(zero_copy_only=False)
+        text_np = text_s.to_numpy(zero_copy_only=False)
+
+        cs = np.ones(n, dtype=bool)
+        cs[1:] = (codes_s[1:] != codes_s[:-1]) | (ck_s[1:] != ck_s[:-1])
+        g_starts = np.flatnonzero(cs)
+        g_ends = np.append(g_starts[1:], n)
+        g_min_t, g_max_t = turn_s[g_starts], turn_s[g_ends - 1]
+        if ((g_min_t < 0).any()
+                or (g_max_t - g_min_t + 1 != g_ends - g_starts).any()):
+            raise ValueError(
+                "collapse_repeats chunk_rows requires DENSE non-negative "
+                "turn_idx per conv_id; pass chunk_rows=None for "
+                "arbitrary order values")
+
+        new_run = cs.copy()
+        new_run[1:] |= ((role_np[1:] != role_np[:-1])
+                        | (text_np[1:] != text_np[:-1]))
+        starts = np.flatnonzero(new_run)
+        n_runs = len(starts)
+        reps = np.diff(np.append(starts, n)).astype(np.int64)
+
+        g_ck = ck_s[g_starts]
+        g_full = g_max_t == (g_ck + 1) * C - 1
+        fs = np.searchsorted(starts, g_starts)       # first run of group
+        ls = np.append(fs[1:], n_runs) - 1           # last run of group
+        g_covers = fs == ls
+
+        lead_g = np.flatnonzero(g_ck > 0)
+        # a full group's last run stays open (may absorb the next
+        # chunk's lead). When the group IS one run and ck>0, the lead
+        # record carries it (covers_all keeps it open in the merge);
+        # for ck==0 single-run full groups the trail record must.
+        trail_g = np.flatnonzero(g_full & (~g_covers | (g_ck == 0)))
+        excl = np.zeros(n_runs, dtype=bool)
+        excl[fs[lead_g]] = True
+        excl[ls[trail_g]] = True
+        loc = np.flatnonzero(~excl)
+
+        def run_tbl(ridx, schema, extra=None):
+            cols = {
+                "conv_id": pc.take(conv, pa.array(order[starts[ridx]])),
+                "turn_idx": pa.array(turn_s[starts[ridx]]),
+                "role": pc.take(role_s, pa.array(starts[ridx])),
+                "text": pc.take(text_s, pa.array(starts[ridx])),
+                "repeats": pa.array(reps[ridx]),
+            }
+            if extra:
+                cols.update(extra)
+            return pa.table(cols, schema=schema)
+
+        interior = run_tbl(loc, core_schema)
+
+        tabs = []
+        if len(lead_g):
+            m = len(lead_g)
+            tabs.append(run_tbl(fs[lead_g], rec_schema, {
+                "conv_id": pc.cast(pc.take(
+                    conv, pa.array(order[starts[fs[lead_g]]])),
+                    pa.string()),
+                "role": pc.cast(pc.take(role_s,
+                                        pa.array(starts[fs[lead_g]])),
+                                pa.string()),
+                "_ck": pa.array(g_ck[lead_g]),
+                "_kind": pa.array(np.ones(m, dtype=np.int8)),
+                "covers_all": pa.array(g_covers[lead_g]),
+            }))
+        if len(trail_g):
+            m = len(trail_g)
+            tabs.append(run_tbl(ls[trail_g], rec_schema, {
+                "conv_id": pc.cast(pc.take(
+                    conv, pa.array(order[starts[ls[trail_g]]])),
+                    pa.string()),
+                "role": pc.cast(pc.take(role_s,
+                                        pa.array(starts[ls[trail_g]])),
+                                pa.string()),
+                "_ck": pa.array(g_ck[trail_g]),
+                "_kind": pa.array(np.full(m, 2, dtype=np.int8)),
+                "covers_all": pa.array(np.zeros(m, dtype=bool)),
+            }))
+        side = (None if not tabs
+                else tabs[0] if len(tabs) == 1
+                else pa.concat_tables(tabs))
+        return interior, side
+
+    def merge(t: pa.Table) -> pa.Table:
+        from collections import defaultdict
+
+        rows = t.to_pylist()
+        convs = defaultdict(lambda: ({}, {}))
+        for r in rows:
+            convs[r["conv_id"]][0 if r["_kind"] == 1 else 1][r["_ck"]] = r
+        out = {"conv_id": [], "turn_idx": [], "role": [], "text": [],
+               "repeats": []}
+
+        def emit(st):
+            out["conv_id"].append(st["conv_id"])
+            out["turn_idx"].append(st["turn_idx"])
+            out["role"].append(st["role"])
+            out["text"].append(st["text"])
+            out["repeats"].append(st["repeats"])
+
+        for cv, (leads, trails) in convs.items():
+            st = trails.get(0)
+            st = dict(st) if st is not None else None
+            max_ck = max(max(leads, default=0), max(trails, default=0))
+            for ck in range(1, max_ck + 1):
+                ld, tr = leads.get(ck), trails.get(ck)
+                if ld is None:
+                    if st is not None:
+                        emit(st)
+                    st = dict(tr) if tr is not None else None
+                    continue
+                if (st is not None and st["role"] == ld["role"]
+                        and st["text"] == ld["text"]):
+                    st["repeats"] += ld["repeats"]
+                    if not ld["covers_all"]:
+                        emit(st)
+                        st = dict(tr) if tr is not None else None
+                else:
+                    if st is not None:
+                        emit(st)
+                    if ld["covers_all"]:
+                        st = dict(ld)   # open run, may absorb next chunk
+                    else:
+                        emit(ld)
+                        st = dict(tr) if tr is not None else None
+            if st is not None:
+                emit(st)
+        return pa.table({
+            "conv_id": pa.array(out["conv_id"], type=pa.string()),
+            "turn_idx": pa.array(out["turn_idx"], type=pa.int64()),
+            "role": pa.array(out["role"], type=pa.string()),
+            "text": pa.array(out["text"], type=pa.large_string()),
+            "repeats": pa.array(out["repeats"], type=pa.int64()),
+        })
+
+    interior, records = hash_exchange_apply(
+        ds.map_batches(add_ck, batch_format="pyarrow"),
+        "conv_id", kernel, partitions=partitions,
+        salt_col="_ck", side_schema=rec_schema)
+    if records.count() == 0:
+        return interior
+    merged = hash_exchange_apply(records, "conv_id", merge, partitions=8)
+    return interior.union(merged)
 
 
 def conversation_gate(ds, min_turns: int = 1,
@@ -311,7 +551,8 @@ def curate_transcripts(ds, min_turns: int = 6,
                        require_roles: tuple[str, ...] = ("assistant",
                                                          "user"),
                        boilerplate_min_convs: int = 5,
-                       partitions: int = 64):
+                       partitions: int = 64,
+                       chunk_rows: int | None = None):
     """The composed transcripts-curation pipeline: structural gate →
     cross-conversation boilerplate removal → consecutive-repeat
     collapse → chat rendering. Returns Dataset[conv_id, rendered,
@@ -323,7 +564,25 @@ def curate_transcripts(ds, min_turns: int = 6,
     replays it exactly: boilerplate counts distinct conversations on
     the GATED subset, and repeat-runs are detected AFTER removal
     changes adjacency.
+
+    ``chunk_rows`` selects the hot-key-split variant: one exchange by
+    (conv, turn//chunk_rows) whose kernel emits per-conv gate partials
+    on the side channel (keep-set reduced from those and broadcast);
+    each chunk collapses and renders independently and multi-chunk
+    conversations stitch their rendered pieces through a tiny per-conv
+    merge. DENSE 0-based turn_idx contract. Default is the whole-key
+    single-exchange shape: measured on one box it wins at BOTH 4 and
+    16 CPUs (the split variant's late gating re-scans ungated rows,
+    which costs more than the Zipf-head reduce ceiling it removes).
+    On a real multi-node cluster the trade flips — the whole-key path
+    puts the hot conversation (10% of a 100 TB corpus) in ONE task,
+    which no single worker can hold — so a cluster deployment sets
+    chunk_rows (both variants are oracle-verified equal).
     """
+    if chunk_rows is not None:
+        return _curate_transcripts_chunked(
+            ds, min_turns, tuple(require_roles), boilerplate_min_convs,
+            partitions, int(chunk_rows))
     import ray
 
     from .boilerplate import _h64_col
@@ -412,3 +671,228 @@ def curate_transcripts(ds, min_turns: int = 6,
 
     return gated.map_batches(final_kernel, batch_format="pandas",
                              batch_size=None)
+
+
+def _curate_transcripts_chunked(ds, min_turns: int, want_roles: tuple,
+                                boilerplate_min_convs: int,
+                                partitions: int | None, C: int):
+    """Hot-key-safe curation (see curate_transcripts docstring):
+    broadcast pre-gate → chunk-salted co-location exchange →
+    per-chunk boilerplate-drop + collapse + render, with multi-chunk
+    conversations' rendered pieces stitched by a per-conv merge."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..shuffle import _hash64_of_arrow, hash_exchange_apply
+    from .boilerplate import _h64_col
+
+    # ---- 1. ONE salted co-location exchange over all rows; the
+    # kernel is identity for the main output (the refs-backed blocks
+    # ARE the working set) and emits per-conv gate PARTIALS
+    # (n_turns, role counts) on the side channel — the gate needs
+    # whole-conv totals, which chunk splitting denies the kernel, so
+    # totals are reduced from the tiny side rows instead.
+    side_schema = pa.schema(
+        [pa.field("g", pa.string()), pa.field("n", pa.int64())]
+        + [pa.field(f"r{i}", pa.int64())
+           for i in range(len(want_roles))])
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.select(["conv_id", "turn_idx", "role", "text"])
+        ck = pc.divide(pc.cast(t["turn_idx"], pa.int64()),
+                       pa.scalar(C, pa.int64()))
+        return t.append_column("_ck", ck)
+
+    def colocate(t: pa.Table):
+        conv = t["conv_id"].combine_chunks()
+        dct = conv.dictionary_encode()
+        codes = dct.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nu = len(dct.dictionary)
+        cols = {"g": pc.cast(dct.dictionary, pa.string()),
+                "n": pa.array(np.bincount(codes, minlength=nu))}
+        role = t["role"].combine_chunks()
+        for i, r in enumerate(want_roles):
+            w = pc.fill_null(pc.equal(role, r), False) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            cols[f"r{i}"] = pa.array(np.bincount(
+                codes, weights=w, minlength=nu).astype(np.int64))
+        return t, pa.table(cols, schema=side_schema)
+
+    gated, gate_partials = hash_exchange_apply(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        "conv_id", colocate, partitions=partitions, salt_col="_ck",
+        side_schema=side_schema)
+
+    def gate_total(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("g", sort=False).sum(numeric_only=True)
+        ok = agg["n"] >= int(min_turns)
+        for i in range(len(want_roles)):
+            ok &= agg[f"r{i}"] > 0
+        return pd.DataFrame({"g": agg.index[ok]})
+
+    keepf = hash_exchange_apply(gate_partials, "g", gate_total,
+                                kernel_format="pandas").to_pandas()
+    # keep-set as sorted u64 (same vectorized hash on both sides;
+    # internal only — collisions are ~(n_keep²/2⁶⁵)). At cluster scale
+    # past broadcastable keep-set sizes this becomes a semi-join.
+    keep = (np.sort(_hash64_of_arrow(
+                pa.array(keepf["g"].astype(str), type=pa.string())))
+            if len(keepf) else np.array([], dtype=np.uint64))
+    keep_ref = ray.put(keep)
+
+    def keep_mask(conv_col: pd.Series) -> np.ndarray:
+        k = ray.get(keep_ref)
+        if not len(k):
+            return np.zeros(len(conv_col), dtype=bool)
+        h = _hash64_of_arrow(pa.array(conv_col.astype(str),
+                                      type=pa.string()))
+        pos = np.searchsorted(k, h)
+        pos[pos == len(k)] = 0
+        return k[pos] == h
+
+    # ---- 2. boilerplate hash counts over the co-located blocks,
+    # gated rows only (distinct (h64, conv) per block is distinct per
+    # conv: every (conv, chunk) group is whole in one block, and
+    # count_kernel re-dedups across a conv's chunks)
+    def pairs_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[keep_mask(df["conv_id"])]
+        out = pd.DataFrame({"h": _h64_col(df["text"]),
+                            "g": df["conv_id"].astype(str)})
+        return out.drop_duplicates()
+
+    pairs = gated.map_batches(pairs_batch, batch_format="pandas",
+                              batch_size=None)
+
+    def count_kernel(part: pd.DataFrame) -> pd.DataFrame:
+        vc = part.drop_duplicates()["h"].value_counts()
+        bad = vc[vc >= boilerplate_min_convs].index \
+            .to_numpy(dtype=np.uint64)
+        return pd.DataFrame({"h": bad})
+
+    badf = coarse_partition_apply(pairs, "h", count_kernel).to_pandas()
+    bad = np.sort(badf["h"].to_numpy(dtype=np.uint64)) if len(badf) else \
+        np.array([], dtype=np.uint64)
+    bad_ref = ray.put(bad)
+
+    # ---- 4. per-chunk drop + collapse + render. Single-chunk convs
+    # finalize locally; multi-chunk convs emit one PIECE row per chunk
+    # (lead line, rest, trailing run identity) stitched in the merge.
+    # Multi-chunk-ness is decided on the PRE-drop rows (dense turns):
+    # ck>0, or chunk 0 full.
+    def final_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "conv_id": pd.Series([], dtype="object"),
+            "rendered": pd.Series([], dtype="object"),
+            "n_turns": pd.Series([], dtype="int64"),
+            "_kind": pd.Series([], dtype="int64"),
+            "_ck": pd.Series([], dtype="int64"),
+            "lead_role": pd.Series([], dtype="object"),
+            "lead_text": pd.Series([], dtype="object"),
+            "trail_role": pd.Series([], dtype="object"),
+            "trail_text": pd.Series([], dtype="object"),
+            "n_rest": pd.Series([], dtype="int64"),
+        })
+        if not len(df):
+            return empty
+        df = df[keep_mask(df["conv_id"])]       # gated convs only
+        if not len(df):
+            return empty
+        df = _sorted_conv(df)
+        conv_a = df["conv_id"].to_numpy(dtype=object)
+        turn_a = df["turn_idx"].to_numpy().astype(np.int64)
+        ck_a = df["_ck"].to_numpy().astype(np.int64)
+        # multi-chunk flag per conv from PRE-drop rows
+        multi_convs = set(conv_a[(ck_a > 0)
+                                 | (turn_a % C == C - 1)].tolist())
+        b = ray.get(bad_ref)
+        if len(b):
+            h = _h64_col(df["text"])
+            pos = np.searchsorted(b, h)
+            pos[pos == len(b)] = 0
+            df = df[b[pos] != h]
+        if not len(df):
+            return empty
+        n = len(df)
+        conv = df["conv_id"].to_numpy(dtype=object)
+        ck = df["_ck"].to_numpy().astype(np.int64)
+        role = df["role"].to_numpy(dtype=object)
+        text = df["text"].to_numpy(dtype=object)
+        grp_chg = np.ones(n, dtype=bool)
+        grp_chg[1:] = (conv[1:] != conv[:-1]) | (ck[1:] != ck[:-1])
+        keep_m = grp_chg.copy()        # first row of each run
+        keep_m[1:] |= (role[1:] != role[:-1]) | (text[1:] != text[:-1])
+        kidx = np.flatnonzero(keep_m)
+        conv_k, ck_k = conv[kidx], ck[kidx]
+        role_k, text_k = role[kidx], text[kidx]
+        pieces = np.array([f"{r}: {t}" for r, t in zip(role_k, text_k)],
+                          dtype=object)
+        gchg = np.ones(len(kidx), dtype=bool)
+        gchg[1:] = (conv_k[1:] != conv_k[:-1]) | (ck_k[1:] != ck_k[:-1])
+        starts = np.flatnonzero(gchg)
+        ends = np.append(starts[1:], len(kidx))
+        out_rows = {k: [] for k in empty.columns}
+
+        def emit(cv, kind, ckv, rendered, n_turns, lead_rt, trail_rt,
+                 n_rest):
+            out_rows["conv_id"].append(cv)
+            out_rows["_kind"].append(kind)
+            out_rows["_ck"].append(ckv)
+            out_rows["rendered"].append(rendered)
+            out_rows["n_turns"].append(n_turns)
+            out_rows["lead_role"].append(lead_rt[0])
+            out_rows["lead_text"].append(lead_rt[1])
+            out_rows["trail_role"].append(trail_rt[0])
+            out_rows["trail_text"].append(trail_rt[1])
+            out_rows["n_rest"].append(n_rest)
+
+        for s, e in zip(starts, ends):
+            cv = conv_k[s]
+            if cv not in multi_convs:
+                emit(cv, 0, int(ck_k[s]),
+                     "\n".join(pieces[s:e]), int(e - s),
+                     (None, None), (None, None), 0)
+            else:
+                # piece: lead line + rest; merge decides the lead
+                rest = "\n".join(pieces[s + 1:e])
+                emit(cv, 1, int(ck_k[s]), rest, 0,
+                     (role_k[s], text_k[s]),
+                     (role_k[e - 1], text_k[e - 1]), int(e - s - 1))
+        return pd.DataFrame(out_rows)[list(empty.columns)]
+
+    finals = gated.map_batches(final_kernel, batch_format="pandas",
+                               batch_size=None)
+
+    def keep_local(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["_kind"] == 0][["conv_id", "rendered", "n_turns"]]
+
+    def keep_pieces(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["_kind"] == 1]
+
+    local = finals.map_batches(keep_local, batch_format="pandas")
+    piece_ds = finals.map_batches(keep_pieces, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"conv_id": [], "rendered": [], "n_turns": []}
+        for cv, g in df.groupby("conv_id", sort=False):
+            g = g.sort_values("_ck")
+            parts, nt, open_rt = [], 0, None
+            for r in g.itertuples(index=False):
+                lead_rt = (r.lead_role, r.lead_text)
+                if open_rt is None or lead_rt != open_rt:
+                    parts.append(f"{r.lead_role}: {r.lead_text}")
+                    nt += 1
+                if r.n_rest:
+                    parts.append(r.rendered)
+                    nt += int(r.n_rest)
+                open_rt = (r.trail_role, r.trail_text)
+            out["conv_id"].append(cv)
+            out["rendered"].append("\n".join(parts))
+            out["n_turns"].append(nt)
+        o = pd.DataFrame(out)
+        o["n_turns"] = o["n_turns"].astype("int64")
+        return o
+
+    merged = coarse_partition_apply(piece_ds, "conv_id", merge,
+                                    partitions=8)
+    return local.union(merged)

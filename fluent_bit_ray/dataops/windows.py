@@ -100,7 +100,8 @@ def rolling_window(ds, key: str, order: list[str], value_col: str,
 def shift_within_key(ds, key: str, order: list[str], cols: list[str],
                      periods: int = 1, suffix: str | None = None,
                      keep_cols: list[str] | None = None,
-                     partitions: int | None = None):
+                     partitions: int | None = None,
+                     chunk_rows: int | None = None):
     """Per-key LAG (``periods`` > 0) / LEAD (``periods`` < 0) of
     ``cols``, ordered by ``order`` within ``key`` — SQL's
     lag(col, n) / lead(col, n) OVER (PARTITION BY key ORDER BY order).
@@ -111,12 +112,75 @@ def shift_within_key(ds, key: str, order: list[str], cols: list[str],
     ``keep_cols`` defaults to [key, *order]. Same distributed shape as
     ``rolling_window``: ONE coarse key exchange, then a single
     in-partition lexsort + clamped gather (zero per-key Python).
+
+    ``chunk_rows`` (hot-key splitting): with a SINGLE dense integer
+    order column (0,1,2,... per key — see halo_chunk_exchange), rows
+    exchange by (key, order//chunk_rows) with |periods| halo rows
+    duplicated across chunk boundaries, so a Zipf-headed key never
+    lands in one task. Results are identical; the halo supplies each
+    chunk's lag/lead context.
     """
     if periods == 0:
         raise ValueError("periods must be nonzero (use the column itself)")
     sfx = suffix if suffix is not None else (
         f"_lag{periods}" if periods > 0 else f"_lead{-periods}")
     kept = list(keep_cols) if keep_cols is not None else [key, *order]
+
+    if chunk_rows is not None:
+        if len(order) != 1:
+            raise ValueError("chunk_rows requires a single dense "
+                             "integer order column")
+        oc = order[0]
+
+        def kernel_chunked(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            n = t.num_rows
+            if n == 0:
+                out = t.select(kept)
+                for c in cols:
+                    out = out.append_column(
+                        f"{c}{sfx}", t[c].combine_chunks().slice(0, 0))
+                return out
+            onp = pc.cast(t[oc].combine_chunks(), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            kc = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+            ck = t["_ck"].combine_chunks().to_numpy(zero_copy_only=False)
+            halo = t["_halo"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            perm = np.lexsort((onp, ck, kc))
+            kc_s, ck_s, halo_s = kc[perm], ck[perm], halo[perm]
+            idx = np.arange(n, dtype=np.int64)
+            chg = np.empty(n, dtype=bool)
+            chg[0] = True
+            chg[1:] = (kc_s[1:] != kc_s[:-1]) | (ck_s[1:] != ck_s[:-1])
+            sidx = np.maximum.accumulate(np.where(chg, idx, 0))
+            src = idx - periods
+            if periods > 0:
+                valid = src >= sidx
+            else:
+                gstarts = idx[chg]
+                gid = np.cumsum(chg) - 1
+                gends = np.append(gstarts[1:], n) - 1
+                valid = src <= gends[gid]
+            keep = ~halo_s
+            out = t.select(kept).take(pa.array(perm[keep]))
+            src_k = src[keep]
+            valid_k = valid[keep]
+            src_arr = pa.array(np.where(valid_k, src_k, 0),
+                               mask=~valid_k)
+            for c in cols:
+                sorted_c = t[c].combine_chunks().take(pa.array(perm))
+                out = out.append_column(f"{c}{sfx}",
+                                        sorted_c.take(src_arr))
+            return out
+
+        from ..shuffle import halo_chunk_exchange
+        return halo_chunk_exchange(
+            ds, key, oc, kernel_chunked,
+            halo_before=periods if periods > 0 else 0,
+            halo_after=-periods if periods < 0 else 0,
+            chunk_rows=chunk_rows, partitions=partitions)
 
     def kernel(t: pa.Table) -> pa.Table:
         n = t.num_rows

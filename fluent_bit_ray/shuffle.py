@@ -194,6 +194,61 @@ def _hp_of_arrow(col, partitions: int, salt=None) -> np.ndarray:
     return (h % np.uint64(partitions)).astype(np.int64)
 
 
+def halo_chunk_exchange(ds, key: str, order_col: str, per_partition_fn,
+                        halo_before: int = 0, halo_after: int = 0,
+                        chunk_rows: int = 1 << 18,
+                        partitions: int | None = None):
+    """Hot-key-safe exchange for FIXED-LOOKBACK scan kernels (lag/lead,
+    trailing windows): rows are exchanged by (key, order//chunk_rows)
+    so one hot key spreads over partitions, and the ``halo_before``
+    rows preceding each chunk (and/or ``halo_after`` following it) are
+    DUPLICATED into the chunk flagged ``_halo`` — every row's window
+    context is present in its chunk, no second merge pass needed.
+
+    Kernel contract: group rows by (key, "_ck"); sorted by the order
+    column, ``_halo`` rows land first (before) / last (after) in the
+    group and must be DROPPED from the output (they are re-emitted as
+    real rows by their own chunk). CONTRACT: order values are dense
+    non-negative 0,1,2,... per key (the engine's lineage offsets /
+    transcript turn indexes); with sparse order values a chunk may
+    lack part of its halo.
+    """
+    import pyarrow.compute as pc
+
+    C = int(chunk_rows)
+    if max(halo_before, halo_after) >= C:
+        raise ValueError("halo must be smaller than chunk_rows")
+
+    def add_ck(t: pa.Table) -> pa.Table:
+        o = pc.cast(t[order_col].combine_chunks(), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ck = o // C
+        tabs = [t.append_column("_ck", pa.array(ck))
+                 .append_column("_halo",
+                                pa.array(np.zeros(len(o), dtype=bool)))]
+        if halo_before:
+            m = (o % C) >= C - halo_before       # tail → next chunk
+            if m.any():
+                idx = pa.array(np.flatnonzero(m))
+                tabs.append(t.take(idx)
+                            .append_column("_ck", pa.array(ck[m] + 1))
+                            .append_column("_halo", pa.array(
+                                np.ones(int(m.sum()), dtype=bool))))
+        if halo_after:
+            m = ((o % C) < halo_after) & (ck >= 1)  # head → prev chunk
+            if m.any():
+                idx = pa.array(np.flatnonzero(m))
+                tabs.append(t.take(idx)
+                            .append_column("_ck", pa.array(ck[m] - 1))
+                            .append_column("_halo", pa.array(
+                                np.ones(int(m.sum()), dtype=bool))))
+        return tabs[0] if len(tabs) == 1 else pa.concat_tables(tabs)
+
+    return hash_exchange_apply(
+        ds.map_batches(add_ck, batch_format="pyarrow"),
+        key, per_partition_fn, partitions=partitions, salt_col="_ck")
+
+
 def hash_exchange_apply(ds, key: str, per_partition_fn,
                         partitions: int | None = None,
                         kernel_format: str = "pyarrow",
@@ -377,6 +432,22 @@ def hash_exchange_apply(ds, key: str, per_partition_fn,
 
     def empty_result():
         if kernel_format == "pandas":
+            # run the kernel once on a TYPED empty frame so the result
+            # keeps the kernel's output columns (a bare from_items([])
+            # has no schema and breaks column access downstream)
+            sch = ds.schema(fetch_if_missing=False)
+            if sch is not None:
+                base = getattr(sch, "base_schema", None)
+                try:
+                    if isinstance(base, pa.Schema):
+                        empty_df = base.empty_table().to_pandas()
+                    else:
+                        empty_df = pd.DataFrame(
+                            {n: pd.Series([], dtype=t)
+                             for n, t in zip(sch.names, sch.types)})
+                    return rd.from_pandas(pandas_fn(empty_df))
+                except Exception:
+                    pass
             return rd.from_items([])
         empty = pa.Table.from_pylist([], schema=ds.schema().base_schema)
         out = per_partition_fn(empty)

@@ -259,3 +259,78 @@ def test_sft_int_conv_id_and_null_text():
     assert out["conv_id"].tolist() == [1, 2]                 # dtype kept
     assert out["context"].tolist() == ["user: hi", "user: "]  # null → ""
     assert out["target"].tolist() == ["yo", "ans"]
+
+
+def test_collapse_repeats_chunked_matches_whole_key():
+    """Chunk-split collapse (boundary-record merge) must equal the
+    whole-key kernel — repeat-heavy data so runs span chunk
+    boundaries, including whole-chunk runs (covers_all chains) and a
+    run covering all of chunk 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_bit_ray.dataops.sft import collapse_repeats
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for c in range(10):
+        n = int(rng.integers(2, 60))
+        t = 0
+        while t < n:
+            run = int(rng.integers(1, 14))      # runs often > chunk size
+            role = ["user", "assistant"][int(rng.integers(0, 2))]
+            txt = f"m{int(rng.integers(0, 3))}" if rng.random() > 0.1 else None
+            for _ in range(min(run, n - t)):
+                rows.append((f"c{c:02d}", t, role, txt))
+                t += 1
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"]) \
+        .sample(frac=1.0, random_state=7).reset_index(drop=True)
+    ds = rd.from_pandas(df)
+
+    base = collapse_repeats(ds).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    b = base.sort_values(key).reset_index(drop=True).astype({"text": str})
+    for C in (4, 8, 1000):
+        got = collapse_repeats(ds, chunk_rows=C).to_pandas()
+        g = got.sort_values(key).reset_index(drop=True).astype({"text": str})
+        pd.testing.assert_frame_equal(
+            g.astype({"turn_idx": "int64", "repeats": "int64"}),
+            b[g.columns].astype({"turn_idx": "int64", "repeats": "int64"}))
+
+
+def test_curate_chunked_matches_whole_key():
+    """The chunk-split curation (pre-gate broadcast + salted identity
+    exchange + per-chunk render + piece merge) must equal the
+    whole-key path, with chunks small enough that hot convs split and
+    boilerplate-dropped rows change adjacency across boundaries."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_bit_ray.dataops.sft import curate_transcripts
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for c in range(16):
+        n = int(rng.integers(1, 50))
+        for t in range(n):
+            r = ["user", "assistant", "tool"][int(rng.integers(0, 3))]
+            # ~20% shared boilerplate texts (dropped when seen in ≥5
+            # convs), the rest conv-local with repeat runs
+            txt = (f"boiler{int(rng.integers(0, 3))}"
+                   if rng.random() < 0.2
+                   else f"m{c}_{int(rng.integers(0, 6))}")
+            rows.append((f"c{c:02d}", t, r, txt))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"]) \
+        .sample(frac=1.0, random_state=9).reset_index(drop=True)
+    ds = rd.from_pandas(df)
+
+    base = curate_transcripts(ds, min_turns=4, chunk_rows=None) \
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    for C in (4, 8, 1000):
+        got = curate_transcripts(ds, min_turns=4, chunk_rows=C) \
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"n_turns": "int64"}),
+            base[got.columns].astype({"n_turns": "int64"}))

@@ -250,3 +250,34 @@ def test_rolling_extremes_window_one_and_partition_independent():
                           window=3, keep_cols=["t"], partitions=16)
          .to_pandas().sort_values("t").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_shift_chunked_matches_whole_key():
+    """halo_chunk_exchange path: lag and lead over chunk-split keys
+    (dense 0-based order) must equal the whole-key exchange, including
+    a Zipf-hot key spanning many chunks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    rows = []
+    sizes = {"hot": 137, **{f"k{i}": int(rng.integers(1, 9))
+                            for i in range(12)}}
+    for k, m in sizes.items():
+        for t in range(m):
+            rows.append((k, t, float(rng.integers(0, 100))))
+    df = pd.DataFrame(rows, columns=["k", "t", "v"]) \
+        .sample(frac=1.0, random_state=5).reset_index(drop=True)
+    ds = rd.from_pandas(df)
+
+    for periods in (1, 2, -1, -3):
+        base = shift_within_key(ds, key="k", order=["t"], cols=["v"],
+                                periods=periods).to_pandas()
+        chunked = shift_within_key(ds, key="k", order=["t"], cols=["v"],
+                                   periods=periods,
+                                   chunk_rows=16).to_pandas()
+        key = ["k", "t"]
+        b = base.sort_values(key).reset_index(drop=True)
+        c = chunked.sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(c, b[c.columns])
