@@ -37,8 +37,13 @@ from .dedup import _h64
 
 def _h64_col(col: pd.Series) -> np.ndarray:
     """uint64 md5-h64 per row — the dedup-family convention
-    (dedup._h64, reproducible via __ray_entry__._h64_sql)."""
-    return col.astype(str).map(_h64).to_numpy(dtype=np.uint64)
+    (dedup._h64, reproducible via __ray_entry__._h64_sql). Hashes
+    each DISTINCT value once (boilerplate-heavy columns repeat a lot;
+    md5 is a per-call Python cost worth memoizing per batch)."""
+    codes, uniques = pd.factorize(col.astype(str), sort=False)
+    hu = np.fromiter((_h64(u) for u in uniques),
+                     dtype=np.uint64, count=len(uniques))
+    return hu[codes]
 
 
 def boilerplate_keys(ds, text_col: str = "text",

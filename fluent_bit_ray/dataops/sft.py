@@ -585,19 +585,7 @@ def curate_transcripts(ds, min_turns: int = 6,
             partitions, int(chunk_rows))
     import ray
 
-    from .boilerplate import _h64_col
-
     want_roles = tuple(require_roles)
-
-    def gate_mask(df: pd.DataFrame) -> np.ndarray:
-        codes, uniques = pd.factorize(df["conv_id"], sort=False)
-        n_turns = np.bincount(codes, minlength=len(uniques))
-        ok = n_turns >= int(min_turns)
-        for r in want_roles:
-            ok &= np.bincount(codes,
-                              weights=(df["role"].to_numpy() == r),
-                              minlength=len(uniques)) > 0
-        return ok[codes]
 
     # FUSED into ONE full-text conv exchange + one tiny pair exchange
     # (the r3 docs-curated lesson, taken further in r4: the exchange
@@ -606,23 +594,67 @@ def curate_transcripts(ds, min_turns: int = 6,
     # blocks — re-consuming them costs no re-execution and no second
     # all-to-all. The old two-exchange shape measured a ~5 s
     # non-scaling phase cost PER text exchange at sf1.)
-    # Exchange: gate inside, output the surviving rows (conv-complete
-    # blocks).
-    def gate_kernel(df: pd.DataFrame) -> pd.DataFrame:
-        return df[gate_mask(df)]
+    # Exchange: gate inside (ARROW kernel — the former pandas adapter
+    # materialized every text as a PyObject just to run bincounts),
+    # output the surviving rows with a vectorized 64-bit text hash
+    # computed ONCE (the pairs scan and the final boilerplate drop
+    # both reuse it). The hash is internal co-identity only — the
+    # oracle derives its own boilerplate SET from the same ≥N-convs
+    # rule, so any injective-enough hash matches; the per-call-Python
+    # md5 was ~25 CPU·s per sf4 pass.
+    def gate_kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..shuffle import _hash64_of_arrow
+
+        if t.num_rows == 0:
+            return t.append_column("_h64", pa.array([], pa.uint64()))
+        conv = t["conv_id"].combine_chunks()
+        dct = conv.dictionary_encode()
+        codes = dct.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nu = len(dct.dictionary)
+        ok = np.bincount(codes, minlength=nu) >= int(min_turns)
+        role = t["role"].combine_chunks()
+        for r in want_roles:
+            w = pc.fill_null(pc.equal(role, r), False) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            ok &= np.bincount(codes, weights=w, minlength=nu) > 0
+        t = t.filter(pa.array(ok[codes]))
+        h = _hash64_of_arrow(
+            pc.fill_null(pc.cast(t["text"].combine_chunks(),
+                                 pa.large_string()), "None"))
+        return t.append_column("_h64", pa.array(h))
 
     gated = coarse_partition_apply(ds, "conv_id", gate_kernel,
-                                   partitions=partitions)
+                                   partitions=partitions,
+                                   batch_format="pyarrow")
 
     # Distinct (h64(text), conv) pairs per block: each conv is whole
     # inside one block, so per-block distinct == per-conv distinct
-    # (16 B rows leave the node, never text).
-    def pairs_batch(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"h": _h64_col(df["text"]),
-                            "g": df["conv_id"].astype(str)})
-        return out.drop_duplicates()
+    # (16 B rows leave the node, never text). Arrow/numpy throughout —
+    # distinct via lexsort run-detection, conv strings only for the
+    # surviving pair rows.
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    pairs = gated.map_batches(pairs_batch, batch_format="pandas",
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "g": pa.array([], pa.string())})
+        h = t["_h64"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        conv = t["conv_id"].combine_chunks()
+        codes = conv.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, codes))
+        hs, cs = h[order], codes[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (cs[1:] != cs[:-1])
+        sel = pa.array(order[first])
+        return pa.table({"h": pa.array(hs[first]),
+                         "g": pc.cast(pc.take(conv, sel), pa.string())})
+
+    pairs = gated.map_batches(pairs_batch, batch_format="pyarrow",
                               batch_size=None)
 
     def count_kernel(part: pd.DataFrame) -> pd.DataFrame:
@@ -637,39 +669,77 @@ def curate_transcripts(ds, min_turns: int = 6,
     bad_ref = ray.put(bad)
 
     # Final pass: map over the same conv-partitioned blocks — drop
-    # boilerplate rows, collapse runs, render — one kernel, no
-    # re-shuffle (rows are already gated).
-    def final_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    # boilerplate rows (reusing the gate-computed h64), collapse runs,
+    # render — one ARROW kernel, no re-shuffle. Rendering is the
+    # multiline list-join shape: "role: text" pieces via one
+    # binary_join_element_wise, per-conv docs via LargeListArray +
+    # binary_join — zero Python string objects (the former f-string +
+    # "\n".join loops were the pass's hottest term after md5).
+    def final_kernel(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_schema = pa.schema([
+            pa.field("conv_id", t.schema.field("conv_id").type
+                     if "conv_id" in t.column_names else pa.string()),
+            pa.field("rendered", pa.large_string()),
+            pa.field("n_turns", pa.int64()),
+        ])
+        if t.num_rows == 0:
+            return out_schema.empty_table()
         b = ray.get(bad_ref)
-        if len(b) and len(df):
-            h = _h64_col(df["text"])
+        if len(b):
+            h = t["_h64"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.uint64)
             pos = np.searchsorted(b, h)
             pos[pos == len(b)] = 0
-            df = df[b[pos] != h]
-        df = _sorted_conv(df)
-        n = len(df)
-        if not n:
-            return pd.DataFrame({"conv_id": pd.Series([], dtype="object"),
-                                 "rendered": pd.Series([], dtype="object"),
-                                 "n_turns": pd.Series([], dtype="int64")})
-        conv = df["conv_id"].to_numpy(dtype=object)
-        role = df["role"].to_numpy(dtype=object)
-        text = df["text"].to_numpy(dtype=object)
-        keep = np.ones(n, dtype=bool)  # drop non-first rows of runs
-        keep[1:] = ((conv[1:] != conv[:-1]) | (role[1:] != role[:-1])
-                    | (text[1:] != text[:-1]))
-        conv, role, text = conv[keep], role[keep], text[keep]
-        pieces = np.array([f"{r}: {t}" for r, t in zip(role, text)],
-                          dtype=object)
-        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
-        ends = np.r_[starts[1:], len(conv)]
-        return pd.DataFrame({
-            "conv_id": conv[starts],
-            "rendered": ["\n".join(pieces[s:e])
-                         for s, e in zip(starts, ends)],
-            "n_turns": (ends - starts).astype("int64")})
+            t = t.filter(pa.array(b[pos] != h))
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        conv = t["conv_id"].combine_chunks()
+        codes = conv.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        turn = pc.cast(t["turn_idx"].combine_chunks(), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, codes))
+        o_arr = pa.array(order)
+        codes_s = codes[order]
+        # null role/text render and compare as "None" — the pandas
+        # kernel's f-string and None == None run semantics
+        role_s = pc.fill_null(
+            pc.cast(pc.take(t["role"].combine_chunks(), o_arr),
+                    pa.large_string()), "None")
+        text_s = pc.fill_null(
+            pc.cast(pc.take(t["text"].combine_chunks(), o_arr),
+                    pa.large_string()), "None")
+        conv_brk = np.ones(n, dtype=bool)
+        conv_brk[1:] = codes_s[1:] != codes_s[:-1]
+        same_role = pc.equal(role_s.slice(1), role_s.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        same_text = pc.equal(text_s.slice(1), text_s.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = conv_brk[1:] | ~(same_role & same_text)
+        kidx = np.flatnonzero(keep)
+        k_arr = pa.array(kidx)
+        pieces = pc.binary_join_element_wise(
+            pc.take(role_s, k_arr), pc.take(text_s, k_arr),
+            pa.scalar(": ", type=pa.large_string()))
+        codes_k = codes_s[kidx]
+        starts = np.flatnonzero(np.r_[True, codes_k[1:] != codes_k[:-1]])
+        offsets = pa.array(np.append(starts, len(kidx)).astype(np.int64),
+                           type=pa.int64())
+        rendered = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, pieces),
+            pa.scalar("\n", type=pa.large_string()))
+        n_turns = np.diff(np.append(starts, len(kidx))).astype(np.int64)
+        return pa.table({
+            "conv_id": pc.take(conv, pa.array(order[kidx[starts]])),
+            "rendered": rendered,
+            "n_turns": pa.array(n_turns),
+        }, schema=out_schema)
 
-    return gated.map_batches(final_kernel, batch_format="pandas",
+    return gated.map_batches(final_kernel, batch_format="pyarrow",
                              batch_size=None)
 
 
