@@ -773,6 +773,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (out.sort_values(["conv_id", "turn_idx"])
                 .reset_index(drop=True))
 
+    def collapsed_repeats_chunked(sf_dir: str):
+        """Hot-key-split collapse FORCED at gate scale
+        (chunk_rows=2048: the Zipf-head conv splits into 3 chunks and
+        its runs cross chunk boundaries). Must hash-match
+        collapsed_repeats' oracle — proves the boundary-record run
+        folding is lossless."""
+        from fluent_bit_ray.dataops.sft import collapse_repeats
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "role", "text"])
+        out = collapse_repeats(ds, chunk_rows=2048).to_pandas()
+        out["turn_idx"] = out["turn_idx"].astype("int64")
+        out["repeats"] = out["repeats"].astype("int64")
+        return (out.sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+
+    def turn_gaps_chunked(sf_dir: str):
+        """Halo-chunk lag FORCED at gate scale (chunk_rows=2048, one
+        halo row duplicated per boundary). Must hash-match turn_gaps'
+        oracle — proves the halo protocol supplies exactly the
+        whole-key lag context."""
+        from fluent_bit_ray.dataops.windows import shift_within_key
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+        out = shift_within_key(
+            ds, key="conv_id", order=["turn_idx"], cols=["ts"],
+            periods=1, keep_cols=["conv_id", "turn_idx", "ts"],
+            chunk_rows=2048).to_pandas()
+        gap = (out["ts"] - out["ts_lag1"]).dt.total_seconds() * 1000.0
+        out["gap_ms"] = gap.round().fillna(-1).astype("int64")
+        out = out.drop(columns=["ts", "ts_lag1"])
+        return (out.sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+
     def tool_transition_counts(sf_dir: str):
         """Tool-usage Markov bigram table: which tool follows which
         within a conversation. One coarse conv_id exchange; only
@@ -1681,6 +1713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_refs_rendered": sft_refs_rendered,
         "wide_parsed": wide_parsed,
         "collapsed_repeats": collapsed_repeats,
+        "collapsed_repeats_chunked": collapsed_repeats_chunked,
+        "turn_gaps_chunked": turn_gaps_chunked,
         "tool_transition_counts": tool_transition_counts,
         "docs_topk_per_source": docs_topk_per_source,
         "emb_kmeans": emb_kmeans,
@@ -3284,4 +3318,6 @@ def oracle_sql() -> dict[str, str]:
     # byte-for-byte — same oracle, same hash
     sqls["multiline_chunked"] = sqls["multiline_segments"]
     sqls["convs_curated_chunked"] = sqls["convs_curated"]
+    sqls["collapsed_repeats_chunked"] = sqls["collapsed_repeats"]
+    sqls["turn_gaps_chunked"] = sqls["turn_gaps"]
     return sqls
