@@ -251,3 +251,41 @@ def test_hash_exchange_side_schema():
     s = side.to_pandas()
     assert len(m) == 300 and sorted(m["v"]) == list(range(300))
     assert s[s["k"] == "hot"]["n"].tolist() == [200]
+
+
+def test_hash_exchange_side_schema_sort_fallback(monkeypatch):
+    """Past the ref-matrix ceiling the side channel rides in-band
+    behind a tag column through the sort shuffle; the split back into
+    (main, side) must match the raw-path results."""
+    import fluent_bit_ray.shuffle as sh
+
+    side_schema = pa.schema([pa.field("k", pa.string()),
+                             pa.field("n", pa.int64())])
+
+    def kern(t: pa.Table):
+        d = t.to_pandas()
+        main = pa.table({"k": pa.array(d["k"], type=pa.string()),
+                         "v": pa.array(d["v"], type=pa.int64())})
+        ks = sorted(set(d["k"]))
+        big = [k for k in ks if (d["k"] == k).sum() > 30]
+        side = (pa.table({"k": big,
+                          "n": [int((d["k"] == k).sum()) for k in big]},
+                         schema=side_schema) if big else None)
+        return main, side
+
+    df = pd.DataFrame({"k": ["hot"] * 200 + [f"k{i % 11}" for i in range(100)],
+                       "v": range(300)})
+    ds = rd.from_pandas(df).repartition(6)
+    main_raw, side_raw = sh.hash_exchange_apply(
+        ds, "k", kern, partitions=8, side_schema=side_schema)
+    m_raw = main_raw.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    s_raw = side_raw.to_pandas().sort_values("k").reset_index(drop=True)
+
+    monkeypatch.setattr(sh, "_RAW_MAX_GROUPS", 1)   # force the fallback
+    main_fb, side_fb = sh.hash_exchange_apply(
+        ds, "k", kern, partitions=8, side_schema=side_schema)
+    m_fb = main_fb.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    s_fb = side_fb.to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(m_fb[m_raw.columns], m_raw)
+    pd.testing.assert_frame_equal(s_fb[s_raw.columns].astype({"n": "int64"}),
+                                  s_raw.astype({"n": "int64"}))

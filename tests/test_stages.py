@@ -579,3 +579,35 @@ def test_multiline_arrow_engine_matches_pandas():
     st = build_stage({"type": "multiline", "firstline": r"(?<=A)\d"})
     out = st.apply(rd.from_pandas(df)).to_pandas()
     assert len(out) > 0
+
+
+def test_multiline_chunked_through_sort_fallback(monkeypatch):
+    """Past the ref-matrix ceiling the chunked multiline runs through
+    the sort shuffle (whole keys co-located — strictly stronger than
+    the salted map — with side records in-band): output must match."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    import fluent_bit_ray.shuffle as sh
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for c in range(6):
+        n = int(rng.integers(5, 40))
+        for t in range(n):
+            r = rng.random()
+            txt = f"{t} head c{c}" if r < 0.3 else f"cont {c}:{t}"
+            rows.append((f"c{c}", t, txt))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    ds = rd.from_pandas(df)
+
+    base = build_stage({"type": "multiline", "firstline": r"^\d",
+                        "chunk_rows": 4}).apply(ds).to_pandas()
+    monkeypatch.setattr(sh, "_RAW_MAX_GROUPS", 1)
+    fb = build_stage({"type": "multiline", "firstline": r"^\d",
+                      "chunk_rows": 4}).apply(ds).to_pandas()
+    key = ["conv_id", "first_turn"]
+    pd.testing.assert_frame_equal(
+        fb.sort_values(key).reset_index(drop=True),
+        base.sort_values(key).reset_index(drop=True))
