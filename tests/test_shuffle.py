@@ -289,3 +289,34 @@ def test_hash_exchange_side_schema_sort_fallback(monkeypatch):
     pd.testing.assert_frame_equal(m_fb[m_raw.columns], m_raw)
     pd.testing.assert_frame_equal(s_fb[s_raw.columns].astype({"n": "int64"}),
                                   s_raw.astype({"n": "int64"}))
+
+
+def test_hp_column_matches_arrow_route():
+    """The pandas-route partition map (_hp_column) and the Arrow-route
+    map (_hp_of_arrow) must be IDENTICAL for single string keys — both
+    hash distinct values through _hash64_of_arrow (r5 unification; the
+    pandas route previously crc32'd each distinct in Python)."""
+    from fluent_bit_ray.shuffle import _hp_column, _hp_of_arrow
+
+    n = 20_000
+    keys = [f"conv-{i % 7919:05d}" for i in range(n)]   # high cardinality
+    df = pd.DataFrame({"k": keys})
+    for parts in (8, 64, 256):
+        via_pandas = _hp_column(df, ["k"], parts)
+        via_arrow = _hp_of_arrow(pa.chunked_array([pa.array(keys)]), parts)
+        np.testing.assert_array_equal(via_pandas, via_arrow)
+
+
+def test_hp_column_integer_and_composite_deterministic():
+    from fluent_bit_ray.shuffle import _hp_column
+
+    df = pd.DataFrame({"a": np.arange(1000, dtype=np.int64),
+                       "b": [f"s{i % 13}" for i in range(1000)]})
+    one = _hp_column(df, ["a"], 32)
+    two = _hp_column(df.copy(), ["a"], 32)
+    np.testing.assert_array_equal(one, two)
+    comp1 = _hp_column(df, ["a", "b"], 32)
+    comp2 = _hp_column(df.iloc[::-1].reset_index(drop=True), ["a", "b"], 32)
+    # same (a,b) value → same partition regardless of row order
+    np.testing.assert_array_equal(comp1, comp2[::-1])
+    assert _hp_column(df.iloc[:0], ["b"], 32).shape == (0,)
