@@ -708,7 +708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sf-independent (2048 rows); the oracle REBUILDS the same JSON
         in DuckDB and re-parses it with json_extract/json_keys, so
         the parse itself is cross-checked, not just row plumbing.
-        batch_size is sized to row WIDTH (~16 KB rows)."""
+        batch_size is AUTO-sized by bytes (the ~16 KB rows get ~256-row
+        batches from the Pipeline's metadata-driven sizing)."""
         import json as _json
 
         import numpy as np
@@ -718,7 +719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fluent_bit_ray.pipelines.pipeline import Pipeline
         from fluent_bit_ray.sources.wide import wide_records
 
-        pipe = Pipeline(batch_size=256, stages=[
+        pipe = Pipeline(stages=[
             {"type": "parser", "key_name": "text",
              "parsers": [{"name": "json", "format": "json"}]},
             {"type": "modify", "rules": [("rename", "key_0", "first_key"),
@@ -783,6 +784,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
                                                "role", "text"])
         out = collapse_repeats(ds, chunk_rows=2048).to_pandas()
+        out["turn_idx"] = out["turn_idx"].astype("int64")
+        out["repeats"] = out["repeats"].astype("int64")
+        return (out.sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+
+    def collapsed_repeats_refs(sf_dir: str):
+        """Reference-emitting collapse (the 100 TB shape): only
+        (conv_id, turn_idx, role, h64) transits the exchange — ~40 B/
+        row instead of full text — and the kept-row refs are rendered
+        back to full rows at the consumer
+        (dataops/sft.py collapse_repeat_refs +
+        collapse_render_from_refs). Must hash-match collapsed_repeats'
+        text-equality oracle — proves the hash-run refs are
+        lossless."""
+        from fluent_bit_ray.dataops.sft import (collapse_render_from_refs,
+                                                collapse_repeat_refs)
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "role", "text"])
+        refs = collapse_repeat_refs(ds, chunk_rows=1 << 18)
+        out = collapse_render_from_refs(ds, refs).to_pandas()
         out["turn_idx"] = out["turn_idx"].astype("int64")
         out["repeats"] = out["repeats"].astype("int64")
         return (out.sort_values(["conv_id", "turn_idx"])
@@ -1206,6 +1227,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fluent_bit_ray.dataops.sft import curate_transcripts
         out = curate_transcripts(read_transcripts(sf_dir),
                                  chunk_rows=2048).to_pandas()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out.sort_values("conv_id").reset_index(drop=True)
+
+    def convs_curated_refs(sf_dir: str):
+        """Reference-emitting curation (the 100 TB shape): text never
+        transits ANY exchange — the gate reduces per-block partials,
+        boilerplate counts 16 B (h64, conv) pairs, and the collapse
+        exchanges 40 B hash rows; the kept (conv_id, turn_idx) refs
+        are rendered at the consumer (dataops/sft.py
+        curate_transcript_refs + curate_render_from_refs). Must
+        hash-match convs_curated's full rendered oracle."""
+        from fluent_bit_ray.dataops.sft import (curate_render_from_refs,
+                                                curate_transcript_refs)
+        ds = read_transcripts(sf_dir)
+        refs = curate_transcript_refs(ds)
+        out = curate_render_from_refs(ds, refs).to_pandas()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out.sort_values("conv_id").reset_index(drop=True)
+
+    def convs_curated_refs_chunked(sf_dir: str):
+        """The refs curation with hot-conv chunk splitting FORCED at
+        gate scale (chunk_rows=2048) — exercises the missing-chunk-
+        tolerant boundary protocol (gate/boilerplate drops can empty
+        whole chunks). Must hash-match convs_curated's oracle."""
+        from fluent_bit_ray.dataops.sft import (curate_render_from_refs,
+                                                curate_transcript_refs)
+        ds = read_transcripts(sf_dir)
+        refs = curate_transcript_refs(ds, chunk_rows=2048)
+        out = curate_render_from_refs(ds, refs).to_pandas()
         out["n_turns"] = out["n_turns"].astype("int64")
         return out.sort_values("conv_id").reset_index(drop=True)
 
@@ -1689,6 +1739,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sp_limit": sp_limit,
         "collapsed_repeats_chunked": collapsed_repeats_chunked,
         "turn_gaps_chunked": turn_gaps_chunked,
+        # --- new in r5 (reference-emitting variants; no driver rows yet) ---
+        "collapsed_repeats_refs": collapsed_repeats_refs,
+        "convs_curated_refs": convs_curated_refs,
+        "convs_curated_refs_chunked": convs_curated_refs_chunked,
         # --- driver-green in earlier rounds (fills the 50-slot gate) ---
         "config_grep_rows": config_grep_rows,
         "config_route_counts": config_route_counts,
@@ -3326,6 +3380,11 @@ def oracle_sql() -> dict[str, str]:
     # byte-for-byte — same oracle, same hash
     sqls["multiline_chunked"] = sqls["multiline_segments"]
     sqls["convs_curated_chunked"] = sqls["convs_curated"]
+    # reference-emitting variants must reproduce the SAME full results
+    # through the refs path (render-at-consumer)
+    sqls["collapsed_repeats_refs"] = sqls["collapsed_repeats"]
+    sqls["convs_curated_refs"] = sqls["convs_curated"]
+    sqls["convs_curated_refs_chunked"] = sqls["convs_curated"]
     sqls["collapsed_repeats_chunked"] = sqls["collapsed_repeats"]
     sqls["turn_gaps_chunked"] = sqls["turn_gaps"]
     return sqls

@@ -282,6 +282,21 @@ def run_bench() -> None:
                                                "role", "text"])
         return collapse_repeats(ds, chunk_rows=1 << 18).count()
 
+    def bench_collapse_refs():
+        # reference-emitting variant: only (conv, turn, role, h64)
+        # transits the exchange; text stays in its source blocks
+        from fluent_bit_ray.dataops.sft import collapse_repeat_refs
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "role", "text"])
+        return collapse_repeat_refs(ds, chunk_rows=1 << 18).count()
+
+    def bench_convs_curated_refs():
+        # reference-emitting curation: no text through any exchange
+        from fluent_bit_ray.dataops.sft import curate_transcript_refs
+        ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
+                                               "role", "text"])
+        return curate_transcript_refs(ds).count()
+
     def bench_keyword():
         from fluent_bit_ray.dataops.search import keyword_search_topk
         ds = rd.read_parquet(docs_heavy, columns=["doc_id", "text"])
@@ -306,10 +321,11 @@ def run_bench() -> None:
 
     def bench_wide_record():
         from fluent_bit_ray.pipelines.pipeline import Pipeline
-        # batch_size sized to the ~16 KB rows: the default 16384-row
-        # batch would coalesce the whole table into ONE task (and at
-        # scale would put ~256 MB of decoded dicts in one worker heap)
-        pipe = Pipeline(batch_size=256, stages=[
+        # batch size left on "auto": the byte-driven sizing reads the
+        # ~16 KB rows from input metadata and picks ~256-row batches
+        # (a fixed 16384-row batch would coalesce the whole table into
+        # ONE task and put ~256 MB of decoded dicts in one worker heap)
+        pipe = Pipeline(stages=[
             {"type": "parser", "key_name": "text",
              "parsers": [{"name": "json", "format": "json"}]},
             {"type": "modify", "rules": [("rename", "key_0", "first_key"),
@@ -362,7 +378,9 @@ def run_bench() -> None:
                ("sft_pairs_refs", bench_sft_refs),
                ("wide_record", bench_wide_record),
                ("collapse_repeats", bench_collapse),
-               ("convs_curated", bench_convs_curated)]
+               ("collapse_repeats_refs", bench_collapse_refs),
+               ("convs_curated", bench_convs_curated),
+               ("convs_curated_refs", bench_convs_curated_refs)]
     if docs:
         benches += [("dedup_exact_docs", bench_dedup_exact),
                     ("minhash_pairs", bench_minhash),

@@ -21,9 +21,10 @@ Scale shape (100 TB):
   is broadcast once via ``ray.put`` — membership in pass 2 is one
   sorted-array searchsorted per batch, zero shuffle.
 
-Hashing follows the dedup-family convention (dedup.py): 64-bit
-little-endian prefix of md5 — deterministic across processes, and the
-DuckDB oracle can verify on raw text equality directly.
+Hashing is the engine's shared vectorized 64-bit content key
+(shuffle._hash64_of_arrow — deterministic across one job's worker
+processes, which is all internal co-identity needs); the DuckDB
+oracle verifies on raw text equality directly.
 """
 
 from __future__ import annotations
@@ -32,18 +33,26 @@ import numpy as np
 import pandas as pd
 import ray
 
-from .dedup import _h64
-
 
 def _h64_col(col: pd.Series) -> np.ndarray:
-    """uint64 md5-h64 per row — the dedup-family convention
-    (dedup._h64, reproducible via __ray_entry__._h64_sql). Hashes
-    each DISTINCT value once (boilerplate-heavy columns repeat a lot;
-    md5 is a per-call Python cost worth memoizing per batch)."""
-    codes, uniques = pd.factorize(col.astype(str), sort=False)
-    hu = np.fromiter((_h64(u) for u in uniques),
-                     dtype=np.uint64, count=len(uniques))
-    return hu[codes]
+    """uint64 content key per row — INTERNAL co-identity only: every
+    consumer (boilerplate pairs/filter, chunked-curate bad-set)
+    compares _h64_col output to _h64_col output, and the oracles
+    verify on raw text equality, so the key needs injectivity, not
+    md5 parity (dedup._h64 stays md5 where oracles DO replay hash
+    values: shingles, sampling buckets, sketches).
+
+    r5: routed through the shared vectorized kernel
+    (``shuffle._hash64_of_arrow`` — polars seed-pinned; measured
+    2.8 ms vs 35 ms for the factorize+per-distinct-md5 loop on a
+    40k-row/5k-distinct batch, warm; the kernel's own crc32 fallback
+    covers a polars-less install)."""
+    import pyarrow as pa
+
+    from ..shuffle import _hash64_of_arrow
+
+    return _hash64_of_arrow(
+        pa.Array.from_pandas(col.astype(str), type=pa.large_string()))
 
 
 def boilerplate_keys(ds, text_col: str = "text",

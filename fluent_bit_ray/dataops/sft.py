@@ -484,6 +484,100 @@ def _collapse_repeats_chunked(ds, C: int, partitions: int | None):
     return interior.union(merged)
 
 
+def collapse_repeat_refs(ds, partitions: int = 64,
+                         chunk_rows: int | None = None):
+    """Reference-emitting collapse — the 100 TB shape (r4 VERDICT:
+    the text-carrying exchange pinned at the single-box memcpy
+    ceiling, 0.42 scaling at sf4, because the full text column moved
+    both ways). This variant exchanges (conv_id, turn_idx, role,
+    h64(text)) ONLY — ~40 B/row instead of full text — and emits the
+    kept-row REFERENCES: Dataset[conv_id, turn_idx, role, repeats].
+    The text stays in its source blocks; a consumer that needs it
+    attaches per-conversation via ``collapse_render_from_refs`` (or a
+    fused consumer tokenizes in place), exactly the
+    ``sft_example_refs`` pattern.
+
+    Run equality is decided by role equality + a vectorized 64-bit
+    content hash (polars seed-pinned; ``shuffle._hash64_of_arrow``).
+    Two ADJACENT differing texts colliding is ~n·2⁻⁶⁴ — negligible at
+    10¹² rows — and the refs-path gate query hash-matches the
+    text-equality oracle. Null text hashes as the literal "None"
+    (same fill the curate kernels use), so null==null continues a run
+    like the object-compare kernel.
+
+    ``chunk_rows`` reuses the boundary-record chunk protocol — with
+    40 B rows AND chunk splitting, the Zipf-head conversation is no
+    longer a single-task problem at any corpus size."""
+    import pyarrow.compute as pc
+
+    from ..shuffle import _hash64_of_arrow
+
+    def project(t: pa.Table) -> pa.Table:
+        h = _hash64_of_arrow(pc.fill_null(
+            pc.cast(t["text"], pa.large_string()), "None"))
+        return pa.table({
+            "conv_id": t["conv_id"].combine_chunks(),
+            "turn_idx": pc.cast(t["turn_idx"].combine_chunks(),
+                                pa.int64()),
+            "role": t["role"].combine_chunks(),
+            "text": pc.cast(pa.array(h), pa.large_string()),
+        })
+
+    coll = collapse_repeats(ds.map_batches(project,
+                                           batch_format="pyarrow"),
+                            partitions=partitions, chunk_rows=chunk_rows)
+
+    def to_refs(t: pa.Table) -> pa.Table:
+        return t.select(["conv_id", "turn_idx", "role", "repeats"])
+
+    return coll.map_batches(to_refs, batch_format="pyarrow")
+
+
+def collapse_render_from_refs(ds, refs, partitions: int = 64):
+    """Consumer-side text attach for ``collapse_repeat_refs``: one
+    co-partition of turns and refs by conv_id, then an in-partition
+    (conv_id, turn_idx) merge rebuilds the full collapsed rows
+    (conv_id, turn_idx, role, text, repeats) — proves the refs are
+    lossless w.r.t. ``collapse_repeats``. Only here does text move,
+    and only because THIS consumer wants the materialized rows; a
+    fused consumer replaces the merge output with its own product."""
+    def tag_turns(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "role": b.column("role").cast(pa.large_string()),
+            "text": b.column("text").cast(pa.large_string()),
+            "repeats": pa.nulls(n, type=pa.int64()),
+            "_side": pa.array(["t"] * n),
+        })
+
+    def tag_refs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "conv_id": b.column("conv_id").cast(pa.string()),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "role": pa.nulls(n, type=pa.large_string()),
+            "text": pa.nulls(n, type=pa.large_string()),
+            "repeats": b.column("repeats").cast(pa.int64()),
+            "_side": pa.array(["r"] * n),
+        })
+
+    both = (ds.map_batches(tag_turns, batch_format="pyarrow")
+            .union(refs.map_batches(tag_refs, batch_format="pyarrow")))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        turns = df[df["_side"] == "t"]
+        rf = df[df["_side"] == "r"][["conv_id", "turn_idx", "repeats"]]
+        out = rf.merge(turns[["conv_id", "turn_idx", "role", "text"]],
+                       on=["conv_id", "turn_idx"], how="left")
+        out["repeats"] = out["repeats"].astype("int64")
+        return out[["conv_id", "turn_idx", "role", "text", "repeats"]]
+
+    return coarse_partition_apply(both, "conv_id", attach,
+                                  partitions=partitions)
+
+
 def conversation_gate(ds, min_turns: int = 1,
                       require_roles: tuple[str, ...] = (),
                       max_turns: int | None = None,
@@ -966,3 +1060,403 @@ def _curate_transcripts_chunked(ds, min_turns: int, want_roles: tuple,
     merged = coarse_partition_apply(piece_ds, "conv_id", merge,
                                     partitions=8)
     return local.union(merged)
+
+
+def curate_transcript_refs(ds, min_turns: int = 6,
+                           require_roles: tuple[str, ...] = ("assistant",
+                                                             "user"),
+                           boilerplate_min_convs: int = 5,
+                           partitions: int = 64,
+                           chunk_rows: int | None = None):
+    """Reference-emitting curation — the 100 TB shape of
+    ``curate_transcripts`` (r4 VERDICT: the whole-key path ships one
+    full-text conv exchange and materializes the rendered corpus;
+    measured 0.47–0.51 sf4 scaling, memcpy-bound). Here TEXT NEVER
+    TRANSITS ANY EXCHANGE:
+
+    1. one projection pass hashes text in place →
+       (conv_id, turn_idx, role, h64) @ ~40 B/row, materialized once
+       (at 100 TB input the projection is ~1% of corpus bytes and
+       spills to the object store; the raw text is read exactly once);
+    2. the structural gate reduces per-BLOCK (conv → n_turns, role
+       presence, max chunk) partials through a tiny exchange — no
+       data-row co-location at all — and broadcasts the surviving-conv
+       keep-set as sorted u64;
+    3. boilerplate counts distinct (h64, conv) pairs per block (16 B
+       rows) through the same tiny-exchange shape and broadcasts the
+       bad-set;
+    4. both broadcast sets filter the projection statelessly, and the
+       repeat collapse runs over the filtered 40 B rows via one
+       (optionally chunk-salted) exchange.
+
+    ``chunk_rows`` splits hot conversations by PRE-filter
+    turn_idx//chunk_rows (dense turns, so chunk ids are stable even
+    though the filtered rows are not dense). Because gating and
+    boilerplate removal can empty whole chunks, the boundary protocol
+    here tolerates MISSING chunks: only conversations the gate
+    partials saw spanning >1 chunk emit boundary run records (whole /
+    lead / trail per surviving chunk), and a per-conv state machine
+    folds matching runs across whatever chunks survive — unlike the
+    dense-contract protocol in ``_collapse_repeats_chunked``, which
+    infers openness from chunk fullness and would mis-stitch filtered
+    rows.
+
+    Returns Dataset[conv_id, turn_idx] — the turns the rendered
+    curation keeps, i.e. exactly the rows a consumer renders/tokenizes
+    via ``curate_render_from_refs`` (which hash-matches
+    ``curate_transcripts``'s full oracle through this path).
+
+    Broadcast-set scale note: the keep/bad/multi sets are one u64 per
+    surviving CONVERSATION / boilerplate TEXT / hot conversation —
+    corpus-cardinality dependent, not row-count dependent; past
+    broadcastable sizes they become semi-joins (same switch documented
+    in the chunked curate).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..shuffle import _hash64_of_arrow, hash_exchange_apply
+
+    want_roles = tuple(require_roles)
+    C = int(chunk_rows) if chunk_rows is not None else None
+
+    def project(t: pa.Table) -> pa.Table:
+        h = _hash64_of_arrow(pc.fill_null(
+            pc.cast(t["text"], pa.large_string()), "None"))
+        turn = pc.cast(t["turn_idx"].combine_chunks(), pa.int64())
+        cols = {
+            "conv_id": pc.cast(t["conv_id"].combine_chunks(),
+                               pa.string()),
+            "turn_idx": turn,
+            "role": pc.cast(t["role"].combine_chunks(),
+                            pa.large_string()),
+            "_h64": pa.array(h),
+        }
+        if C is not None:
+            cols["_ck"] = pc.divide(turn, pa.scalar(C, pa.int64()))
+        return pa.table(cols)
+
+    # materialize: gate partials, pairs and the collapse all consume
+    # the projection; without this each consumer would re-read (and
+    # re-hash) the raw corpus
+    proj = ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    # ---- structural gate from per-block partials (no co-location)
+    def gate_partials(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].combine_chunks()
+        dct = conv.dictionary_encode()
+        codes = dct.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nu = len(dct.dictionary)
+        cols = {"g": pc.cast(dct.dictionary, pa.string()),
+                "n": pa.array(np.bincount(codes, minlength=nu))}
+        role = t["role"].combine_chunks()
+        for i, r in enumerate(want_roles):
+            w = pc.fill_null(pc.equal(role, r), False) \
+                .to_numpy(zero_copy_only=False).astype(np.float64)
+            cols[f"r{i}"] = pa.array(np.bincount(
+                codes, weights=w, minlength=nu).astype(np.int64))
+        if C is not None:
+            ck = t["_ck"].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            mx = np.zeros(nu, dtype=np.int64)
+            np.maximum.at(mx, codes, ck)
+            cols["mx"] = pa.array(mx)
+        return pa.table(cols)
+
+    def gate_total(df: pd.DataFrame) -> pd.DataFrame:
+        gb = df.groupby("g", sort=False)
+        agg = gb.sum(numeric_only=True)
+        ok = agg["n"] >= int(min_turns)
+        for i in range(len(want_roles)):
+            ok &= agg[f"r{i}"] > 0
+        out = pd.DataFrame({"g": agg.index[ok]})
+        if C is not None:
+            out["multi"] = (gb["mx"].max()[ok] > 0).to_numpy()
+        return out
+
+    keepf = hash_exchange_apply(
+        proj.map_batches(gate_partials, batch_format="pyarrow"),
+        "g", gate_total, kernel_format="pandas").to_pandas()
+    keep = (np.sort(_hash64_of_arrow(
+                pa.array(keepf["g"].astype(str), type=pa.string())))
+            if len(keepf) else np.array([], dtype=np.uint64))
+    keep_ref = ray.put(keep)
+    if C is not None:
+        mf = keepf[keepf["multi"]] if len(keepf) else keepf
+        multi = (np.sort(_hash64_of_arrow(
+                     pa.array(mf["g"].astype(str), type=pa.string())))
+                 if len(mf) else np.array([], dtype=np.uint64))
+        multi_ref = ray.put(multi)
+
+    def _in_sorted(h: np.ndarray, k: np.ndarray) -> np.ndarray:
+        if not len(k):
+            return np.zeros(len(h), dtype=bool)
+        pos = np.searchsorted(k, h)
+        pos[pos == len(k)] = 0
+        return k[pos] == h
+
+    # ---- boilerplate bad-set from per-block distinct (h64, conv)
+    # pairs (count_kernel re-dedups across blocks, so ANY block
+    # structure is fine — no conv co-location needed here either)
+    def pairs_batch(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].combine_chunks()
+        m = _in_sorted(_hash64_of_arrow(conv), ray.get(keep_ref))
+        t = t.filter(pa.array(m))
+        if t.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64()),
+                             "g": pa.array([], pa.string())})
+        h = t["_h64"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        conv = t["conv_id"].combine_chunks()
+        codes = conv.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, codes))
+        hs, cs = h[order], codes[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (cs[1:] != cs[:-1])
+        return pa.table({"h": pa.array(hs[first]),
+                         "g": pc.cast(pc.take(conv,
+                                              pa.array(order[first])),
+                                      pa.string())})
+
+    def count_kernel(part: pd.DataFrame) -> pd.DataFrame:
+        vc = part.drop_duplicates()["h"].value_counts()
+        bad = vc[vc >= boilerplate_min_convs].index \
+            .to_numpy(dtype=np.uint64)
+        return pd.DataFrame({"h": bad})
+
+    badf = hash_exchange_apply(
+        proj.map_batches(pairs_batch, batch_format="pyarrow"),
+        "h", count_kernel, kernel_format="pandas").to_pandas()
+    bad = np.sort(badf["h"].to_numpy(dtype=np.uint64)) if len(badf) \
+        else np.array([], dtype=np.uint64)
+    bad_ref = ray.put(bad)
+
+    # ---- stateless gate+boilerplate filter over the projection
+    def filter_rows(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"].combine_chunks()
+        m = _in_sorted(_hash64_of_arrow(conv), ray.get(keep_ref))
+        h = t["_h64"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        m &= ~_in_sorted(h, ray.get(bad_ref))
+        t = t.filter(pa.array(m))
+        cols = {
+            "conv_id": t["conv_id"].combine_chunks(),
+            "turn_idx": t["turn_idx"].combine_chunks(),
+            "role": t["role"].combine_chunks(),
+            "text": pc.cast(t["_h64"].combine_chunks(),
+                            pa.large_string()),
+        }
+        if C is not None:
+            cols["_ck"] = t["_ck"].combine_chunks()
+        return pa.table(cols)
+
+    filtered = proj.map_batches(filter_rows, batch_format="pyarrow")
+
+    ref_schema = pa.schema([pa.field("conv_id", pa.string()),
+                            pa.field("turn_idx", pa.int64())])
+
+    def to_refs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": pc.cast(t["conv_id"].combine_chunks(),
+                               pa.string()),
+            "turn_idx": pc.cast(t["turn_idx"].combine_chunks(),
+                                pa.int64()),
+        }, schema=ref_schema)
+
+    if C is None:
+        coll = collapse_repeats(filtered, partitions=partitions)
+        return coll.map_batches(to_refs, batch_format="pyarrow")
+
+    # ---- chunk-salted collapse-to-refs with a MISSING-chunk-tolerant
+    # boundary protocol: only convs the gate saw spanning >1 chunk
+    # (the multi-set) emit records; each surviving (conv, chunk) group
+    # of such a conv sends its first/last run (or one `whole` record
+    # when the group is a single run), and the per-conv merge folds
+    # matching (role, h) runs across whatever chunks survive.
+    rec_schema = pa.schema([
+        pa.field("conv_id", pa.string()),
+        pa.field("_ck", pa.int64()),
+        pa.field("_kind", pa.int8()),          # 0 whole, 1 lead, 2 trail
+        pa.field("turn_idx", pa.int64()),
+        pa.field("role", pa.large_string()),
+        pa.field("h", pa.large_string()),
+    ])
+
+    def kernel(t: pa.Table):
+        n = t.num_rows
+        if n == 0:
+            return ref_schema.empty_table(), None
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
+        dct = conv.dictionary_encode()
+        codes = dct.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        turn = pc.cast(t["turn_idx"].combine_chunks(), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, codes))
+        codes_s, turn_s = codes[order], turn[order]
+        ck_s = t["_ck"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        o_arr = pa.array(order)
+        role_s = pc.take(t["role"].combine_chunks(), o_arr)
+        text_s = pc.take(t["text"].combine_chunks(), o_arr)
+        role_np = role_s.to_numpy(zero_copy_only=False)
+        text_np = text_s.to_numpy(zero_copy_only=False)
+
+        grp = np.ones(n, dtype=bool)
+        grp[1:] = (codes_s[1:] != codes_s[:-1]) | (ck_s[1:] != ck_s[:-1])
+        new_run = grp.copy()
+        new_run[1:] |= ((role_np[1:] != role_np[:-1])
+                        | (text_np[1:] != text_np[:-1]))
+        starts = np.flatnonzero(new_run)
+        n_runs = len(starts)
+        g_starts = np.flatnonzero(grp)
+        fs = np.searchsorted(starts, g_starts)      # first run of group
+        ls = np.append(fs[1:], n_runs) - 1          # last run of group
+
+        # which groups belong to multi-chunk (hot) convs
+        dict_multi = _in_sorted(
+            _hash64_of_arrow(dct.dictionary), ray.get(multi_ref))
+        g_multi = dict_multi[codes_s[g_starts]]
+
+        excl = np.zeros(n_runs, dtype=bool)
+        mi = np.flatnonzero(g_multi)
+        excl[fs[mi]] = True
+        excl[ls[mi]] = True
+        loc = np.flatnonzero(~excl)
+        interior = pa.table({
+            "conv_id": pc.take(conv, pa.array(order[starts[loc]])),
+            "turn_idx": pa.array(turn_s[starts[loc]]),
+        }, schema=ref_schema)
+
+        if not len(mi):
+            return interior, None
+        g_whole = fs[mi] == ls[mi]
+        rec_ridx, rec_kind, rec_gi = [], [], []
+        for sel, kind in ((np.flatnonzero(g_whole), 0),
+                          (np.flatnonzero(~g_whole), 1),
+                          (np.flatnonzero(~g_whole), 2)):
+            if not len(sel):
+                continue
+            gi = mi[sel]
+            rec_ridx.append((fs if kind in (0, 1) else ls)[gi])
+            rec_kind.append(np.full(len(gi), kind, dtype=np.int8))
+            rec_gi.append(gi)
+        ridx = np.concatenate(rec_ridx)
+        gidx = np.concatenate(rec_gi)
+        side = pa.table({
+            "conv_id": pc.take(conv, pa.array(order[starts[ridx]])),
+            "_ck": pa.array(ck_s[g_starts[gidx]]),
+            "_kind": pa.array(np.concatenate(rec_kind)),
+            "turn_idx": pa.array(turn_s[starts[ridx]]),
+            "role": pc.cast(pc.take(role_s, pa.array(starts[ridx])),
+                            pa.large_string()),
+            "h": pc.cast(pc.take(text_s, pa.array(starts[ridx])),
+                         pa.large_string()),
+        }, schema=rec_schema)
+        return interior, side
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out_conv, out_turn = [], []
+        for cv, g in df.groupby("conv_id", sort=False):
+            g = g.sort_values(["_ck", "_kind"])
+            open_run = None                    # (role, h, start_turn)
+            for kind, role, h, ti in zip(g["_kind"], g["role"],
+                                         g["h"], g["turn_idx"]):
+                if kind in (0, 1):             # first record of chunk
+                    if (open_run is not None
+                            and open_run[0] == role
+                            and open_run[1] == h):
+                        if kind == 1:          # lead closes in-chunk
+                            out_conv.append(cv)
+                            out_turn.append(open_run[2])
+                            open_run = None
+                        # whole: run stays open, start unchanged
+                    else:
+                        if open_run is not None:
+                            out_conv.append(cv)
+                            out_turn.append(open_run[2])
+                            open_run = None
+                        if kind == 0:
+                            open_run = (role, h, ti)
+                        else:                  # lead run closes in-chunk
+                            out_conv.append(cv)
+                            out_turn.append(ti)
+                else:                          # trail opens a run
+                    open_run = (role, h, ti)
+            if open_run is not None:
+                out_conv.append(cv)
+                out_turn.append(open_run[2])
+        return pa.table({
+            "conv_id": pa.array(out_conv, type=pa.string()),
+            "turn_idx": pa.array(np.asarray(out_turn, dtype=np.int64)),
+        }, schema=ref_schema)
+
+    interior, records = hash_exchange_apply(
+        filtered, "conv_id", kernel, partitions=partitions,
+        salt_col="_ck", side_schema=rec_schema)
+    if records.count() == 0:
+        return interior
+    merged = hash_exchange_apply(records, "conv_id", merge, partitions=8)
+    return interior.union(merged)
+
+
+
+def curate_render_from_refs(ds, refs, partitions: int = 64):
+    """Consumer-side renderer for ``curate_transcript_refs``: one
+    co-partition of raw turns and kept-refs by conv_id, then each
+    partition filters its turns to the kept (conv_id, turn_idx) set
+    and renders "role: text" lines in turn order → Dataset[conv_id,
+    rendered, n_turns], byte-equal to ``curate_transcripts``. The
+    only text movement in the whole refs-curation is this render
+    exchange — and a fused consumer (tokenizer, packer) replaces it
+    with in-place consumption."""
+    def tag_turns(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "conv_id": b.column("conv_id").cast(pa.string()),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "role": b.column("role").cast(pa.large_string()),
+            "text": b.column("text").cast(pa.large_string()),
+            "_side": pa.array(["t"] * n),
+        })
+
+    def tag_refs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "conv_id": b.column("conv_id").cast(pa.string()),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "role": pa.nulls(n, type=pa.large_string()),
+            "text": pa.nulls(n, type=pa.large_string()),
+            "_side": pa.array(["r"] * n),
+        })
+
+    both = (ds.map_batches(tag_turns, batch_format="pyarrow")
+            .union(refs.map_batches(tag_refs, batch_format="pyarrow")))
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "conv_id": pd.Series([], dtype="object"),
+            "rendered": pd.Series([], dtype="object"),
+            "n_turns": pd.Series([], dtype="int64")})
+        turns = df[df["_side"] == "t"]
+        rf = df[df["_side"] == "r"][["conv_id", "turn_idx"]]
+        sub = turns.merge(rf, on=["conv_id", "turn_idx"], how="inner")
+        if not len(sub):
+            return empty
+        sub = _sorted_conv(sub)
+        pieces = (sub["role"].astype(str) + ": "
+                  + sub["text"].astype(str)).to_numpy(dtype=object)
+        conv = sub["conv_id"].to_numpy(dtype=object)
+        starts = np.flatnonzero(np.r_[True, conv[1:] != conv[:-1]])
+        ends = np.r_[starts[1:], len(conv)]
+        return pd.DataFrame({
+            "conv_id": conv[starts],
+            "rendered": ["\n".join(pieces[s:e])
+                         for s, e in zip(starts, ends)],
+            "n_turns": (ends - starts).astype("int64")})
+
+    return coarse_partition_apply(both, "conv_id", render,
+                                  partitions=partitions)

@@ -28,6 +28,36 @@ from ..tags import Router, derive_tag
 
 INTERNAL_COLS = (REENTER_COL, HOP_COL)
 
+# auto batch sizing: rows per batch chosen so one batch is ~this many
+# bytes (r4 lesson: wide_record's ~16 KB rows coalesced into one 27 s
+# task at a fixed 16384-row default; conversely tiny rows want big
+# batches). 4 MiB × concurrency fits comfortably in a worker heap even
+# with decoded-dict blow-up.
+_DEFAULT_BATCH_ROWS = 16384
+_TARGET_BATCH_BYTES = 4 << 20
+
+
+def _auto_batch_size(ds) -> int:
+    """Rows per batch sized by BYTES from the input's free metadata
+    (``_meta_count``/``size_bytes`` on read- or from_arrow-backed
+    plans; parquet sizes are file bytes, an underestimate of the
+    in-memory table, which errs toward smaller batches — safe).
+    Falls back to the row default when the plan exposes no metadata;
+    NEVER triggers execution (size_bytes is only consulted after
+    meta_count proves the plan is metadata-backed)."""
+    try:
+        nrows = ds._meta_count()
+        if not nrows:
+            return _DEFAULT_BATCH_ROWS
+        nbytes = ds.size_bytes()
+        if not nbytes:
+            return _DEFAULT_BATCH_ROWS
+        avg = max(1, int(nbytes) // int(nrows))
+        return int(min(max(_TARGET_BATCH_BYTES // avg, 64),
+                       _DEFAULT_BATCH_ROWS))
+    except Exception:
+        return _DEFAULT_BATCH_ROWS
+
 
 class _ChainFn:
     """One fused map_batches callable applying an ordered stage list.
@@ -102,7 +132,7 @@ class Pipeline:
                  sinks: list[tuple] | None = None,
                  tag_prefix: str = "transcript",
                  max_hops: int = 4,
-                 batch_size: int | None = 16384,
+                 batch_size: int | None | str = "auto",
                  concurrency: int | None = None,
                  collect_metrics: bool = False):
         self.stage_specs = stages or []
@@ -134,14 +164,15 @@ class Pipeline:
             segs.append(("narrow", cur))
         return segs
 
-    def _apply_chain(self, ds, reentrant_hops: int = 0):
+    def _apply_chain(self, ds, reentrant_hops: int = 0,
+                     batch_size: int | None = _DEFAULT_BATCH_ROWS):
         prefix = self.tag_prefix
 
         def tag_fn(b: pa.Table) -> pa.Table:
             return _tag_batch(b, prefix)
 
         ds = ds.map_batches(tag_fn, batch_format="pyarrow",
-                            batch_size=self.batch_size)
+                            batch_size=batch_size)
         for kind, seg in self._segments():
             if kind == "wide":
                 ds = seg[0].apply(ds)
@@ -154,11 +185,11 @@ class Pipeline:
                                         fn_constructor_kwargs=ctor,
                                         concurrency=self.concurrency,
                                         batch_format="pyarrow",
-                                        batch_size=self.batch_size)
+                                        batch_size=batch_size)
                 else:
                     ds = ds.map_batches(_ChainFn(**ctor),
                                         batch_format="pyarrow",
-                                        batch_size=self.batch_size)
+                                        batch_size=batch_size)
         return ds
 
     def _has_rewrite_tag(self) -> bool:
@@ -170,11 +201,16 @@ class Pipeline:
 
     def run(self, ds) -> "Routed":
         """Apply chain (+ bounded emitter fixed point) and routing."""
+        # "auto": size batches by BYTES from the input's free metadata
+        # (explicit int/None callers keep full control)
+        bs = (_auto_batch_size(ds) if self.batch_size == "auto"
+              else self.batch_size)
         if self._has_rewrite_tag() and not self._has_wide():
             # single narrow segment → batch-local re-entry, one streaming pass
-            out = self._apply_chain(ds, reentrant_hops=self.max_hops)
+            out = self._apply_chain(ds, reentrant_hops=self.max_hops,
+                                    batch_size=bs)
         else:
-            out = self._apply_chain(ds)
+            out = self._apply_chain(ds, batch_size=bs)
         if self._has_rewrite_tag() and self._has_wide():
             # bounded re-entry: re-entrant rows are few; materialize the
             # small pending side each hop, never the main stream
@@ -184,7 +220,7 @@ class Pipeline:
                 pending = pending.materialize()
                 if pending.count() == 0:
                     break
-                hop_out = self._apply_chain(pending)
+                hop_out = self._apply_chain(pending, batch_size=bs)
                 done = done.union(_strip_reenter_split(hop_out, keep="done"))
                 pending = _strip_reenter_split(hop_out, keep="pending")
             out = done
@@ -200,7 +236,7 @@ class Pipeline:
             return b.drop_columns(drop) if drop else b
 
         out = out.map_batches(route_fn, batch_format="pyarrow",
-                              batch_size=self.batch_size)
+                              batch_size=bs)
         return Routed(out, router)
 
 

@@ -239,6 +239,35 @@ def _row_map(b: pa.Table, i: int, cols: dict) -> dict:
     return m
 
 
+def _mp_print(o) -> str:
+    """msgpack-c's ``msgpack_object_print`` rendering
+    (reference lib/msgpack-c/src/objectc.c msgpack_object_print_buffer):
+    maps as ``{"k"=>v, ...}``, strings quoted UNescaped (the C prints
+    ``%.*s`` raw), floats via printf ``%f`` (6 decimals), nil / true /
+    false literals. Used by out_slack's payload composer
+    (plugins/out_slack/slack.c:186)."""
+    if o is None:
+        return "nil"
+    if o is True:
+        return "true"
+    if o is False:
+        return "false"
+    if isinstance(o, float):
+        return f"{o:f}"
+    if isinstance(o, int):
+        return str(o)
+    if isinstance(o, str):
+        return f'"{o}"'
+    if isinstance(o, (bytes, bytearray)):
+        return '"' + bytes(o).decode("utf-8", "replace") + '"'
+    if isinstance(o, (list, tuple)):
+        return "[" + ", ".join(_mp_print(x) for x in o) + "]"
+    if isinstance(o, dict):
+        return "{" + ", ".join(f"{_mp_print(k)}=>{_mp_print(v)}"
+                               for k, v in o.items()) + "}"
+    return str(o)
+
+
 def _fmt_date(t, date_format: str):
     """out_stdout json_date_format variants (stdout.c:54-79,
     flb_pack date renderers): default = str, double = epoch seconds
@@ -560,6 +589,186 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
             else:
                 stamp = (t.timestamp() if hasattr(t, "timestamp") else 0.0)
             out.append(_dumps({ts_key: stamp, **m}))
+    elif fmt == "slack":
+        # out_slack: the WHOLE flush becomes one JSON {"text": "..."}
+        # where each record renders as '["timestamp": <sec>.<ns09>, '
+        # + msgpack_object_print(map) + ']\n'
+        # (plugins/out_slack/slack.c:181-197 composes the text,
+        # :205-217 wraps it in a 1-key map re-rendered as JSON)
+        lines = []
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            v = getattr(t, "value", None)          # pandas ns epoch
+            sec, nsec = ((v // 10**9, v % 10**9)
+                         if v is not None else (0, 0))
+            lines.append(f'["timestamp": {sec}.{nsec:09d}, '
+                         f'{_mp_print(m)}]\n')
+        if lines:
+            out.append(_dumps({"text": "".join(lines)}))
+    elif fmt == "td":
+        # out_td: msgpack stream of record maps with "time"
+        # (int seconds) injected first (plugins/out_td/td.c:112-127)
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            epoch = int(t.timestamp()) if hasattr(t, "timestamp") else 0
+            out.append(msgpack_pack({"time": epoch, **m}))
+    elif fmt == "bigquery":
+        # out_bigquery tableDataInsertAll body: {"kind": ..., "rows":
+        # [{"json": record}, ...]} (plugins/out_bigquery/
+        # bigquery.c:357-394)
+        rows = [{"json": _row_map(b, i, cols)} for i in range(n)]
+        if rows:
+            out.append(_dumps({
+                "kind": "bigquery#tableDataInsertAllRequest",
+                "rows": rows}))
+    elif fmt == "pgsql":
+        # out_pgsql: ONE INSERT per flush — records rendered as a JSON
+        # array with the timestamp under timestamp_key (double epoch),
+        # inserted through json_array_elements (plugins/out_pgsql/
+        # pgsql.c:268-330; FLB_PGSQL_INSERT pgsql.h:39; timestamp_key
+        # default "date" pgsql.h:33)
+        po = fmt_opts or {}
+        table = po.get("table", "fluentbit")
+        ts_key = po.get("timestamp_key", "date")
+        tags = cols.get("tag", [None] * n)
+        recs = []
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            epoch = (t.timestamp() if hasattr(t, "timestamp") else 0.0)
+            recs.append({ts_key: epoch, **m})
+        if recs:
+            tag_sql = "'" + str(tags[0] or "").replace("'", "''") + "'"
+            js = _dumps(recs).replace("'", "''")
+            out.append(
+                f"INSERT INTO {table} SELECT {tag_sql}, "
+                f"to_timestamp(CAST(value->>'{ts_key}' as FLOAT)), "
+                f"* FROM json_array_elements('{js}');")
+    elif fmt == "logdna":
+        # out_logdna: {"lines": [...]}; each line promotes level/
+        # severity → level, meta, file, app (values copied — the full
+        # record still renders under "line"), then integer timestamp
+        # and "line" = the record as a JSON STRING
+        # (plugins/out_logdna/logdna.c:54-129 primary keys,
+        # :132-207 payload composer)
+        lo = fmt_opts or {}
+        lines = []
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            entry: dict = {}
+            for k, v in m.items():
+                kl = str(k).lower()
+                if kl in ("level", "severity") and "level" not in entry:
+                    entry["level"] = v
+                elif kl == "meta" and "meta" not in entry:
+                    entry["meta"] = v
+                elif kl == "file" and "file" not in entry:
+                    entry["file"] = v
+                elif kl == "app" and "app" not in entry:
+                    entry["app"] = v
+            # config-level file/app fill in when the record lacks them
+            # (logdna.c:110-128)
+            if "file" not in entry and lo.get("file"):
+                entry["file"] = lo["file"]
+            if "app" not in entry and lo.get("app"):
+                entry["app"] = lo["app"]
+            t = ts[i]
+            entry["timestamp"] = (int(t.timestamp())
+                                  if hasattr(t, "timestamp") else 0)
+            entry["line"] = _dumps(m)
+            lines.append(entry)
+        if lines:
+            out.append(_dumps({"lines": lines}))
+    elif fmt == "nrlogs":
+        # out_nrlogs (New Relic MELT): [{"common": {...plugin...},
+        # "logs": [{"timestamp": ms, "message": <log|message>,
+        # "attributes": {rest}}]}] — 'log' preferred over 'message',
+        # only the CHOSEN key leaves attributes
+        # (plugins/out_nrlogs/newrelic.c:56-135 package_record,
+        # :155-230 payload envelope)
+        logs = []
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            v = getattr(t, "value", None)
+            entry: dict = {"timestamp": (v // 10**6
+                                         if v is not None else 0)}
+            # a null column value maps to "key absent" in the
+            # reference's record map (nulls only exist column-side)
+            chosen = ("log" if m.get("log") is not None
+                      else "message" if m.get("message") is not None
+                      else None)
+            if chosen is not None:
+                entry["message"] = m[chosen]
+            entry["attributes"] = {k: v2 for k, v2 in m.items()
+                                   if k != chosen}
+            logs.append(entry)
+        if logs:
+            out.append(_dumps([{
+                "common": {"attributes": {"plugin": {
+                    "type": "Fluent Bit", "version": "1.7.9"}}},
+                "logs": logs}]))
+    elif fmt in ("kinesis_streams", "kinesis_firehose"):
+        # PutRecords / PutRecordBatch bodies: each record = its JSON
+        # (optional time_key appended) + '\n', base64 inside "Data";
+        # streams adds "PartitionKey" (plugins/out_kinesis_streams/
+        # kinesis_api.c:76-95 header, :310-330 newline, :101-135
+        # partition key — reference keys are uuid+clock random; HERE
+        # a deterministic djb2(tag)%7919 key so outputs reproduce;
+        # firehose_api.c:73-127)
+        import base64
+        ko = fmt_opts or {}
+        name = ko.get("stream", "stream")
+        tags = cols.get("tag", [None] * n)
+        recs = []
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            if ko.get("time_key"):
+                t = ts[i]
+                stamp = (t.strftime(ko.get("time_key_format",
+                                           "%Y-%m-%dT%H:%M:%S"))
+                         if hasattr(t, "strftime") else "")
+                m = {**m, ko["time_key"]: stamp}
+            data = base64.b64encode((_dumps(m) + "\n").encode()).decode()
+            if fmt == "kinesis_streams":
+                h = 5381
+                for ch in str(tags[i] or ""):
+                    h = ((h << 5) + h + ord(ch)) & 0xFFFFFFFFFFFFFFFF
+                recs.append({"Data": data,
+                             "PartitionKey": str(h % 7919)})
+            else:
+                recs.append({"Data": data})
+        if recs:
+            key = ("StreamName" if fmt == "kinesis_streams"
+                   else "DeliveryStreamName")
+            out.append(_dumps({key: name, "Records": recs}))
+    elif fmt == "azure":
+        # out_azure Log Analytics body: ONE JSON array, each record
+        # with time_key (double epoch) FIRST (plugins/out_azure/
+        # azure.c:80-115; default "@timestamp" azure.h:29)
+        ao = fmt_opts or {}
+        tk = ao.get("time_key", "@timestamp")
+        recs = []
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            epoch = (t.timestamp() if hasattr(t, "timestamp") else 0.0)
+            recs.append({tk: epoch, **m})
+        if recs:
+            out.append(_dumps(recs))
+    elif fmt == "azure_blob":
+        # out_azure_blob: json_lines with ISO8601 date under date_key
+        # (plugins/out_azure_blob/azure_blob.c:42-60; default
+        # "@timestamp" :562). out_websocket's payload is these same
+        # json/json_lines/json_stream/gelf/msgpack renderings
+        # (websocket.c:239-243) — no separate formatter needed.
+        ao = fmt_opts or {}
+        dk = ao.get("date_key", "@timestamp")
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            out.append(_dumps({dk: _fmt_date(ts[i], "iso8601"), **m}))
     elif fmt == "msgpack_debug":
         # out_stdout default (msgpack) format: human-readable
         # "[idx] tag: [epoch, {map json}]" per record, the

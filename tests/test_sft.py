@@ -334,3 +334,90 @@ def test_curate_chunked_matches_whole_key():
         pd.testing.assert_frame_equal(
             got.astype({"n_turns": "int64"}),
             base[got.columns].astype({"n_turns": "int64"}))
+
+
+def test_collapse_repeat_refs_lossless():
+    """collapse_repeat_refs (hash-only exchange) + render must equal
+    collapse_repeats row-for-row, whole-key AND chunk-split, on
+    repeat-heavy data with null texts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_bit_ray.dataops.sft import (collapse_render_from_refs,
+                                            collapse_repeat_refs,
+                                            collapse_repeats)
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for c in range(12):
+        n = int(rng.integers(2, 50))
+        t = 0
+        while t < n:
+            run = int(rng.integers(1, 10))
+            role = ["user", "assistant"][int(rng.integers(0, 2))]
+            txt = (f"m{int(rng.integers(0, 3))}"
+                   if rng.random() > 0.1 else None)
+            for _ in range(min(run, n - t)):
+                rows.append((f"c{c:02d}", t, role, txt))
+                t += 1
+    df = pd.DataFrame(rows,
+                      columns=["conv_id", "turn_idx", "role", "text"]) \
+        .sample(frac=1.0, random_state=3).reset_index(drop=True)
+    ds = rd.from_pandas(df)
+
+    key = ["conv_id", "turn_idx"]
+    cast = {"turn_idx": "int64", "repeats": "int64", "text": str}
+    base = collapse_repeats(ds).to_pandas() \
+        .sort_values(key).reset_index(drop=True).astype(cast)
+    for C in (None, 8):
+        refs = collapse_repeat_refs(ds, chunk_rows=C)
+        # refs alone: kept rows + run lengths, no text column
+        rdf = refs.to_pandas().sort_values(key).reset_index(drop=True)
+        assert list(rdf.columns) == ["conv_id", "turn_idx", "role",
+                                     "repeats"]
+        pd.testing.assert_frame_equal(
+            rdf.astype({"turn_idx": "int64", "repeats": "int64"}),
+            base[rdf.columns])
+        # rendered: text re-attached at the consumer
+        got = collapse_render_from_refs(ds, refs).to_pandas() \
+            .sort_values(key).reset_index(drop=True).astype(cast)
+        pd.testing.assert_frame_equal(got[base.columns.tolist()], base)
+
+
+def test_curate_refs_lossless():
+    """curate_transcript_refs (text never transits an exchange) +
+    render must equal curate_transcripts, whole-key AND chunk-split,
+    incl. boilerplate-drop adjacency effects."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_bit_ray.dataops.sft import (curate_render_from_refs,
+                                            curate_transcript_refs,
+                                            curate_transcripts)
+
+    rng = np.random.default_rng(53)
+    rows = []
+    for c in range(16):
+        n = int(rng.integers(1, 40))
+        for t in range(n):
+            r = ["user", "assistant", "tool"][int(rng.integers(0, 3))]
+            txt = (f"boiler{int(rng.integers(0, 3))}"
+                   if rng.random() < 0.2
+                   else f"m{c}_{int(rng.integers(0, 6))}")
+            rows.append((f"c{c:02d}", t, r, txt))
+    df = pd.DataFrame(rows,
+                      columns=["conv_id", "turn_idx", "role", "text"]) \
+        .sample(frac=1.0, random_state=5).reset_index(drop=True)
+    ds = rd.from_pandas(df)
+
+    base = curate_transcripts(ds, min_turns=4).to_pandas() \
+        .sort_values("conv_id").reset_index(drop=True) \
+        .astype({"n_turns": "int64"})
+    for C in (None, 8):
+        refs = curate_transcript_refs(ds, min_turns=4, chunk_rows=C)
+        got = curate_render_from_refs(ds, refs).to_pandas() \
+            .sort_values("conv_id").reset_index(drop=True) \
+            .astype({"n_turns": "int64"})
+        pd.testing.assert_frame_equal(got[base.columns.tolist()], base)

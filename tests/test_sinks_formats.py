@@ -362,3 +362,132 @@ def test_kafka_format_timestamp_injection():
         b, fmt="kafka", fmt_opts={"timestamp_format": "iso8601",
                                   "timestamp_key": "t"})[0])
     assert rec["t"] == "2015-11-24T22:15:40.500000Z"
+
+
+def test_slack_format():
+    lines = format_batch(sample_batch(), fmt="slack")
+    assert len(lines) == 1                # whole flush = one payload
+    body = json.loads(lines[0])
+    assert set(body) == {"text"}
+    txt = body["text"]
+    # per-record: ["timestamp": sec.ns9, {"k"=>"v", ...}] + newline
+    assert txt.count("\n") == 2
+    first = txt.splitlines()[0]
+    assert first.startswith('["timestamp": 1448403340.000000000, {')
+    assert '"conv_id"=>"c1"' in first
+    assert '"level"=>"info"' in first
+    assert first.endswith("}]")
+
+
+def test_mp_print_rendering():
+    from fluent_bit_ray.sinks.formats import _mp_print
+    assert _mp_print({"a": 1, "b": [True, None, 1.5]}) \
+        == '{"a"=>1, "b"=>[true, nil, 1.500000]}'
+
+
+def test_td_format():
+    from fluent_bit_ray.sinks.formats import msgpack_unpack_stream
+    payloads = format_batch(sample_batch(), fmt="td")
+    assert len(payloads) == 2 and isinstance(payloads[0], bytes)
+    rec = msgpack_unpack_stream(payloads[0])[0]
+    assert list(rec)[0] == "time"         # time injected FIRST
+    assert rec["time"] == 1448403340
+    assert rec["conv_id"] == "c1" and rec["level"] == "info"
+
+
+def test_bigquery_format():
+    lines = format_batch(sample_batch(), fmt="bigquery")
+    assert len(lines) == 1
+    body = json.loads(lines[0])
+    assert body["kind"] == "bigquery#tableDataInsertAllRequest"
+    assert len(body["rows"]) == 2
+    assert body["rows"][0]["json"]["conv_id"] == "c1"
+
+
+def test_pgsql_format():
+    lines = format_batch(sample_batch(), fmt="pgsql",
+                         fmt_opts={"table": "logs"})
+    assert len(lines) == 1
+    q = lines[0]
+    assert q.startswith("INSERT INTO logs SELECT 'transcript.user', "
+                        "to_timestamp(CAST(value->>'date' as FLOAT)), "
+                        "* FROM json_array_elements('")
+    assert q.endswith("');")
+    payload = q.split("json_array_elements('")[1][:-3]
+    recs = json.loads(payload.replace("''", "'"))
+    assert recs[0]["date"] == 1448403340.0
+    assert recs[1]["conv_id"] == "c2"
+
+
+def test_logdna_format():
+    lines = format_batch(sample_batch(), fmt="logdna",
+                         fmt_opts={"app": "myapp"})
+    body = json.loads(lines[0])
+    ln = body["lines"][0]
+    assert ln["level"] == "info"          # promoted from fields
+    assert ln["app"] == "myapp"           # config fill-in
+    assert ln["timestamp"] == 1448403340
+    inner = json.loads(ln["line"])        # full record as JSON STRING
+    assert inner["conv_id"] == "c1" and inner["level"] == "info"
+
+
+def test_nrlogs_format():
+    import pyarrow as pa
+    b = pa.table({
+        "conv_id": pa.array(["c1", "c2"]),
+        "log": pa.array(["from-log", None]),
+        "message": pa.array(["from-msg", "only-msg"]),
+        "ts": pa.array([1448403340_000000000, 1448403341_500000000],
+                       type=pa.timestamp("ns")),
+    })
+    lines = format_batch(b, fmt="nrlogs")
+    body = json.loads(lines[0])
+    assert body[0]["common"]["attributes"]["plugin"]["type"] == "Fluent Bit"
+    logs = body[0]["logs"]
+    assert logs[0]["timestamp"] == 1448403340000
+    assert logs[0]["message"] == "from-log"      # log preferred
+    assert "log" not in logs[0]["attributes"]
+    assert logs[0]["attributes"]["message"] == "from-msg"  # stays
+    assert logs[1]["message"] == "only-msg"
+    assert "message" not in logs[1]["attributes"]
+
+
+def test_kinesis_formats():
+    import base64
+    lines = format_batch(sample_batch(), fmt="kinesis_streams",
+                         fmt_opts={"stream": "s1"})
+    body = json.loads(lines[0])
+    assert body["StreamName"] == "s1"
+    assert len(body["Records"]) == 2
+    rec = json.loads(base64.b64decode(
+        body["Records"][0]["Data"]).decode().rstrip("\n"))
+    assert rec["conv_id"] == "c1"
+    # deterministic per-tag partition key
+    k1 = body["Records"][0]["PartitionKey"]
+    again = json.loads(format_batch(sample_batch(), fmt="kinesis_streams",
+                                    fmt_opts={"stream": "s1"})[0])
+    assert again["Records"][0]["PartitionKey"] == k1
+
+    fh = json.loads(format_batch(
+        sample_batch(), fmt="kinesis_firehose",
+        fmt_opts={"stream": "d1", "time_key": "at"})[0])
+    assert fh["DeliveryStreamName"] == "d1"
+    rec = json.loads(base64.b64decode(
+        fh["Records"][0]["Data"]).decode().rstrip("\n"))
+    assert rec["at"].startswith("2015-11-24T")
+    assert "PartitionKey" not in fh["Records"][0]
+
+
+def test_azure_formats():
+    lines = format_batch(sample_batch(), fmt="azure")
+    recs = json.loads(lines[0])
+    assert len(recs) == 2
+    assert list(recs[0])[0] == "@timestamp"       # time key FIRST
+    assert recs[0]["@timestamp"] == 1448403340.0
+
+    lines = format_batch(sample_batch(), fmt="azure_blob")
+    assert len(lines) == 2                        # json_lines
+    r0 = json.loads(lines[0])
+    assert r0["@timestamp"].startswith("2015-11-24T22:15:40.")
+    assert r0["@timestamp"].endswith("Z")
+    assert r0["conv_id"] == "c1"
