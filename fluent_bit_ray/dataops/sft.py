@@ -1124,13 +1124,16 @@ def curate_transcript_refs(ds, min_turns: int = 6,
         h = _hash64_of_arrow(pc.fill_null(
             pc.cast(t["text"], pa.large_string()), "None"))
         turn = pc.cast(t["turn_idx"].combine_chunks(), pa.int64())
+        conv = pc.cast(t["conv_id"].combine_chunks(), pa.string())
         cols = {
-            "conv_id": pc.cast(t["conv_id"].combine_chunks(),
-                               pa.string()),
+            "conv_id": conv,
             "turn_idx": turn,
             "role": pc.cast(t["role"].combine_chunks(),
                             pa.large_string()),
             "_h64": pa.array(h),
+            # conv hash computed ONCE here; the pairs pass, the filter
+            # pass and the collapse kernel all test membership on it
+            "_ch": pa.array(_hash64_of_arrow(conv)),
         }
         if C is not None:
             cols["_ck"] = pc.divide(turn, pa.scalar(C, pa.int64()))
@@ -1200,9 +1203,9 @@ def curate_transcript_refs(ds, min_turns: int = 6,
     # pairs (count_kernel re-dedups across blocks, so ANY block
     # structure is fine — no conv co-location needed here either)
     def pairs_batch(t: pa.Table) -> pa.Table:
-        conv = t["conv_id"].combine_chunks()
-        m = _in_sorted(_hash64_of_arrow(conv), ray.get(keep_ref))
-        t = t.filter(pa.array(m))
+        ch = t["_ch"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        t = t.filter(pa.array(_in_sorted(ch, ray.get(keep_ref))))
         if t.num_rows == 0:
             return pa.table({"h": pa.array([], pa.uint64()),
                              "g": pa.array([], pa.string())})
@@ -1235,8 +1238,9 @@ def curate_transcript_refs(ds, min_turns: int = 6,
 
     # ---- stateless gate+boilerplate filter over the projection
     def filter_rows(t: pa.Table) -> pa.Table:
-        conv = t["conv_id"].combine_chunks()
-        m = _in_sorted(_hash64_of_arrow(conv), ray.get(keep_ref))
+        ch = t["_ch"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = _in_sorted(ch, ray.get(keep_ref))
         h = t["_h64"].combine_chunks() \
             .to_numpy(zero_copy_only=False).astype(np.uint64)
         m &= ~_in_sorted(h, ray.get(bad_ref))
