@@ -1365,3 +1365,73 @@ def test_remove_dup_ngram_spans():
     assert out.loc[1, "n_removed"] == 8
     assert out.loc[2, "clean_text"] == texts[2]
     assert out.loc[2, "n_removed"] == 0 and out.loc[2, "n_spans"] == 0
+
+
+def build_mjpeg_mp4():
+    """Hand-built ISO-BMFF file whose video samples are REAL baseline
+    JPEGs (codecs.encode_jpeg) — one chunk, 3 frames, keyframe 1."""
+    import struct
+    from fluent_bit_ray.dataops.codecs import encode_jpeg
+    rs = np.random.RandomState(11)
+    imgs = [(rs.randint(0, 256, (16, 16)).astype(np.uint8))
+            for _ in range(3)]
+    samples = [encode_jpeg(im, quality=90) for im in imgs]
+    sizes = [len(s) for s in samples]
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    mdat_body = b"".join(samples)
+    stsd = _full(b"stsd", struct.pack(">I", 1)
+                 + _box(b"jpeg", b"\x00" * 78))
+    stts = _full(b"stts", struct.pack(">III", 1, 3, 40))
+    stsc = _full(b"stsc", struct.pack(">I", 1)
+                 + struct.pack(">III", 1, 3, 1))
+    stsz = _full(b"stsz", struct.pack(">II", 0, 3)
+                 + b"".join(struct.pack(">I", s) for s in sizes))
+    stss = _full(b"stss", struct.pack(">II", 1, 1))
+    placeholder = _full(b"stco", struct.pack(">II", 1, 0))
+
+    def assemble(stco):
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stss + stco)
+        minf = _box(b"minf", stbl)
+        mdhd = _full(b"mdhd", struct.pack(">IIII", 0, 0, 1000, 120))
+        hdlr = _full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _full(b"tkhd", struct.pack(">III", 0, 0, 1)
+                     + b"\x00" * 68)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", _full(b"mvhd", b"\x00" * 96) + trak)
+
+    moov_len = len(assemble(placeholder))
+    base = len(ftyp) + moov_len + 8
+    stco = _full(b"stco", struct.pack(">II", 1, base))
+    data = ftyp + assemble(stco) + _box(b"mdat", mdat_body)
+    return data, imgs, samples
+
+
+def test_video_mjpeg_frame_features_e2e():
+    """REAL end-to-end video decode: MP4 demux → frame sampling →
+    baseline-JPEG decode → grid features, pure numpy throughout.
+    Features must equal decoding each planted JPEG directly."""
+    from fluent_bit_ray.dataops.codecs import decode_jpeg, resize_nearest
+    from fluent_bit_ray.dataops.multimodal import VideoFrameFeatureStage
+
+    data, imgs, samples = build_mjpeg_mp4()
+    t = pa.table({"img_id": pa.array([7], type=pa.int64()),
+                  "payload": pa.array([data], type=pa.binary())})
+    st = VideoFrameFeatureStage(every_k=1, feature_dim=16)
+    out = st(t).to_pandas().sort_values("frame_idx")
+    assert out["frame_idx"].tolist() == [0, 1, 2]
+    assert out["dts"].tolist() == [0, 40, 80]
+    for i, feats in zip(out["frame_idx"], out["feature"]):
+        img = decode_jpeg(samples[i]).astype(np.float32)
+        grid = resize_nearest(img, 4, 4).reshape(-1) / 255.0
+        np.testing.assert_allclose(np.asarray(feats), grid, rtol=1e-6)
+    # keyframe-only sampling: one frame
+    sync = VideoFrameFeatureStage(every_k=1, sync_only=True,
+                                  feature_dim=16)(t)
+    assert sync.num_rows == 1
+    # honest raise on non-JPEG access units
+    raw_avc, _ = build_test_mp4()
+    t2 = pa.table({"img_id": pa.array([1], type=pa.int64()),
+                   "payload": pa.array([raw_avc], type=pa.binary())})
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        st(t2)
