@@ -275,3 +275,27 @@ def test_airflow_composition_e2e():
     assert all(fields_loads(v)["goal_status"] == "failed"
                for v in failed["fields"])
     assert all("FAILED" in fields_loads(v)["seg"] for v in failed["fields"])
+
+
+def test_auto_batch_size_from_metadata():
+    """Pipeline's byte-driven batch sizing: wide rows get small
+    batches, tiny rows cap at the row default, metadata-less plans
+    fall back — and it must never trigger execution (a mapped plan
+    answers None instantly)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_bit_ray.pipelines.pipeline import (_DEFAULT_BATCH_ROWS,
+                                                   _auto_batch_size)
+
+    wide = rd.from_arrow(pa.table({
+        "a": list(range(512)),
+        "b": ["x" * 16384] * 512}))          # ~16 KB rows
+    got = _auto_batch_size(wide)
+    assert 64 <= got <= 1024                  # ~4 MiB / 16 KB ≈ 256
+
+    tiny = rd.from_arrow(pa.table({"a": list(range(1000))}))
+    assert _auto_batch_size(tiny) == _DEFAULT_BATCH_ROWS
+
+    mapped = tiny.map_batches(lambda b: b, batch_format="pyarrow")
+    assert _auto_batch_size(mapped) == _DEFAULT_BATCH_ROWS
