@@ -1259,6 +1259,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n_turns"] = out["n_turns"].astype("int64")
         return out.sort_values("conv_id").reset_index(drop=True)
 
+    def convs_curated_packed(sf_dir: str):
+        """Fused refs CONSUMER end-to-end: curation refs → in-partition
+        render-free token counting (token count of the "\\n"-join ==
+        sum of per-piece counts, so the rendered corpus never exists)
+        → greedy packing into ≤2048-token bins in conv_id order per
+        md5 shard (dataops/sft.py curate_pack_from_refs). The oracle
+        materializes the rendered corpus in SQL, counts its tokens and
+        replays the sharded packing recurrence — proving the
+        render-free path exact."""
+        from fluent_bit_ray.dataops.sft import (curate_pack_from_refs,
+                                                curate_transcript_refs)
+        ds = read_transcripts(sf_dir)
+        refs = curate_transcript_refs(ds)
+        out = curate_pack_from_refs(ds, refs, budget=2048).to_pandas()
+        out["n_tokens"] = out["n_tokens"].astype("int64")
+        out["shard"] = out["shard"].astype("int64")
+        out["bin_idx"] = out["bin_idx"].astype("int64")
+        return out.sort_values("conv_id").reset_index(drop=True)
+
     def emb_semantic_dup(sf_dir: str):
         """SemDeDup-style semantic near-dup pairs: integer-exact
         k-means buckets, same-cluster cosine scoring per coarse
@@ -1743,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapsed_repeats_refs": collapsed_repeats_refs,
         "convs_curated_refs": convs_curated_refs,
         "convs_curated_refs_chunked": convs_curated_refs_chunked,
+        "convs_curated_packed": convs_curated_packed,
         # --- driver-green in earlier rounds (fills the 50-slot gate) ---
         "config_grep_rows": config_grep_rows,
         "config_route_counts": config_route_counts,
@@ -3385,6 +3405,57 @@ def oracle_sql() -> dict[str, str]:
     sqls["collapsed_repeats_refs"] = sqls["collapsed_repeats"]
     sqls["convs_curated_refs"] = sqls["convs_curated"]
     sqls["convs_curated_refs_chunked"] = sqls["convs_curated"]
+    # fused refs consumer: the oracle MATERIALIZES the rendered corpus
+    # (which the engine never does), counts its tokens and replays the
+    # greedy-packing recurrence (docs_pack's recursive-CTE shape,
+    # single chain in conv_id order, budget 2048)
+    sqls["convs_curated_packed"] = rf"""
+        WITH RECURSIVE t AS ({t}),
+        g AS (SELECT conv_id FROM t GROUP BY conv_id
+              HAVING count(*) >= 6
+                 AND count(*) FILTER (role = 'assistant') > 0
+                 AND count(*) FILTER (role = 'user') > 0),
+        tg AS (SELECT * FROM t
+               WHERE conv_id IN (SELECT conv_id FROM g)),
+        bad AS (SELECT text FROM tg
+                GROUP BY text HAVING count(DISTINCT conv_id) >= 5),
+        tb AS (SELECT * FROM tg
+               WHERE text NOT IN (SELECT text FROM bad)),
+        runs AS (SELECT conv_id, turn_idx, role, text,
+                        row_number() OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx)
+                      - row_number() OVER (PARTITION BY conv_id, role,
+                                           text ORDER BY turn_idx)
+                        AS grp
+                 FROM tb),
+        coll AS (SELECT conv_id, min(turn_idx) AS turn_idx, role, text
+                 FROM runs GROUP BY conv_id, role, text, grp),
+        conv AS (SELECT conv_id,
+                        string_agg(role || ': ' || text, chr(10)
+                                   ORDER BY turn_idx) AS rendered
+                 FROM coll GROUP BY conv_id),
+        d AS (SELECT conv_id,
+                     len(regexp_extract_all(rendered, '\S+'))::BIGINT
+                       AS n,
+                     CAST({_h64_sql('md5(conv_id)')} % 16 AS BIGINT)
+                       AS shard,
+                     row_number() OVER (
+                       PARTITION BY {_h64_sql('md5(conv_id)')} % 16
+                       ORDER BY conv_id) AS rn
+              FROM conv),
+        r AS (SELECT conv_id, n, shard, rn,
+                     0::BIGINT AS bin_idx, n AS cum
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.conv_id, d.n, d.shard, d.rn,
+                     CASE WHEN r.cum + d.n <= 2048 THEN r.bin_idx
+                          ELSE r.bin_idx + 1 END,
+                     CASE WHEN r.cum + d.n <= 2048 THEN r.cum + d.n
+                          ELSE d.n END
+              FROM r JOIN d ON d.shard = r.shard AND d.rn = r.rn + 1)
+        SELECT conv_id, n AS n_tokens, shard, bin_idx
+        FROM r ORDER BY conv_id
+    """
     sqls["collapsed_repeats_chunked"] = sqls["collapsed_repeats"]
     sqls["turn_gaps_chunked"] = sqls["turn_gaps"]
     return sqls

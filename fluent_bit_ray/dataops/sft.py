@@ -1464,3 +1464,97 @@ def curate_render_from_refs(ds, refs, partitions: int = 64):
 
     return coarse_partition_apply(both, "conv_id", render,
                                   partitions=partitions)
+
+
+def curate_pack_from_refs(ds, refs, budget: int = 2048,
+                          partitions: int = 64, shards: int = 16):
+    """Fused refs CONSUMER — the end-to-end 100 TB shape the refs
+    curation exists for: raw turns and kept-refs co-partition by
+    conv_id; inside the partition each surviving conversation's token
+    count comes straight from its kept "role: text" pieces (the token
+    count of the "\\n"-join EQUALS the sum of per-piece counts, so the
+    rendered corpus never exists anywhere, not even inside the task);
+    the resulting one-row-per-conversation (conv_id, n_tokens) stream
+    greedy-packs into training bins of at most ``budget`` tokens in
+    conv_id order per md5-hash SHARD (pack_sequences' kernel contract:
+    an over-budget conversation gets its own bin; bins are numbered
+    per shard — packing is inherently serial in key order, and the
+    shard split bounds that serialization, mirrors pack_sequences'
+    ``shards`` and keeps the oracle's recursive replay shallow).
+
+    Returns Dataset[conv_id, n_tokens, shard, bin_idx]."""
+    def tag_turns(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "conv_id": b.column("conv_id").cast(pa.string()),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "role": b.column("role").cast(pa.large_string()),
+            "text": b.column("text").cast(pa.large_string()),
+            "_side": pa.array(["t"] * n),
+        })
+
+    def tag_refs(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "conv_id": b.column("conv_id").cast(pa.string()),
+            "turn_idx": b.column("turn_idx").cast(pa.int64()),
+            "role": pa.nulls(n, type=pa.large_string()),
+            "text": pa.nulls(n, type=pa.large_string()),
+            "_side": pa.array(["r"] * n),
+        })
+
+    both = (ds.map_batches(tag_turns, batch_format="pyarrow")
+            .union(refs.map_batches(tag_refs, batch_format="pyarrow")))
+
+    def count_kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "conv_id": pd.Series([], dtype="object"),
+            "n_tokens": pd.Series([], dtype="int64")})
+        turns = df[df["_side"] == "t"]
+        rf = df[df["_side"] == "r"][["conv_id", "turn_idx"]]
+        sub = turns.merge(rf, on=["conv_id", "turn_idx"], how="inner")
+        if not len(sub):
+            return empty
+        piece_tokens = (sub["role"].astype(str) + ": "
+                        + sub["text"].astype(str)) \
+            .str.count(r"\S+").to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"conv_id": sub["conv_id"].to_numpy(),
+                            "n_tokens": piece_tokens})
+        agg = out.groupby("conv_id", sort=False,
+                          as_index=False)["n_tokens"].sum()
+        agg["n_tokens"] = agg["n_tokens"].astype("int64")
+        return agg
+
+    counts = coarse_partition_apply(both, "conv_id", count_kernel,
+                                    partitions=partitions)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("conv_id", kind="mergesort") \
+            .reset_index(drop=True)
+        n = g["n_tokens"].to_numpy()
+        bins = np.zeros(len(g), dtype=np.int64)
+        b, cum = 0, 0
+        for i, ni in enumerate(n):
+            if i > 0 and cum + ni > budget:
+                b += 1
+                cum = 0
+            cum += ni
+            bins[i] = b
+        g["bin_idx"] = bins
+        return g[["conv_id", "n_tokens", "shard", "bin_idx"]]
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import _h64
+        df = df.copy()
+        # md5-derived shard — the construction DuckDB replays
+        # (_h64_sql), so the sharded packing stays oracle-exact
+        df["shard"] = np.fromiter(
+            (_h64(str(c)) % shards for c in df["conv_id"]),
+            dtype=np.int64, count=len(df))
+        return df
+
+    from ..shuffle import coarse_group_apply
+    packed = coarse_group_apply(
+        counts.map_batches(add_shard, batch_format="pandas"),
+        "shard", pack, partitions=min(shards, 16))
+    return packed

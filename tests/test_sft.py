@@ -421,3 +421,60 @@ def test_curate_refs_lossless():
             .sort_values("conv_id").reset_index(drop=True) \
             .astype({"n_turns": "int64"})
         pd.testing.assert_frame_equal(got[base.columns.tolist()], base)
+
+
+def test_curate_pack_from_refs():
+    """Fused refs consumer: per-conv token counts from kept pieces
+    (render-free) + sharded greedy packing must equal counting tokens
+    of the materialized curate_transcripts render."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_bit_ray.dataops.dedup import _h64
+    from fluent_bit_ray.dataops.sft import (curate_pack_from_refs,
+                                            curate_transcript_refs,
+                                            curate_transcripts)
+
+    rng = np.random.default_rng(61)
+    rows = []
+    for c in range(14):
+        n = int(rng.integers(1, 30))
+        for t in range(n):
+            r = ["user", "assistant"][int(rng.integers(0, 2))]
+            txt = (f"boiler{int(rng.integers(0, 2))}"
+                   if rng.random() < 0.2
+                   else f"w{c} " * int(rng.integers(1, 5)))
+            rows.append((f"c{c:02d}", t, r, txt.strip()))
+    df = pd.DataFrame(rows,
+                      columns=["conv_id", "turn_idx", "role", "text"])
+    ds = rd.from_pandas(df)
+
+    refs = curate_transcript_refs(ds, min_turns=4,
+                                  boilerplate_min_convs=4)
+    got = curate_pack_from_refs(ds, refs, budget=30, shards=4) \
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+
+    rend = curate_transcripts(ds, min_turns=4,
+                              boilerplate_min_convs=4).to_pandas()
+    rend["n_tokens"] = rend["rendered"].str.count(r"\S+")
+    rend["shard"] = [int(_h64(c) % 4) for c in rend["conv_id"]]
+    rend = rend.sort_values("conv_id").reset_index(drop=True)
+    # token counts match the materialized render exactly
+    pd.testing.assert_series_equal(
+        got.set_index("conv_id")["n_tokens"].astype("int64"),
+        rend.set_index("conv_id")["n_tokens"].astype("int64"))
+    pd.testing.assert_series_equal(
+        got.set_index("conv_id")["shard"].astype("int64"),
+        rend.set_index("conv_id")["shard"].astype("int64"))
+    # packing recurrence per shard: replay in plain python
+    for sh, g in got.groupby("shard"):
+        g = g.sort_values("conv_id")
+        b, cum, want = 0, 0, []
+        for i, ni in enumerate(g["n_tokens"]):
+            if i > 0 and cum + ni > 30:
+                b += 1
+                cum = 0
+            cum += ni
+            want.append(b)
+        assert g["bin_idx"].tolist() == want
