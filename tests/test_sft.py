@@ -478,3 +478,53 @@ def test_curate_pack_from_refs():
             cum += ni
             want.append(b)
         assert g["bin_idx"].tolist() == want
+
+
+def test_curate_refs_chunked_hypothesis():
+    """Property: the missing-chunk-tolerant refs protocol equals the
+    whole-key curation for ARBITRARY corpora — runs spanning chunk
+    boundaries, whole chunks emptied by the boilerplate drop, gates
+    removing hot convs — across random seeds and chunk sizes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_bit_ray.dataops.sft import (curate_render_from_refs,
+                                            curate_transcript_refs,
+                                            curate_transcripts)
+
+    @settings(max_examples=6, deadline=None)
+    @given(seed=st.integers(0, 10_000), chunk=st.sampled_from([3, 5, 16]))
+    def prop(seed, chunk):
+        rng = np.random.default_rng(seed)
+        rows = []
+        for c in range(int(rng.integers(6, 12))):
+            n = int(rng.integers(1, 25))
+            t = 0
+            while t < n:
+                run = int(rng.integers(1, 7))
+                r = ["user", "assistant", "tool"][int(rng.integers(0, 3))]
+                txt = (f"boiler{int(rng.integers(0, 2))}"
+                       if rng.random() < 0.3
+                       else f"m{c}_{int(rng.integers(0, 4))}")
+                for _ in range(min(run, n - t)):
+                    rows.append((f"c{c:02d}", t, r, txt))
+                    t += 1
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                         "role", "text"])
+        ds = rd.from_pandas(df)
+        base = curate_transcripts(ds, min_turns=3,
+                                  boilerplate_min_convs=3) \
+            .to_pandas().sort_values("conv_id").reset_index(drop=True)
+        refs = curate_transcript_refs(ds, min_turns=3,
+                                      boilerplate_min_convs=3,
+                                      chunk_rows=chunk)
+        got = curate_render_from_refs(ds, refs).to_pandas() \
+            .sort_values("conv_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[base.columns.tolist()].astype({"n_turns": "int64"}),
+            base.astype({"n_turns": "int64"}))
+
+    prop()
