@@ -41,9 +41,24 @@ from ..shuffle import hash_exchange_apply
 
 def _sort_perm(t: pa.Table, key: str, order: list[str]) -> np.ndarray:
     """Stable permutation sorting by (key, *order) — np.lexsort takes
-    its LAST key as primary, so feed (order_reversed..., key)."""
-    cols = [t[c].combine_chunks().to_numpy(zero_copy_only=False)
-            for c in (*reversed(order), key)]
+    its LAST key as primary, so feed (order_reversed..., key).
+
+    The KEY sorts by its dictionary CODE when it is a string column:
+    the kernels only need equal keys contiguous, never a particular
+    cross-key order, and lexsort over an object array of strings pays
+    a Python richcompare per comparison (r5: measured the dominant
+    term of the shift/rolling kernels on conv-keyed tables). ORDER
+    columns keep their raw values — their order is semantic."""
+    cols = []
+    for c in (*reversed(order), key):
+        col = t[c].combine_chunks()
+        if c == key and (pa.types.is_string(col.type)
+                         or pa.types.is_large_string(col.type)):
+            col = col.dictionary_encode().indices
+            cols.append(col.to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        else:
+            cols.append(col.to_numpy(zero_copy_only=False))
     return np.lexsort(cols)
 
 
@@ -144,7 +159,16 @@ def shift_within_key(ds, key: str, order: list[str], cols: list[str],
                 return out
             onp = pc.cast(t[oc].combine_chunks(), pa.int64()) \
                 .to_numpy(zero_copy_only=False)
-            kc = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+            kcol = t[key].combine_chunks()
+            if (pa.types.is_string(kcol.type)
+                    or pa.types.is_large_string(kcol.type)):
+                # sort/group by dictionary CODE — equal keys stay
+                # contiguous and the lexsort never richcompares
+                # Python strings (see _sort_perm)
+                kc = kcol.dictionary_encode().indices \
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                kc = kcol.to_numpy(zero_copy_only=False)
             ck = t["_ck"].combine_chunks().to_numpy(zero_copy_only=False)
             halo = t["_halo"].combine_chunks() \
                 .to_numpy(zero_copy_only=False).astype(bool)
