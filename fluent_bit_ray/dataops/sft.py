@@ -33,7 +33,15 @@ from ..shuffle import coarse_partition_apply
 
 
 def _sorted_conv(df: pd.DataFrame) -> pd.DataFrame:
-    return df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    """(conv_id, turn_idx) grouped ordering: conversations CONTIGUOUS
+    (by factorize code, not lexicographically — every kernel below
+    only detects group CHANGES and orders turns within a group) with
+    turn order inside each. r5: pandas sort_values over object
+    conv-id strings paid a Python richcompare per comparison — the
+    same finding as windows._sort_perm; factorize+lexsort is pure C."""
+    codes = pd.factorize(df["conv_id"], sort=False)[0]
+    perm = np.lexsort((df["turn_idx"].to_numpy(), codes))
+    return df.iloc[perm]
 
 
 def sft_examples(ds, context_turns: int = 4, sep: str = "\n",
