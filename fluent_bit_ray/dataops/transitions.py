@@ -30,7 +30,9 @@ def tool_transitions(ds, tool_col: str = "tool", partitions: int = 64):
 
     def kernel(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df[tool_col].notna() & (df[tool_col] != "")]
-        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        # conv contiguity by factorize code — no object-string sort
+        codes = pd.factorize(df["conv_id"], sort=False)[0]
+        df = df.iloc[np.lexsort((df["turn_idx"].to_numpy(), codes))]
         conv = df["conv_id"].to_numpy(dtype=object)
         tool = df[tool_col].to_numpy(dtype=object)
         if len(df) < 2:

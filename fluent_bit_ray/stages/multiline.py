@@ -177,7 +177,11 @@ class MultilineStage(Stage):
             semantics, with one pandas groupby per partition instead
             of per conversation."""
             import numpy as np
-            g = g.sort_values([key, order_col], kind="mergesort")
+            # group by factorize CODE (keys only need contiguity;
+            # lexsort over object strings pays a Python richcompare
+            # per comparison — windows._sort_perm finding, r5)
+            codes = pd.factorize(g[key], sort=False)[0]
+            g = g.iloc[np.lexsort((g[order_col].to_numpy(), codes))]
             n = len(g)
             texts = g[text_col].astype(str)
             isf = firstline_mask(texts)
