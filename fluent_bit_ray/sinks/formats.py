@@ -589,6 +589,48 @@ def format_batch(b: pa.Table, fmt: str = "json", template: str = "",
             else:
                 stamp = (t.timestamp() if hasattr(t, "timestamp") else 0.0)
             out.append(_dumps({ts_key: stamp, **m}))
+    elif fmt == "kafka_rest":
+        # out_kafka_rest: the WHOLE flush becomes one Kafka REST Proxy
+        # body {"records": [{["partition":p,]["key":k,] "value":
+        # {time_key: "%Y-%m-%dT%H:%M:%S.%09dZ", [tag_key: tag,]
+        # ...record-minus-source_log}}]}
+        # (plugins/out_kafka_rest/kafka.c:111-257; defaults
+        # kafka.h:24-28 — time_key "@timestamp", tag_key "_flb-key",
+        # include_tag_key off, partition -1 = omitted; keys whose
+        # first 10 chars case-fold to "source_log" are dropped,
+        # kafka.c:196-246 strncasecmp prefix match)
+        ko = fmt_opts or {}
+        ts_key = ko.get("time_key", "@timestamp")
+        ts_fmt = ko.get("time_key_format", "%Y-%m-%dT%H:%M:%S")
+        partition = ko.get("partition", -1)
+        message_key = ko.get("message_key")
+        include_tag = bool(ko.get("include_tag_key", False))
+        tag_key = ko.get("tag_key", "_flb-key")
+        tags = cols.get("tag", [None] * n)
+        records = []
+        for i in range(n):
+            m = _row_map(b, i, cols)
+            t = ts[i]
+            v = getattr(t, "value", None)          # pandas ns epoch
+            nsec = (v % 10**9) if v is not None else 0
+            stamp = ((t.strftime(ts_fmt) if hasattr(t, "strftime")
+                      else "") + f".{nsec:09d}Z")
+            rec: dict = {}
+            if partition is not None and partition >= 0:
+                rec["partition"] = int(partition)
+            if message_key is not None:
+                rec["key"] = message_key
+            value: dict = {ts_key: stamp}
+            if include_tag:
+                value[tag_key] = tags[i] or ""
+            for k, val in m.items():
+                if str(k)[:10].lower() == "source_log":
+                    continue
+                value[k] = val
+            rec["value"] = value
+            records.append(rec)
+        if records:
+            out.append(_dumps({"records": records}))
     elif fmt == "slack":
         # out_slack: the WHOLE flush becomes one JSON {"text": "..."}
         # where each record renders as '["timestamp": <sec>.<ns09>, '

@@ -395,6 +395,38 @@ def test_td_format():
     assert rec["conv_id"] == "c1" and rec["level"] == "info"
 
 
+def test_kafka_rest_format_defaults():
+    lines = format_batch(sample_batch(), fmt="kafka_rest")
+    assert len(lines) == 1                # whole flush = one body
+    body = json.loads(lines[0])
+    assert set(body) == {"records"}
+    assert len(body["records"]) == 2
+    rec = body["records"][0]
+    assert set(rec) == {"value"}          # partition -1 / no key omitted
+    v = rec["value"]
+    # time_key FIRST, default "@timestamp", "%Y-%m-%dT%H:%M:%S.%09dZ"
+    assert list(v)[0] == "@timestamp"
+    assert v["@timestamp"] == "2015-11-24T22:15:40.000000000Z"
+    assert v["conv_id"] == "c1" and v["level"] == "info"
+    assert "_flb-key" not in v            # include_tag_key default off
+
+
+def test_kafka_rest_format_options_and_source_log_drop():
+    b = sample_batch().append_column(
+        "source_log_raw", pa.array(["x", "y"]))
+    lines = format_batch(b, fmt="kafka_rest", fmt_opts={
+        "partition": 5, "message_key": "mk", "include_tag_key": True,
+        "tag_key": "_k", "time_key": "t", "time_key_format": "%H:%M:%S"})
+    rec = json.loads(lines[0])["records"][1]
+    assert rec["partition"] == 5 and rec["key"] == "mk"
+    v = rec["value"]
+    assert list(v)[:2] == ["t", "_k"]     # time then tag key
+    assert v["t"] == "22:15:41.000000000Z"
+    assert v["_k"] == "transcript.tool"
+    # kafka.c strncasecmp prefix match drops source_log* keys
+    assert "source_log_raw" not in v and v["conv_id"] == "c2"
+
+
 def test_bigquery_format():
     lines = format_batch(sample_batch(), fmt="bigquery")
     assert len(lines) == 1
