@@ -103,6 +103,8 @@ class _FbWriter:
                     self._ref(it)
             elif node.kind == "i32":
                 self.buf += np.asarray(node.items, "<i4").tobytes()
+            elif node.kind == "i64":
+                self.buf += np.asarray(node.items, "<i8").tobytes()
             elif node.kind == "f32":
                 self.buf += np.asarray(node.items, "<f4").tobytes()
             elif node.kind == "u8":
@@ -116,9 +118,50 @@ def _buffer(data: bytes) -> Table:
     return Table([(0, "ref", Vec("u8", data))]) if data else Table([])
 
 
-def _tensor(shape, buffer_idx, ttype=0) -> Table:
-    return Table([(0, "ref", Vec("i32", list(shape))),
-                  (1, "i8", ttype), (2, "u32", buffer_idx)])
+def _tensor(shape, buffer_idx, ttype=0, quant=None) -> Table:
+    fields = [(0, "ref", Vec("i32", list(shape))),
+              (1, "i8", ttype), (2, "u32", buffer_idx)]
+    if quant is not None:
+        fields.append((4, "ref", quant))
+    return Table(fields)
+
+
+def _quant(scales, zero_points, qdim=0) -> Table:
+    """QuantizationParameters: scale=2 [f32], zero_point=3 [i64],
+    quantized_dimension=6."""
+    return Table([(2, "ref", Vec("f32", list(scales))),
+                  (3, "ref", Vec("i64", list(zero_points))),
+                  (6, "i32", qdim)])
+
+
+def build_graph_tflite(tensors, buffers, ops) -> bytes:
+    """Generic single-subgraph .tflite: ``tensors`` are Table nodes,
+    ``buffers`` raw bytes per buffer index, ``ops`` are
+    (builtin_code, inputs, outputs, options_union_type, options_Table).
+    Subgraph input = tensor 0, output = last tensor."""
+    codes = []
+    op_tabs = []
+    for code, ins, outs, union_t, opt in ops:
+        if code not in codes:
+            codes.append(code)
+        fields = [(0, "u32", codes.index(code)),
+                  (1, "ref", Vec("i32", ins)),
+                  (2, "ref", Vec("i32", outs))]
+        if opt is not None:
+            fields += [(3, "i8", union_t), (4, "ref", opt)]
+        op_tabs.append(Table(fields))
+    sg = Table([(0, "ref", Vec("ref", tensors)),
+                (1, "ref", Vec("i32", [0])),
+                (2, "ref", Vec("i32", [len(tensors) - 1])),
+                (3, "ref", Vec("ref", op_tabs))])
+    model = Table([(0, "u32", 3),
+                   (1, "ref", Vec("ref",
+                                  [Table([(0, "i8", min(c, 127)),
+                                          (3, "i32", c)])
+                                   for c in codes])),
+                   (2, "ref", Vec("ref", [sg])),
+                   (4, "ref", Vec("ref", [_buffer(b) for b in buffers]))])
+    return bytes(_FbWriter(model).buf)
 
 
 def build_mlp_tflite(w1t, b1, w2t, b2, *, fused1=1, fused2=0,
@@ -211,8 +254,8 @@ def test_tflite_bad_identifier_and_unsupported():
     mlp = FixedMlp(4, hidden=3, out_dim=2)
     with pytest.raises(ValueError, match="TFL3"):
         load_tflite(mlp_bytes(mlp, ident=b"NOPE"))
-    with pytest.raises(NotImplementedError, match="CONV_2D"):
-        load_tflite(mlp_bytes(mlp, extra_op=3)).forward(np.ones((1, 4)))
+    with pytest.raises(NotImplementedError, match="LSTM"):
+        load_tflite(mlp_bytes(mlp, extra_op=16)).forward(np.ones((1, 4)))
     with pytest.raises(NotImplementedError, match="FLOAT32"):
         load_tflite(mlp_bytes(mlp, ttype=9))  # INT8 weights
 
@@ -247,3 +290,159 @@ def test_tensorflow_config_model_file(tmp_path):
                           ("model_file", str(path))], {})
     assert spec["model_file"] == str(path)
     assert "input_dim" not in spec
+
+
+def _f32(a) -> bytes:
+    return np.asarray(a, "<f4").tobytes()
+
+
+def test_tflite_quantized_fc_per_tensor():
+    """INT8 weights with (scale, zero_point) dequantize at load:
+    w = (q - zp) * scale, then the graph runs in float."""
+    wq = np.array([[10, -6, 4, 0], [-2, 8, 1, 7]], np.int8)   # (2,4)
+    bias = np.array([0.5, -1.0], np.float32)
+    m = load_tflite(build_graph_tflite(
+        [_tensor((1, 4), 0), _tensor((2, 4), 1, ttype=9,
+                                     quant=_quant([0.5], [3])),
+         _tensor((2,), 2), _tensor((1, 2), 0)],
+        [b"", wq.tobytes(), _f32(bias)],
+        [(9, [0, 1, 2], [3], 8, Table([(0, "i8", 0)]))]))
+    x = np.array([[1.0, 2.0, 3.0, 4.0]], np.float32)
+    w = (wq.astype(np.float32) - 3) * 0.5
+    np.testing.assert_allclose(m.forward(x), x @ w.T + bias, rtol=1e-6)
+
+
+def test_tflite_quantized_fc_per_axis():
+    """Per-axis quantization: scale/zero_point vectors broadcast along
+    quantized_dimension (dim 0 for FC weights)."""
+    wq = np.array([[4, -8], [12, 2]], np.int8)                # (2,2)
+    m = load_tflite(build_graph_tflite(
+        [_tensor((1, 2), 0), _tensor((2, 2), 1, ttype=9,
+                                     quant=_quant([0.5, 0.25],
+                                                  [0, 2], qdim=0)),
+         _tensor((1, 2), 0)],
+        [b"", wq.tobytes()],
+        [(9, [0, 1], [2], 8, Table([(0, "i8", 0)]))]))
+    x = np.array([[2.0, -1.0]], np.float32)
+    w = (wq.astype(np.float32)
+         - np.array([[0], [2]])) * np.array([[0.5], [0.25]])
+    np.testing.assert_allclose(m.forward(x), x @ w.T, rtol=1e-6)
+
+
+def test_tflite_conv_pool_reshape_fc_softmax():
+    """CNN chain vs an INDEPENDENT naive-loop reference: CONV_2D
+    (SAME, stride 1, fused RELU) -> MAX_POOL_2D (2x2 VALID) ->
+    RESHAPE -> FULLY_CONNECTED -> SOFTMAX."""
+    r = np.random.RandomState(5)
+    cw = r.randint(-3, 4, (3, 2, 2, 2)).astype(np.float32)  # (out,kh,kw,in)
+    cb = r.randint(-2, 3, 3).astype(np.float32)
+    fw = r.randint(-2, 3, (2, 12)).astype(np.float32)
+    fbias = r.randint(-1, 2, 2).astype(np.float32)
+    m = load_tflite(build_graph_tflite(
+        [_tensor((1, 4, 4, 2), 0), _tensor((3, 2, 2, 2), 1),
+         _tensor((3,), 2), _tensor((1, 4, 4, 3), 0),
+         _tensor((1, 2, 2, 3), 0), _tensor((1, 12), 0),
+         _tensor((2, 12), 3), _tensor((2,), 4), _tensor((1, 2), 0),
+         _tensor((1, 2), 0)],
+        [b"", cw.tobytes(), _f32(cb), fw.tobytes(), _f32(fbias)],
+        [(3, [0, 1, 2], [3], 1,          # Conv2DOptions
+          Table([(0, "i8", 0), (1, "i32", 1), (2, "i32", 1),
+                 (3, "i8", 1), (4, "i32", 1), (5, "i32", 1)])),
+         (17, [3], [4], 5,               # Pool2DOptions, VALID 2x2/2
+          Table([(0, "i8", 1), (1, "i32", 2), (2, "i32", 2),
+                 (3, "i32", 2), (4, "i32", 2), (5, "i8", 0)])),
+         (22, [4], [5], 17,              # ReshapeOptions
+          Table([(0, "ref", Vec("i32", [1, 12]))])),
+         (9, [5, 6, 7], [8], 8, Table([(0, "i8", 0)])),
+         (25, [8], [9], 9, None)]))
+    x = r.randint(-4, 5, (2, 4, 4, 2)).astype(np.float32)
+    # naive reference, loops only
+    xp = np.zeros((2, 5, 5, 2), np.float32)
+    xp[:, :4, :4, :] = x                 # SAME pad: 0 before, 1 after
+    conv = np.zeros((2, 4, 4, 3), np.float32)
+    for n in range(2):
+        for i in range(4):
+            for j in range(4):
+                for o in range(3):
+                    s = cb[o]
+                    for ki in range(2):
+                        for kj in range(2):
+                            for c in range(2):
+                                s += xp[n, i + ki, j + kj, c] * \
+                                     cw[o, ki, kj, c]
+                    conv[n, i, j, o] = max(s, 0.0)
+    pool = np.zeros((2, 2, 2, 3), np.float32)
+    for n in range(2):
+        for i in range(2):
+            for j in range(2):
+                for o in range(3):
+                    pool[n, i, j, o] = conv[n, 2 * i:2 * i + 2,
+                                            2 * j:2 * j + 2, o].max()
+    logits = pool.reshape(2, 12) @ fw.T + fbias
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    np.testing.assert_allclose(m.forward(x),
+                               e / e.sum(axis=1, keepdims=True),
+                               rtol=1e-5)
+
+
+def test_tflite_depthwise_conv():
+    """DEPTHWISE_CONV_2D with depth_multiplier=2, VALID: output
+    channel c*mult+k uses input channel c and its own tap weights."""
+    r = np.random.RandomState(11)
+    w = r.randint(-3, 4, (1, 2, 2, 4)).astype(np.float32)
+    m = load_tflite(build_graph_tflite(
+        [_tensor((1, 3, 3, 2), 0), _tensor((1, 2, 2, 4), 1),
+         _tensor((1, 2, 2, 4), 0)],
+        [b"", w.tobytes()],
+        [(4, [0, 1], [2], 2,             # DepthwiseConv2DOptions
+          Table([(0, "i8", 1), (1, "i32", 1), (2, "i32", 1),
+                 (3, "i32", 2), (4, "i8", 0)]))]))
+    x = r.randint(-4, 5, (1, 3, 3, 2)).astype(np.float32)
+    ref = np.zeros((1, 2, 2, 4), np.float32)
+    for i in range(2):
+        for j in range(2):
+            for c in range(2):
+                for k in range(2):
+                    o = c * 2 + k
+                    ref[0, i, j, o] = sum(
+                        x[0, i + ki, j + kj, c] * w[0, ki, kj, o]
+                        for ki in range(2) for kj in range(2))
+    got = m.forward(x)                   # flattened (1, 16)
+    np.testing.assert_allclose(got, ref.reshape(1, 16), rtol=1e-6)
+
+
+def test_tflite_avg_pool_same_counts_valid_cells():
+    """AVERAGE_POOL_2D under SAME padding divides by the number of
+    VALID cells in each window (TFLite kernel semantics)."""
+    m = load_tflite(build_graph_tflite(
+        [_tensor((1, 3, 3, 1), 0), _tensor((1, 2, 2, 1), 0)],
+        [b""],
+        [(1, [0], [1], 5,
+          Table([(0, "i8", 0), (1, "i32", 2), (2, "i32", 2),
+                 (3, "i32", 2), (4, "i32", 2), (5, "i8", 0)]))]))
+    x = np.arange(1.0, 10.0, dtype=np.float32).reshape(1, 3, 3, 1)
+    got = m.forward(x).reshape(2, 2)
+    np.testing.assert_allclose(got, [[3.0, 4.5], [7.5, 9.0]])
+
+
+def test_tflite_elementwise_and_mean():
+    """ADD with fused RELU, MUL, and MEAN over spatial axes."""
+    add_c = np.array([[-5.0, 0.0, 5.0]], np.float32)
+    mul_c = np.array([[2.0, 2.0, 2.0]], np.float32)
+    m = load_tflite(build_graph_tflite(
+        [_tensor((1, 3), 0), _tensor((1, 3), 1), _tensor((1, 3), 0),
+         _tensor((1, 3), 2), _tensor((1, 3), 0)],
+        [b"", add_c.tobytes(), mul_c.tobytes()],
+        [(0, [0, 1], [2], 11, Table([(0, "i8", 1)])),   # ADD + RELU
+         (18, [2, 3], [4], 21, Table([(0, "i8", 0)]))]))  # MUL
+    x = np.array([[1.0, 2.0, 3.0]], np.float32)
+    np.testing.assert_allclose(m.forward(x), [[0.0, 4.0, 16.0]])
+
+    axes = np.array([1, 2], np.int32)
+    m2 = load_tflite(build_graph_tflite(
+        [_tensor((1, 2, 2, 3), 0), _tensor((2,), 1, ttype=2),
+         _tensor((1, 3), 0)],
+        [b"", axes.tobytes()],
+        [(40, [0, 1], [2], 27, Table([(0, "i8", 0)]))]))  # MEAN
+    x = np.arange(12, dtype=np.float32).reshape(1, 2, 2, 3)
+    np.testing.assert_allclose(m2.forward(x), x.mean(axis=(1, 2)))
