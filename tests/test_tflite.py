@@ -446,3 +446,49 @@ def test_tflite_elementwise_and_mean():
         [(40, [0, 1], [2], 27, Table([(0, "i8", 0)]))]))  # MEAN
     x = np.arange(12, dtype=np.float32).reshape(1, 2, 2, 3)
     np.testing.assert_allclose(m2.forward(x), x.mean(axis=(1, 2)))
+
+
+def test_tflite_conv_pool_property_random_geometry():
+    """Hypothesis: CONV_2D and both pools match a naive-loop reference
+    across random shapes, strides, and SAME/VALID padding."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(3, 7), st.integers(3, 7),    # h, w
+           st.integers(1, 3), st.integers(1, 3),    # in_ch, out_ch
+           st.integers(1, 3), st.integers(1, 3),    # kh, kw
+           st.integers(1, 2), st.integers(1, 2),    # sh, sw
+           st.integers(0, 1),                       # padding SAME/VALID
+           st.integers(0, 2 ** 31 - 1))
+    def run(h, w, ic, oc, kh, kw, sh, sw, pad, seed):
+        from fluent_bit_ray.stages.tflite import (PAD_SAME, TfliteModel,
+                                                  _conv_geometry)
+        if pad == 1 and (kh > h or kw > w):
+            return                                   # no VALID output
+        r = np.random.RandomState(seed % (2 ** 31))
+        x = r.randint(-3, 4, (2, h, w, ic)).astype(np.float32)
+        cw = r.randint(-2, 3, (oc, kh, kw, ic)).astype(np.float32)
+        # geometry from the kernel under test
+        xp, oh, ow = _conv_geometry(x, kh, kw, sh, sw, 1, 1, pad, 0.0)
+        m = load_tflite(build_graph_tflite(
+            [_tensor((1, h, w, ic), 0), _tensor((oc, kh, kw, ic), 1),
+             _tensor((1, oh, ow, oc), 0)],
+            [b"", cw.tobytes()],
+            [(3, [0, 1], [2], 1,
+              Table([(0, "i8", pad), (1, "i32", sw), (2, "i32", sh),
+                     (3, "i8", 0), (4, "i32", 1), (5, "i32", 1)]))]))
+        ref = np.zeros((2, oh, ow, oc), np.float32)
+        for n in range(2):
+            for i in range(oh):
+                for j in range(ow):
+                    for o in range(oc):
+                        ref[n, i, j, o] = sum(
+                            xp[n, i * sh + ki, j * sw + kj, c]
+                            * cw[o, ki, kj, c]
+                            for ki in range(kh) for kj in range(kw)
+                            for c in range(ic))
+        np.testing.assert_allclose(m.forward(x),
+                                   ref.reshape(2, -1), rtol=1e-5)
+
+    run()
