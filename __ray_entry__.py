@@ -458,8 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         exact_dedup, fingerprint_ds,
                                         langid_ds, minhash_dup_pair_counts,
                                         minhash_dup_pairs,
-                                        quality_ds, simhash_ds,
-                                        token_count_ds)
+                                        normalize_ds, quality_ds,
+                                        simhash_ds, token_count_ds)
 
     def _docs(sf_dir: str):
         return rd.read_parquet(f"{sf_dir}/documents.parquet")
@@ -494,6 +494,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def doc_token_counts(sf_dir: str):
         out = token_count_ds(_docs(sf_dir)).to_pandas()
         out = out[["doc_id", "n_tokens_ws", "n_tokens_bpe"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def docs_normalized(sf_dir: str):
+        """Unicode normalization sweep (NFC + control strip + ws
+        collapse + trim) — stateless Arrow kernels, no shuffle."""
+        out = normalize_ds(_docs(sf_dir)).to_pandas()
+        out = out[["doc_id", "norm_text", "norm_len"]]
+        out["doc_id"] = out["doc_id"].astype("int64")
         return out.sort_values("doc_id").reset_index(drop=True)
 
     def doc_quality(sf_dir: str):
@@ -1763,6 +1771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convs_curated_refs": convs_curated_refs,
         "convs_curated_refs_chunked": convs_curated_refs_chunked,
         "convs_curated_packed": convs_curated_packed,
+        "docs_normalized": docs_normalized,
         # --- driver-green in earlier rounds (fills the 50-slot gate) ---
         "config_grep_rows": config_grep_rows,
         "config_route_counts": config_route_counts,
@@ -2441,6 +2450,17 @@ def oracle_sql() -> dict[str, str]:
                        $$'[a-z]+|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+$$))::BIGINT
                        AS n_tokens_bpe
             FROM documents ORDER BY doc_id
+        """,
+        "docs_normalized": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(
+                          nfc_normalize(text),
+                          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                          '\s+', ' ', 'g'), ' ') AS norm_text
+              FROM documents)
+            SELECT doc_id, norm_text, length(norm_text)::BIGINT AS norm_len
+            FROM n ORDER BY doc_id
         """,
         "doc_quality": """
             WITH c AS (

@@ -1,5 +1,5 @@
-from .textstats import (fingerprint_ds, langid_ds, quality_ds,  # noqa: F401
-                        token_count_ds, vocab_topk)
+from .textstats import (fingerprint_ds, langid_ds, normalize_ds,  # noqa: F401
+                        quality_ds, token_count_ds, vocab_topk)
 from .redact import redact_ds  # noqa: F401
 from .search import document_frequencies, keyword_search_topk  # noqa: F401
 from .boilerplate import boilerplate_keys, remove_boilerplate  # noqa: F401

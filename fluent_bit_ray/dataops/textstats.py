@@ -127,6 +127,61 @@ def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return df
 
 
+# Control chars except \t \n \r (those fold into the \s+ collapse).
+# RE2 syntax on BOTH sides: pyarrow.compute and DuckDB regexp_replace.
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_batch(tbl, text_col: str = "text"):
+    """Unicode text normalization, fully Arrow (zero row loop):
+    NFC normalize → strip control chars → collapse ``\\s+`` to one
+    space → trim spaces; plus the normalized codepoint length.
+
+    Every step is an RE2/Unicode kernel that DuckDB reproduces
+    exactly (nfc_normalize + regexp_replace + trim + length), so the
+    op carries a full value-hash oracle. Runs as a stateless
+    ``map_batches(batch_format="pyarrow")`` stage — at 100 TB this is
+    pure streaming compute, no shuffle, no state.
+
+    NFC runs through polars (vectorized, zero-copy from Arrow):
+    pyarrow 16's ``utf8_normalize(form="NFC")`` decomposes but never
+    RECOMPOSES (measured: ``e+U+0301`` stays two codepoints, and it
+    even decomposes a composed ``Å``), so it is not Unicode NFC and
+    would hash-mismatch DuckDB. Fallback without polars: per-row
+    ``unicodedata.normalize`` on the non-ASCII rows only (ASCII is
+    NFC-invariant, so the Python cost is bounded by the non-ASCII
+    fraction)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = tbl.column(text_col)
+    try:
+        import polars as pl
+        s = pa.chunked_array([
+            pl.from_arrow(c).str.normalize("NFC").to_arrow()
+            for c in (col.chunks or [col.combine_chunks()])])
+        s = pc.cast(s, col.type)
+    except ImportError:                              # pragma: no cover
+        import unicodedata
+        nonascii = pc.match_substring_regex(col, r"[^\x00-\x7F]")
+        vals = col.to_pylist()
+        s = pa.array([unicodedata.normalize("NFC", v) if na and
+                      v is not None else v
+                      for v, na in zip(vals, nonascii.to_pylist())],
+                     type=col.type)
+    s = pc.replace_substring_regex(s, _CTRL_RE, "")
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    s = pc.utf8_trim(s, characters=" ")
+    tbl = tbl.drop_columns([text_col])
+    return tbl.append_column("norm_text", s).append_column(
+        "norm_len", pc.cast(pc.utf8_length(s), "int64"))
+
+
+def normalize_ds(ds, text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: normalize_batch(t, text_col), batch_format="pyarrow")
+
+
 def _apply(ds, fn, **kw):
     return ds.map_batches(lambda df: fn(df, **kw), batch_format="pandas")
 

@@ -1435,3 +1435,46 @@ def test_video_mjpeg_frame_features_e2e():
                    "payload": pa.array([raw_avc], type=pa.binary())})
     with pytest.raises(NotImplementedError, match="JPEG"):
         st(t2)
+
+
+def test_normalize_batch_unicode_controls_whitespace():
+    """NFC combine, control strip, \\s+ collapse, trim — Arrow kernels."""
+    import pyarrow as pa
+
+    from fluent_bit_ray.dataops.textstats import normalize_batch
+
+    tbl = pa.table({"doc_id": [1, 2, 3],
+                    "text": ["e\u0301 clair",      # NFC: 2 cp -> 1
+                             " a \x01\x02b\t\tc  ",  # ctrl + ws + trim
+                             "plain"]})
+    out = normalize_batch(tbl)
+    assert out.column("norm_text").to_pylist() == ["\u00e9 clair",
+                                                   "a b c", "plain"]
+    assert out.column("norm_len").to_pylist() == [7, 5, 5]
+    assert "text" not in out.column_names
+
+
+def test_normalize_batch_matches_duckdb_oracle_on_unicode():
+    """Engine-vs-oracle parity on NON-ASCII content (the sf testdata
+    is ASCII, so the driver gate alone can't prove the NFC step)."""
+    import duckdb
+    import pyarrow as pa
+
+    from fluent_bit_ray.dataops.textstats import normalize_batch
+
+    texts = ["é clair", "Å ring", "Å composed",
+             "café  \x02 bar\t", " mixed é́ stack ",
+             "デ dakuten", "plain ascii"]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = normalize_batch(tbl).to_pandas()
+    exp = duckdb.sql(r"""
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                      '\s+', ' ', 'g'), ' ') AS norm_text
+          FROM tbl)
+        SELECT doc_id, norm_text, length(norm_text)::BIGINT AS norm_len
+        FROM n ORDER BY doc_id""").df()
+    assert got["norm_text"].tolist() == exp["norm_text"].tolist()
+    assert got["norm_len"].tolist() == exp["norm_len"].tolist()
