@@ -1382,6 +1382,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["doc_id"] = out["doc_id"].astype("int64")
         return out[["doc_id"]].sort_values("doc_id").reset_index(drop=True)
 
+    def docs_shuffled(sf_dir: str):
+        """Seeded deterministic epoch shuffle (seed 7): global sort by
+        h64(md5('7:'||doc_id)) — reproducible training order. The
+        OUTPUT ORDER is the result: epoch_pos is the row's position."""
+        from fluent_bit_ray.dataops import epoch_shuffle
+        out = epoch_shuffle(_docs(sf_dir).select_columns(["doc_id"]),
+                            seed=7).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["epoch_pos"] = np.arange(len(out), dtype="int64")
+        return out[["doc_id", "epoch_pos"]].reset_index(drop=True)
+
+    def bpe_merges(sf_dir: str):
+        """BPE tokenizer training (12 merges): distributed word-count
+        partials -> compact-vocab greedy merge loop; the DuckDB oracle
+        replays every round (pair counts, argmax, tie-break,
+        application) as unrolled CTEs."""
+        from fluent_bit_ray.dataops import bpe_train
+        return bpe_train(_docs(sf_dir), num_merges=12, max_words=50_000)
+
     def doc_chunks(sf_dir: str):
         """Fixed word-window chunking (window 32, stride 24): the
         flat-map that turns documents into training-sequence chunks."""
@@ -1772,6 +1791,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "convs_curated_refs_chunked": convs_curated_refs_chunked,
         "convs_curated_packed": convs_curated_packed,
         "docs_normalized": docs_normalized,
+        "docs_shuffled": docs_shuffled,
+        "bpe_merges": bpe_merges,
         # --- driver-green in earlier rounds (fills the 50-slot gate) ---
         "config_grep_rows": config_grep_rows,
         "config_route_counts": config_route_counts,
@@ -2143,6 +2164,7 @@ def _tf_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from fluent_bit_ray.dataops.bpe import bpe_train_sql
     from fluent_bit_ray.sources.dims import ensure_dim
 
     t = _transcripts_cte(SF_ORACLE_DIR)
@@ -2843,6 +2865,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_h64_sql('md5(CAST(doc_id AS VARCHAR))')} % 100 < 37
             ORDER BY doc_id
         """,
+        "docs_shuffled": f"""
+            SELECT doc_id,
+                   (row_number() OVER (ORDER BY
+                     {_h64_sql("md5('7:' || CAST(doc_id AS VARCHAR))")},
+                     doc_id) - 1)::BIGINT AS epoch_pos
+            FROM documents ORDER BY epoch_pos
+        """,
+        # full round-by-round replay generated by dataops.bpe (unrolled
+        # CTEs: pair counts, argmax + tie-break, replace-sweep apply)
+        "bpe_merges": bpe_train_sql(12, 50_000),
         "doc_chunks": r"""
             WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
                        FROM documents),

@@ -7,6 +7,7 @@ from .cluster import (cluster_balanced_sample, kmeans,  # noqa: F401
                       kmeans_fit, semantic_dedup_pairs)
 from .classifier import quality_model_scores  # noqa: F401
 from .lm import ngram_lm_scores  # noqa: F401
+from .bpe import bpe_train, bpe_train_sql  # noqa: F401
 from .dedup import (  # noqa: F401
     embedding_dup_pairs,
     exact_dedup,
@@ -33,6 +34,7 @@ from .curation import (  # noqa: F401
     curate_corpus,
     decontaminate,
     grouped_topk,
+    epoch_shuffle,
     hash_sample,
     mix_by_source,
     pack_sequences,

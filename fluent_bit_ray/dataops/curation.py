@@ -172,6 +172,26 @@ def hash_sample(ds, rate_pct: int, key: str = "doc_id"):
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def epoch_shuffle(ds, seed: int, key: str = "doc_id"):
+    """Deterministic seeded epoch shuffle: global sort by
+    ``h64(md5(f"{seed}:{key}"))`` (ties break on the key) — the
+    training-data ordering primitive. Different seeds give
+    independent epoch orders; the SAME seed gives the identical
+    order at any parallelism and across resumes (no RNG anywhere),
+    so a preempted epoch resumes mid-stream instead of re-shuffling.
+    Cost shape at 100 TB: one all-to-all range-partition sort on an
+    8-byte key — the same exchange ``ds.random_shuffle()`` pays, but
+    reproducible."""
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_shuf"] = df[key].astype(str).map(
+            lambda v: _h64(f"{seed}:{v}")).astype(np.uint64)
+        return df
+
+    return ds.map_batches(keyed, batch_format="pandas") \
+        .sort(["_shuf", key]).drop_columns(["_shuf"])
+
+
 def mix_by_source(ds, weights: dict[str, int], source_col: str = "source",
                   key: str = "doc_id", default_pct: int = 0):
     """Weighted corpus mixing: per-source deterministic sampling rates

@@ -321,3 +321,66 @@ def test_bloom_prefilter_exactness_properties():
     idx[idx == len(bh)] = 0
     hits = bh[idx] == probe
     assert not hits.any()
+
+
+def test_epoch_shuffle_deterministic_across_parallelism(ray_session):
+    """Same seed → identical order regardless of partitioning;
+    different seed → a different (still deterministic) order."""
+    import ray.data as rd
+
+    from fluent_bit_ray.dataops import epoch_shuffle
+
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype="int64")})
+    one = rd.from_pandas(df).repartition(1)
+    many = rd.from_pandas(df).repartition(13)
+    o1 = epoch_shuffle(one, seed=7).to_pandas()["doc_id"].tolist()
+    o2 = epoch_shuffle(many, seed=7).to_pandas()["doc_id"].tolist()
+    o3 = epoch_shuffle(many, seed=8).to_pandas()["doc_id"].tolist()
+    assert o1 == o2                      # parallelism-independent
+    assert o1 != o3                      # seeds are independent epochs
+    assert sorted(o3) == list(range(200))  # a permutation, nothing lost
+
+
+def test_bpe_train_matches_duckdb_replay(ray_session):
+    """Engine vs generated-SQL oracle on adversarial text (same-symbol
+    runs, case folding, ties)."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_bit_ray.dataops import bpe_train, bpe_train_sql
+
+    docs = pd.DataFrame({"doc_id": range(4), "text": [
+        "banana bandana banana", "aaaaaaa aaa aa",
+        "Tie tie TIE toe toe toe", "x y x y x y zzz"]})
+    got = bpe_train(rd.from_pandas(docs).repartition(3),
+                    num_merges=8, max_words=100)
+    exp = duckdb.sql(bpe_train_sql(8, 100, source="docs")).df()
+    assert got["pair"].tolist() == exp["pair"].tolist()
+    assert got["pair_count"].tolist() == exp["pair_count"].tolist()
+
+
+def test_bpe_merge_sweeps_semantics():
+    """The documented replace-sweep application: boundary-sharing
+    adjacencies converge within _SWEEPS passes."""
+    from fluent_bit_ray.dataops.bpe import _merge, _pad
+
+    s = _pad("aaaaa")                    # ' a a a a a </w> '
+    out = _merge(s, " a a ", " aa ").split()
+    assert out == ["aa", "a", "aa", "</w>"]  # sweep semantics, stable
+    # a second _merge call is a no-op (fixpoint reached)
+    assert _merge(" " + " ".join(out) + " ", " a a ", " aa ").split() \
+        == out
+
+
+def test_bpe_max_words_cap_is_deterministic(ray_session):
+    """Top-N cap ties break on (count desc, word asc) — the same rows
+    the SQL LIMIT keeps."""
+    import ray.data as rd
+
+    from fluent_bit_ray.dataops import bpe_train
+
+    docs = pd.DataFrame({"text": ["pear plum pear plum kiwi fig"]})
+    a = bpe_train(rd.from_pandas(docs), num_merges=3, max_words=2)
+    b = bpe_train(rd.from_pandas(docs).repartition(4),
+                  num_merges=3, max_words=2)
+    assert a.equals(b)
