@@ -345,6 +345,21 @@ def run_bench() -> None:
         ds = rd.read_parquet(docs, columns=["doc_id", "text"])
         return remove_dup_ngram_spans(ds, k=8, min_docs=2).count()
 
+    def bench_normalize():
+        from fluent_bit_ray.dataops import normalize_ds
+        ds = rd.read_parquet(docs_heavy, columns=["doc_id", "text"])
+        return normalize_ds(ds).count()
+
+    def bench_epoch_shuffle():
+        from fluent_bit_ray.dataops import epoch_shuffle
+        ds = rd.read_parquet(docs_heavy, columns=["doc_id"])
+        return epoch_shuffle(ds, seed=7).count()
+
+    def bench_bpe():
+        from fluent_bit_ray.dataops import bpe_train
+        ds = rd.read_parquet(docs_heavy, columns=["doc_id", "text"])
+        return len(bpe_train(ds, num_merges=12, max_words=50_000))
+
     def bench_rolling():
         from fluent_bit_ray.dataops.windows import rolling_window
         ev = rd.read_parquet(_events_path(sf_dir),
@@ -391,7 +406,10 @@ def run_bench() -> None:
                     ("curated_pipeline", bench_curated),
                     ("keyword_search", bench_keyword),
                     ("quality_model", bench_quality_model),
-                    ("dup_removed", bench_dup_removed)]
+                    ("dup_removed", bench_dup_removed),
+                    ("normalize_text", bench_normalize),
+                    ("epoch_shuffle", bench_epoch_shuffle),
+                    ("bpe_train", bench_bpe)]
     if os.path.exists(f"{sf_dir}/orders.parquet"):
         benches += [("hash_join", bench_hash_join),
                     ("asof_join", bench_asof_join),
