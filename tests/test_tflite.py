@@ -492,3 +492,36 @@ def test_tflite_conv_pool_property_random_geometry():
                                    ref.reshape(2, -1), rtol=1e-5)
 
     run()
+
+
+def test_tensorflow_stage_cnn_model_file(tmp_path, ray_session):
+    """A CONV+POOL+FC .tflite flows through the actor-pool stage: the
+    2D (n, input_dim) batch input is reshaped to the model's NHWC
+    input and scored per batch."""
+    import ray.data as rd
+
+    r = np.random.RandomState(3)
+    cw = r.randint(-2, 3, (2, 2, 2, 1)).astype(np.float32)
+    fw = r.randint(-2, 3, (2, 8)).astype(np.float32)
+    buf = build_graph_tflite(
+        [_tensor((1, 4, 4, 1), 0), _tensor((2, 2, 2, 1), 1),
+         _tensor((1, 2, 2, 2), 0), _tensor((1, 8), 0),
+         _tensor((2, 8), 2), _tensor((1, 2), 0)],
+        [b"", cw.tobytes(), fw.tobytes()],
+        [(3, [0, 1], [2], 1,
+          Table([(0, "i8", 1), (1, "i32", 2), (2, "i32", 2),
+                 (3, "i8", 1), (4, "i32", 1), (5, "i32", 1)])),
+         (22, [2], [3], 17, Table([(0, "ref", Vec("i32", [1, 8]))])),
+         (9, [3, 4], [5], 8, Table([(0, "i8", 0)]))])
+    path = tmp_path / "cnn.tflite"
+    path.write_bytes(buf)
+    m = load_tflite(buf)
+    assert m.input_dim == 16 and m.out_dim == 2
+
+    xs = [r.randint(-3, 4, 16).astype(float).tolist() for _ in range(6)]
+    df = pd.DataFrame({"rec": [f"r{i}" for i in range(6)], "input": xs})
+    out = (TensorflowStage("input", model_file=str(path))
+           .apply(rd.from_pandas(df)).to_pandas().sort_values("rec"))
+    direct = m.forward(np.asarray(xs, dtype=float))
+    got = np.asarray([list(v) for v in out["tf_out"]])
+    np.testing.assert_allclose(got, direct, rtol=1e-6)
