@@ -1401,6 +1401,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fluent_bit_ray.dataops import bpe_train
         return bpe_train(_docs(sf_dir), num_merges=12, max_words=50_000)
 
+    def doc_bpe_tokens(sf_dir: str):
+        """The encode side: trained merges broadcast to an actor pool
+        with a per-actor word->tokens cache; per-doc token counts.
+        Oracle re-derives the merges AND replays the encode in SQL."""
+        from fluent_bit_ray.dataops import bpe_tokenize_counts, bpe_train
+        m = bpe_train(_docs(sf_dir), num_merges=12, max_words=50_000)
+        out = bpe_tokenize_counts(_docs(sf_dir), m["pair"].tolist()) \
+            .to_pandas()[["doc_id", "n_bpe_tokens"]]
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def doc_chunks(sf_dir: str):
         """Fixed word-window chunking (window 32, stride 24): the
         flat-map that turns documents into training-sequence chunks."""
@@ -1793,6 +1804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalized": docs_normalized,
         "docs_shuffled": docs_shuffled,
         "bpe_merges": bpe_merges,
+        "doc_bpe_tokens": doc_bpe_tokens,
         # --- driver-green in earlier rounds (fills the 50-slot gate) ---
         "config_grep_rows": config_grep_rows,
         "config_route_counts": config_route_counts,
@@ -2164,7 +2176,8 @@ def _tf_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from fluent_bit_ray.dataops.bpe import bpe_train_sql
+    from fluent_bit_ray.dataops.bpe import (bpe_tokenize_sql,
+                                            bpe_train_sql)
     from fluent_bit_ray.sources.dims import ensure_dim
 
     t = _transcripts_cte(SF_ORACLE_DIR)
@@ -2875,6 +2888,7 @@ def oracle_sql() -> dict[str, str]:
         # full round-by-round replay generated by dataops.bpe (unrolled
         # CTEs: pair counts, argmax + tie-break, replace-sweep apply)
         "bpe_merges": bpe_train_sql(12, 50_000),
+        "doc_bpe_tokens": bpe_tokenize_sql(12, 50_000),
         "doc_chunks": r"""
             WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
                        FROM documents),

@@ -7,7 +7,8 @@ from .cluster import (cluster_balanced_sample, kmeans,  # noqa: F401
                       kmeans_fit, semantic_dedup_pairs)
 from .classifier import quality_model_scores  # noqa: F401
 from .lm import ngram_lm_scores  # noqa: F401
-from .bpe import bpe_train, bpe_train_sql  # noqa: F401
+from .bpe import (bpe_tokenize_counts, bpe_train,  # noqa: F401
+                  bpe_train_sql)
 from .dedup import (  # noqa: F401
     embedding_dup_pairs,
     exact_dedup,

@@ -104,13 +104,63 @@ def bpe_train(ds, num_merges: int, text_col: str = "text",
                         columns=["rank", "pair", "pair_count"])
 
 
-def bpe_train_sql(num_merges: int, max_words: int = 100_000,
-                  source: str = "documents",
-                  text_col: str = "text") -> str:
-    """DuckDB replay of :func:`bpe_train`: the identical rounds as
-    unrolled CTEs — pair counts via list adjacency, argmax with the
-    same (count desc, pair asc) tie-break, application as the same
-    ``_SWEEPS`` nested ``replace`` calls."""
+class _BpeTokenizer:
+    """Actor-pool encode stage: merges list held once per actor plus a
+    word → token-count cache (natural-text word distributions are
+    Zipfian, so the cache absorbs almost every lookup). This is the
+    CORPUS-scale side of BPE — training touches only the compact
+    vocab, but encoding touches every byte of the 100 TB corpus, so
+    it must be a stateless-per-batch streaming map with per-actor
+    state."""
+
+    def __init__(self, merges: list[str], text_col: str,
+                 lowercase: bool):
+        self.pats = [(" " + p + " ", " " + p.replace(" ", "") + " ")
+                     for p in merges]
+        self.text_col = text_col
+        self.lowercase = lowercase
+        self.cache: dict[str, int] = {}
+
+    def _word_tokens(self, w: str) -> int:
+        n = self.cache.get(w)
+        if n is None:
+            s = _pad(w)
+            for pat, rep in self.pats:
+                s = _merge(s, pat, rep)
+            n = len(s.split())
+            self.cache[w] = n
+        return n
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        s = df[self.text_col].astype(str)
+        if self.lowercase:
+            s = s.str.lower()
+        words = s.str.split()
+        counts = [sum(map(self._word_tokens, ws)) for ws in words]
+        out = df.drop(columns=[self.text_col]).copy()
+        out["n_bpe_tokens"] = pd.Series(counts, index=df.index,
+                                        dtype="int64")
+        return out
+
+
+def bpe_tokenize_counts(ds, merges: list[str], text_col: str = "text",
+                        lowercase: bool = True, concurrency: int = 4):
+    """Per-row trained-BPE token counts: ``merges`` (the ``pair``
+    column of :func:`bpe_train`) broadcast via the actor args, applied
+    with the SAME replace-sweep semantics as training."""
+    return ds.map_batches(_BpeTokenizer,
+                          fn_constructor_args=(merges, text_col,
+                                               lowercase),
+                          batch_format="pandas",
+                          concurrency=concurrency)
+
+
+def _train_ctes(num_merges: int, max_words: int, source: str,
+                text_col: str) -> str:
+    """The shared WITH-clause body replaying training round by round:
+    pair counts via list adjacency, argmax with the (count desc,
+    pair asc) tie-break, application as ``_SWEEPS`` nested
+    ``replace`` calls."""
     rounds = []
     for r in range(num_merges):
         prev = f"tok{r}"          # tok0 = initial symbolization
@@ -125,15 +175,12 @@ def bpe_train_sql(num_merges: int, max_words: int = 100_000,
                    i -> l[i] || ' ' || l[i + 1])) p
             FROM (SELECT cnt, string_split(trim(s, ' '), ' ') l
                   FROM {prev})) GROUP BY p),
-        best{r} AS (SELECT p AS pair, c FROM pairs{r}
+        best{r} AS MATERIALIZED (SELECT p AS pair, c FROM pairs{r}
                     ORDER BY c DESC, p LIMIT 1),
         tok{r + 1} AS (SELECT t.word, t.cnt, {s_expr} AS s
                        FROM {prev} t, best{r} b)""")
-    unions = "\nUNION ALL ".join(
-        f"SELECT {r} AS rank, pair, c AS pair_count FROM best{r}"
-        for r in range(num_merges))
     return f"""
-        WITH wc AS (
+        wc AS (
           SELECT word, count(*)::BIGINT cnt FROM (
             SELECT unnest(regexp_extract_all(lower({text_col}),
                    '\\S+')) word FROM {source})
@@ -142,6 +189,57 @@ def bpe_train_sql(num_merges: int, max_words: int = 100_000,
           SELECT word, cnt,
                  ' ' || array_to_string(regexp_extract_all(word, '.'),
                  ' ') || ' {_EOW} ' AS s
-          FROM wc),{",".join(rounds)}
+          FROM wc),{",".join(rounds)}"""
+
+
+def bpe_train_sql(num_merges: int, max_words: int = 100_000,
+                  source: str = "documents",
+                  text_col: str = "text") -> str:
+    """DuckDB replay of :func:`bpe_train` as unrolled CTEs."""
+    unions = "\nUNION ALL ".join(
+        f"SELECT {r} AS rank, pair, c AS pair_count FROM best{r}"
+        for r in range(num_merges))
+    return f"""
+        WITH {_train_ctes(num_merges, max_words, source, text_col)}
         SELECT * FROM ({unions}) ORDER BY rank
+    """
+
+
+def bpe_tokenize_sql(num_merges: int, max_words: int = 100_000,
+                     source: str = "documents",
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    """DuckDB replay of :func:`bpe_tokenize_counts` over a corpus
+    whose merges come from :func:`bpe_train` on the SAME corpus: the
+    training CTEs re-derive best0..best{n-1} (each MATERIALIZED once
+    and cross-joined as a one-row table — scalar subqueries here made
+    DuckDB inline the whole training chain per reference and exhaust
+    file handles), then every DISTINCT word is pushed through the
+    same ranked replace-sweep chain and token counts sum per
+    document."""
+    s_expr = "s"
+    for r in range(num_merges):
+        pat = f"' ' || b{r}.pair || ' '"
+        rep = f"' ' || replace(b{r}.pair, ' ', '') || ' '"
+        for _ in range(_SWEEPS):
+            s_expr = f"replace({s_expr}, {pat}, {rep})"
+    joins = ", ".join(f"best{r} b{r}" for r in range(num_merges))
+    return f"""
+        WITH {_train_ctes(num_merges, max_words, source, text_col)},
+        wpd AS MATERIALIZED (
+          SELECT {id_col}, unnest(regexp_extract_all(lower({text_col}),
+                 '\\S+')) word FROM {source}),
+        dw AS (SELECT DISTINCT word FROM wpd),
+        dtok AS (
+          SELECT word, len(string_split(trim({s_expr}, ' '), ' '))
+                 ::BIGINT AS n FROM (
+            SELECT word, ' ' || array_to_string(
+                   regexp_extract_all(word, '.'), ' ') || ' {_EOW} '
+                   AS s FROM dw), {joins}),
+        agg AS (SELECT w.{id_col}, sum(d.n) AS n
+                FROM wpd w JOIN dtok d USING (word)
+                GROUP BY w.{id_col})
+        SELECT src.{id_col}, coalesce(a.n, 0)::BIGINT AS n_bpe_tokens
+        FROM {source} src LEFT JOIN agg a USING ({id_col})
+        ORDER BY src.{id_col}
     """

@@ -384,3 +384,31 @@ def test_bpe_max_words_cap_is_deterministic(ray_session):
     b = bpe_train(rd.from_pandas(docs).repartition(4),
                   num_merges=3, max_words=2)
     assert a.equals(b)
+
+
+def test_bpe_tokenize_counts_matches_sql_and_caches(ray_session):
+    """Encode side: per-doc trained-BPE token counts equal the SQL
+    replay (incl. an empty doc), and the actor cache tokenizes each
+    distinct word once."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_bit_ray.dataops import bpe_tokenize_counts, bpe_train
+    from fluent_bit_ray.dataops.bpe import _BpeTokenizer, bpe_tokenize_sql
+
+    docs = pd.DataFrame({"doc_id": range(4), "text": [
+        "low lower lowest low low", "aaaaa aaa aa a",
+        "", "Banana BANANA bandana"]})
+    ds = rd.from_pandas(docs)
+    m = bpe_train(ds, num_merges=6, max_words=100)
+    got = (bpe_tokenize_counts(ds.repartition(2), m["pair"].tolist(),
+                               concurrency=2)
+           .to_pandas()[["doc_id", "n_bpe_tokens"]]
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = duckdb.sql(bpe_tokenize_sql(6, 100, source="docs")).df()
+    assert got["n_bpe_tokens"].astype(int).tolist() == \
+        exp["n_bpe_tokens"].astype(int).tolist()
+
+    tok = _BpeTokenizer(m["pair"].tolist(), "text", True)
+    tok(docs)
+    assert "low" in tok.cache and tok.cache["banana"] >= 1
