@@ -79,6 +79,8 @@ def bpe_train(ds, num_merges: int, text_col: str = "text",
     matter how big the corpus gets.
     """
     wc = _word_counts(ds, text_col, lowercase).to_pandas()
+    if wc.empty:          # empty corpus → Ray returns a column-less frame
+        return pd.DataFrame(columns=["rank", "pair", "pair_count"])
     wc = (wc.sort_values(["n", "word"], ascending=[False, True])
           .head(max_words))
     words = [_pad(w) for w in wc["word"]]
@@ -160,7 +162,11 @@ def _train_ctes(num_merges: int, max_words: int, source: str,
     """The shared WITH-clause body replaying training round by round:
     pair counts via list adjacency, argmax with the (count desc,
     pair asc) tie-break, application as ``_SWEEPS`` nested
-    ``replace`` calls."""
+    ``replace`` calls. ``bestp{r}`` pads an EXHAUSTED round (no pairs
+    left — the engine loop breaks there) with the single-space
+    sentinel pair, whose ``'   '`` pattern can never match a
+    single-space-joined symbol string, so downstream cross joins stay
+    1-row instead of wiping the table."""
     rounds = []
     for r in range(num_merges):
         prev = f"tok{r}"          # tok0 = initial symbolization
@@ -177,8 +183,12 @@ def _train_ctes(num_merges: int, max_words: int, source: str,
                   FROM {prev})) GROUP BY p),
         best{r} AS MATERIALIZED (SELECT p AS pair, c FROM pairs{r}
                     ORDER BY c DESC, p LIMIT 1),
+        bestp{r} AS MATERIALIZED (
+          SELECT pair FROM best{r}
+          UNION ALL
+          SELECT ' ' WHERE NOT EXISTS (SELECT 1 FROM best{r})),
         tok{r + 1} AS (SELECT t.word, t.cnt, {s_expr} AS s
-                       FROM {prev} t, best{r} b)""")
+                       FROM {prev} t, bestp{r} b)""")
     return f"""
         wc AS (
           SELECT word, count(*)::BIGINT cnt FROM (
@@ -223,7 +233,7 @@ def bpe_tokenize_sql(num_merges: int, max_words: int = 100_000,
         rep = f"' ' || replace(b{r}.pair, ' ', '') || ' '"
         for _ in range(_SWEEPS):
             s_expr = f"replace({s_expr}, {pat}, {rep})"
-    joins = ", ".join(f"best{r} b{r}" for r in range(num_merges))
+    joins = ", ".join(f"bestp{r} b{r}" for r in range(num_merges))
     return f"""
         WITH {_train_ctes(num_merges, max_words, source, text_col)},
         wpd AS MATERIALIZED (

@@ -412,3 +412,39 @@ def test_bpe_tokenize_counts_matches_sql_and_caches(ray_session):
     tok = _BpeTokenizer(m["pair"].tolist(), "text", True)
     tok(docs)
     assert "low" in tok.cache and tok.cache["banana"] >= 1
+
+
+def test_bpe_property_random_corpora_match_sql(ray_session):
+    """Hypothesis: train + encode equal the DuckDB replay on random
+    corpora over a tiny alphabet (forces ties, same-symbol runs, and
+    merged-symbol collisions)."""
+    import duckdb
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fluent_bit_ray.dataops import bpe_tokenize_counts, bpe_train
+    from fluent_bit_ray.dataops.bpe import bpe_tokenize_sql, bpe_train_sql
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6))
+    def run(texts):
+        docs = pd.DataFrame({"doc_id": range(len(texts)),
+                             "text": texts})
+        ds = rd.from_pandas(docs)
+        m = bpe_train(ds, num_merges=5, max_words=50)
+        exp_m = duckdb.sql(bpe_train_sql(5, 50, source="docs")).df()
+        assert m["pair"].tolist() == exp_m["pair"].tolist()
+        assert m["pair_count"].tolist() == exp_m["pair_count"].tolist()
+        got = (bpe_tokenize_counts(ds, m["pair"].tolist(),
+                                   concurrency=2)
+               .to_pandas()[["doc_id", "n_bpe_tokens"]]
+               .sort_values("doc_id"))
+        exp = duckdb.sql(bpe_tokenize_sql(5, 50, source="docs")).df()
+        assert got["n_bpe_tokens"].astype(int).tolist() == \
+            exp["n_bpe_tokens"].astype(int).tolist()
+
+    run()
