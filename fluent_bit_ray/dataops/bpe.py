@@ -44,7 +44,9 @@ def _word_counts(ds, text_col: str, lowercase: bool):
     from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[text_col].astype(str)
+        # null text contributes no words (SQL: regexp_extract_all(NULL)
+        # unnests to nothing), not the literal 'nan'/'None'
+        s = df[text_col].fillna("").astype(str)
         if lowercase:
             s = s.str.lower()
         vc = s.str.split().explode().dropna().value_counts()
@@ -134,7 +136,7 @@ class _BpeTokenizer:
         return n
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        s = df[self.text_col].astype(str)
+        s = df[self.text_col].fillna("").astype(str)
         if self.lowercase:
             s = s.str.lower()
         words = s.str.split()

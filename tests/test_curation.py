@@ -448,3 +448,25 @@ def test_bpe_property_random_corpora_match_sql(ray_session):
             exp["n_bpe_tokens"].astype(int).tolist()
 
     run()
+
+
+def test_bpe_null_text_counts_zero(ray_session):
+    """NULL text contributes no words on BOTH sides (SQL unnest of
+    regexp_extract_all(NULL) emits nothing)."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_bit_ray.dataops import bpe_tokenize_counts, bpe_train
+    from fluent_bit_ray.dataops.bpe import bpe_tokenize_sql
+
+    docs = pd.DataFrame({"doc_id": [0, 1],
+                         "text": pd.array([None, "nan nan ab"],
+                                          dtype="string")})
+    ds = rd.from_pandas(docs)
+    m = bpe_train(ds, num_merges=3, max_words=50)
+    got = (bpe_tokenize_counts(ds, m["pair"].tolist(), concurrency=2)
+           .to_pandas().sort_values("doc_id"))
+    exp = duckdb.sql(bpe_tokenize_sql(3, 50, source="docs")).df()
+    assert got["n_bpe_tokens"].astype(int).tolist() == \
+        exp["n_bpe_tokens"].astype(int).tolist()
+    assert got["n_bpe_tokens"].iloc[0] == 0
