@@ -1412,6 +1412,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["doc_id"] = out["doc_id"].astype("int64")
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def docs_bm25(sf_dir: str):
+        """Integer-quantized BM25 top-20 for a fixed query bag — the
+        ranked-retrieval upgrade of docs_keyword_topk: one stats pass
+        (df + doc lengths, ≤ terms+1 partial rows per block), broadcast
+        integer idf/avgdl, per-batch top-k partials; no shuffle
+        (dataops/search.py:bm25_topk — every factor milli-scaled with
+        floor division so the oracle replays it verbatim)."""
+        from fluent_bit_ray.dataops import bm25_topk
+        out = bm25_topk(_docs(sf_dir),
+                        ["hash", "window", "spark", "zzzmissing"], k=20)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    def docs_segdedup(sf_dir: str):
+        """C4-style keep-first cross-document segment dedup (10-word
+        windows): first occurrence of each distinct segment survives,
+        later occurrences are removed from their docs, emptied docs
+        drop. ONE 24-byte-row hash exchange + broadcast drop list —
+        text never transits (dataops/segdedup.py)."""
+        from fluent_bit_ray.dataops import segment_dedup
+        out = segment_dedup(_docs(sf_dir), words=10).to_pandas()
+        out = out[["doc_id", "text"]]
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def docs_split(sf_dir: str):
+        """Deterministic train/val/test split (98/1/1): md5-bucket
+        range per doc_id — no RNG, stateless batch map, identical at
+        any parallelism and on resume (curation.py:hash_split)."""
+        from fluent_bit_ray.dataops import hash_split
+        out = hash_split(_docs(sf_dir),
+                         {"train": 98, "val": 1, "test": 1}).to_pandas()
+        out = out[["doc_id", "split"]]
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out["split"] = out["split"].astype(str)
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    def doc_contamination(sf_dir: str):
+        """Graded decontamination: per-doc DISTINCT benchmark-gram hits,
+        total distinct grams, and the integer contamination fraction
+        (1000·hits)//grams — thresholdable overlap instead of a binary
+        flag; same broadcast Bloom+searchsorted membership pass as
+        doc_decontaminate."""
+        from fluent_bit_ray.dataops import (benchmark_ngram_hashes,
+                                            decontaminate)
+        docs = _docs(sf_dir)
+        bench = docs.map_batches(
+            lambda df: df[df["doc_id"] % 20 == 0], batch_format="pandas")
+        bh = benchmark_ngram_hashes(bench, ngram=5)
+        out = decontaminate(docs, bh, ngram=5).to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out = out[["doc_id", "n_hits", "n_grams", "overlap_milli"]]
+        return out.sort_values("doc_id").reset_index(drop=True)
+
     def doc_chunks(sf_dir: str):
         """Fixed word-window chunking (window 32, stride 24): the
         flat-map that turns documents into training-sequence chunks."""
@@ -1805,6 +1859,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shuffled": docs_shuffled,
         "bpe_merges": bpe_merges,
         "doc_bpe_tokens": doc_bpe_tokens,
+        # --- new in round-5 session 3 (never driver-checked) ---
+        "docs_bm25": docs_bm25,
+        "docs_segdedup": docs_segdedup,
+        "docs_split": docs_split,
+        "doc_contamination": doc_contamination,
         # --- driver-green in earlier rounds (fills the 50-slot gate) ---
         "config_grep_rows": config_grep_rows,
         "config_route_counts": config_route_counts,
@@ -2840,6 +2899,91 @@ def oracle_sql() -> dict[str, str]:
                    FROM tf JOIN dfreq USING (token) GROUP BY tf.doc_id)
             SELECT doc_id, score FROM sc WHERE score > 0
             ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # BM25, integer-quantized (search.py:bm25_topk): every factor
+        # milli-scaled with floor division — idf is the rational
+        # Robertson surrogate (1000·(N−df+1))//(df+1), k1=1200m,
+        # b=750m — so the SQL replays the exact integers
+        "docs_bm25": r"""
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+')) AS token
+                       FROM documents),
+            dl AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '\S+'))::BIGINT AS dl
+                   FROM documents),
+            stats AS (SELECT count(*)::BIGINT AS n,
+                             (1000*sum(dl))//count(*) AS avgdl_m FROM dl),
+            q AS (SELECT unnest(['hash','window','spark','zzzmissing']) AS term),
+            dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+                      FROM w WHERE token IN (SELECT term FROM q)
+                      GROUP BY token),
+            idf AS (SELECT token, (1000*(s.n - df + 1))//(df + 1) AS idf_m
+                    FROM dfreq, stats s),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM w WHERE token IN (SELECT term FROM q)
+                   GROUP BY doc_id, token),
+            contrib AS (SELECT tf.doc_id,
+                idf.idf_m * ((tf.tf*2200000)
+                  // (tf.tf*1000
+                      + (1200*(1000-750+(750*dl.dl*1000)//s.avgdl_m))//1000)) AS c
+                FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), stats s),
+            sc AS (SELECT doc_id, sum(c)::BIGINT AS score
+                   FROM contrib GROUP BY doc_id)
+            SELECT doc_id, score FROM sc WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # C4-style keep-first segment dedup: same 10-word windows
+        # (last partial window included), keep-first = row_number over
+        # (doc_id, seg_idx) per distinct segment STRING (the engine
+        # keys on an internal injective hash of the same string)
+        "docs_segdedup": r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                       FROM documents),
+            seg AS (SELECT doc_id,
+                           unnest(range(0, (len(ws)+9)//10)) AS seg_idx,
+                           unnest(list_transform(range(0, (len(ws)+9)//10),
+                                  i -> array_to_string(ws[i*10+1 : i*10+10],
+                                                       ' '))) AS seg
+                    FROM w WHERE len(ws) > 0),
+            keep AS (SELECT doc_id, seg_idx, seg,
+                            row_number() OVER (PARTITION BY seg
+                                ORDER BY doc_id, seg_idx) AS rn
+                     FROM seg)
+            SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text
+            FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+        """,
+        "docs_split": f"""
+            SELECT doc_id,
+              CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val'
+                   ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         {_h64_sql("md5(CAST(doc_id AS VARCHAR))")}
+                           % 100 AS b FROM documents)
+            ORDER BY doc_id
+        """,
+        # graded decontamination: doc_decontaminate's gram/hit CTEs
+        # plus per-doc distinct-gram totals and the milli fraction
+        "doc_contamination": rf"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                    CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+                    ELSE list_distinct(list_transform(range(1, len(ws) - 3),
+                         i -> array_to_string(ws[i:i+4], ' '))) END AS grams
+                   FROM w),
+            gcnt AS (SELECT doc_id, len(grams)::BIGINT AS n_grams FROM sh),
+            gx AS (SELECT DISTINCT doc_id, {_h64_sql('md5(s)')} AS h
+                   FROM (SELECT doc_id, unnest(grams) AS s FROM sh)),
+            bench AS (SELECT DISTINCT h FROM gx WHERE doc_id % 20 = 0),
+            hits AS (SELECT gx.doc_id, count(*)::BIGINT AS n_hits
+                     FROM gx JOIN bench USING (h) GROUP BY gx.doc_id)
+            SELECT d.doc_id, coalesce(hits.n_hits, 0)::BIGINT AS n_hits,
+                   gcnt.n_grams,
+                   (1000*coalesce(hits.n_hits, 0))
+                     // greatest(gcnt.n_grams, 1) AS overlap_milli
+            FROM documents d JOIN gcnt ON gcnt.doc_id = d.doc_id
+            LEFT JOIN hits ON hits.doc_id = d.doc_id
+            ORDER BY d.doc_id
         """,
         # decontamination: same 5-gram construction as the minhash
         # oracle's shingles (dataops/dedup._shingles), same h64 hash;

@@ -303,6 +303,17 @@ def run_bench() -> None:
         return len(keyword_search_topk(
             ds, ["hash", "window", "spark", "zzzmissing"], k=20))
 
+    def bench_bm25():
+        from fluent_bit_ray.dataops.search import bm25_topk
+        ds = rd.read_parquet(docs_heavy, columns=["doc_id", "text"])
+        return len(bm25_topk(
+            ds, ["hash", "window", "spark", "zzzmissing"], k=20))
+
+    def bench_segdedup():
+        from fluent_bit_ray.dataops.segdedup import segment_dedup
+        ds = rd.read_parquet(docs_heavy, columns=["doc_id", "text"])
+        return segment_dedup(ds, words=10).count()
+
     def bench_convs_curated():
         from fluent_bit_ray.dataops.sft import curate_transcripts
         ds = read_transcripts(sf_dir, columns=["conv_id", "turn_idx",
@@ -409,7 +420,9 @@ def run_bench() -> None:
                     ("dup_removed", bench_dup_removed),
                     ("normalize_text", bench_normalize),
                     ("epoch_shuffle", bench_epoch_shuffle),
-                    ("bpe_train", bench_bpe)]
+                    ("bpe_train", bench_bpe),
+                    ("bm25_topk", bench_bm25),
+                    ("segment_dedup", bench_segdedup)]
     if os.path.exists(f"{sf_dir}/orders.parquet"):
         benches += [("hash_join", bench_hash_join),
                     ("asof_join", bench_asof_join),

@@ -1,8 +1,10 @@
 from .textstats import (fingerprint_ds, langid_ds, normalize_ds,  # noqa: F401
                         quality_ds, token_count_ds, vocab_topk)
 from .redact import redact_ds  # noqa: F401
-from .search import document_frequencies, keyword_search_topk  # noqa: F401
+from .search import (bm25_topk, corpus_length_stats,  # noqa: F401
+                     document_frequencies, keyword_search_topk)
 from .boilerplate import boilerplate_keys, remove_boilerplate  # noqa: F401
+from .segdedup import segment_dedup, segment_drop_pairs  # noqa: F401
 from .cluster import (cluster_balanced_sample, kmeans,  # noqa: F401
                       kmeans_fit, semantic_dedup_pairs)
 from .classifier import quality_model_scores  # noqa: F401
@@ -37,6 +39,7 @@ from .curation import (  # noqa: F401
     grouped_topk,
     epoch_shuffle,
     hash_sample,
+    hash_split,
     mix_by_source,
     pack_sequences,
     repetition_stats,

@@ -95,21 +95,23 @@ def _bloom_bitmap(hashes: np.ndarray, bits: int = _BLOOM_BITS):
 
 
 def _gram_hit_counts(texts: list[str], bh: np.ndarray,
-                     bloom: np.ndarray, ngram: int) -> np.ndarray:
-    """Per-doc DISTINCT contaminated-gram counts — ONE membership pass
-    for the whole batch: concatenate all docs' gram sets, Bloom
-    pre-filter (one 8 MiB-bitmap load per gram resolves the ~90%
-    non-members), one searchsorted over the surviving minority,
-    per-doc counts via reduceat over the doc boundaries."""
+                     bloom: np.ndarray, ngram: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (DISTINCT contaminated-gram count, DISTINCT gram count)
+    — ONE membership pass for the whole batch: concatenate all docs'
+    gram sets, Bloom pre-filter (one 8 MiB-bitmap load per gram
+    resolves the ~90% non-members), one searchsorted over the
+    surviving minority, per-doc counts via reduceat over the doc
+    boundaries."""
     n = len(texts)
     n_hits = np.zeros(n, dtype=np.int64)
-    if not len(bh) or not n:
-        return n_hits
     sets = [_shingles(t, ngram) for t in texts]
     counts = np.fromiter((len(s) for s in sets), np.int64, count=n)
+    if not len(bh) or not n:
+        return n_hits, counts
     total = int(counts.sum())
     if not total:
-        return n_hits
+        return n_hits, counts
     allg = np.fromiter((h for s in sets for h in s), np.uint64,
                        count=total)
     pos = allg & np.uint64((1 << _BLOOM_BITS) - 1)
@@ -125,7 +127,7 @@ def _gram_hit_counts(texts: list[str], bh: np.ndarray,
     nz = counts > 0
     bounds = np.concatenate(([0], np.cumsum(counts[nz])[:-1]))
     n_hits[nz] = np.add.reduceat(hit, bounds)
-    return n_hits
+    return n_hits, counts
 
 
 def decontaminate(ds, bench_hashes: np.ndarray, key: str = "doc_id",
@@ -135,9 +137,13 @@ def decontaminate(ds, bench_hashes: np.ndarray, key: str = "doc_id",
     ``bench_hashes`` is the sorted uint64 array from
     :func:`benchmark_ngram_hashes`; it is ``ray.put`` once (plus an
     8 MiB Bloom pre-filter bitmap, see :func:`_bloom_bitmap`) and each
-    task reads both zero-copy. Returns Dataset[key, n_hits,
-    contaminated] where ``n_hits`` counts the DISTINCT contaminated
-    n-grams of the doc (``_shingles`` is a set).
+    task reads both zero-copy. Returns Dataset[key, n_hits, n_grams,
+    overlap_milli, contaminated] where ``n_hits`` counts the DISTINCT
+    contaminated n-grams of the doc (``_shingles`` is a set),
+    ``n_grams`` its total DISTINCT grams, and ``overlap_milli`` the
+    integer contamination fraction (1000·n_hits)//max(n_grams,1) —
+    the graded-decontamination signal (drop above a threshold instead
+    of on any single hit).
     """
     import ray
     bench_hashes = np.ascontiguousarray(bench_hashes, dtype=np.uint64)
@@ -145,11 +151,13 @@ def decontaminate(ds, bench_hashes: np.ndarray, key: str = "doc_id",
     bloom_ref = ray.put(_bloom_bitmap(bench_hashes))
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
-        n_hits = _gram_hit_counts(df[text_col].astype(str).tolist(),
-                                  ray.get(ref), ray.get(bloom_ref),
-                                  ngram)
-        return pd.DataFrame({key: df[key], "n_hits": n_hits,
-                             "contaminated": n_hits > 0})
+        n_hits, n_grams = _gram_hit_counts(
+            df[text_col].astype(str).tolist(),
+            ray.get(ref), ray.get(bloom_ref), ngram)
+        return pd.DataFrame(
+            {key: df[key], "n_hits": n_hits, "n_grams": n_grams,
+             "overlap_milli": (1000 * n_hits) // np.maximum(n_grams, 1),
+             "contaminated": n_hits > 0})
 
     return ds.map_batches(flag, batch_format="pandas")
 
@@ -170,6 +178,30 @@ def hash_sample(ds, rate_pct: int, key: str = "doc_id"):
         return df[_key_bucket(df[key]) < rate_pct]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def hash_split(ds, splits: dict[str, int], key: str = "doc_id",
+               split_col: str = "split"):
+    """Deterministic train/val/test assignment: ``splits`` maps split
+    name → percent (must sum to 100); a row's split is the first name
+    whose cumulative range contains its key bucket. Every training
+    pipeline's first decision — expressed as a stateless per-batch
+    map (no RNG, no shuffle, identical at any parallelism and on
+    resume; a doc keeps its split across reruns and corpus growth).
+    Dict INSERTION order defines the bucket ranges, so pass an
+    ordered spec: {"train": 98, "val": 1, "test": 1}."""
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percents must sum to 100: {splits}")
+    names = list(splits)
+    edges = np.cumsum([splits[n] for n in names])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        idx = np.searchsorted(edges, _key_bucket(df[key]), side="right")
+        df[split_col] = np.array(names, dtype=object)[idx]
+        return df
+
+    return ds.map_batches(assign, batch_format="pandas")
 
 
 def epoch_shuffle(ds, seed: int, key: str = "doc_id"):
@@ -381,7 +413,7 @@ def curate_corpus(ds, weights: dict[str, int], budget: int = 128,
         if len(bh_arr):
             # one batched Bloom-prefiltered membership pass
             # (see _gram_hit_counts)
-            n_hits = _gram_hit_counts(
+            n_hits, _ = _gram_hit_counts(
                 df[text_col].astype(str).tolist(), bh_arr,
                 ray.get(bloom_ref), ngram)
             df = df[n_hits == 0]

@@ -109,3 +109,115 @@ def keyword_search_topk(ds, terms: list[str], k: int = 20,
                             ascending=[False, True]).head(k)
     out["score"] = out["score"].astype("int64")
     return out.reset_index(drop=True)
+
+
+# ------------------------------------------------------------- BM25
+def corpus_length_stats(ds, terms: list[str], text_col: str = "text"
+                        ) -> tuple[int, int, dict[str, int]]:
+    """(n_docs, total_tokens, df-per-term) in ONE corpus pass.
+
+    Each block emits ≤ len(terms)+1 partial rows (term presence counts
+    plus one corpus-stats row), so the driver merge is
+    O((terms+1)·blocks) regardless of corpus size. Token = ``\\S+``
+    run, the split every textstats op shares with its oracles.
+    """
+    terms = list(dict.fromkeys(terms))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].astype(str).str.split()
+        dl = toks.str.len().fillna(0).to_numpy(dtype="int64")
+        pres = _term_tf(df, terms, text_col, per_doc=False)
+        vc = pres["token"].value_counts()
+        return pd.DataFrame(
+            {"token": list(vc.index.astype(str)) + [""],
+             "n": list(vc.to_numpy(dtype="int64")) + [len(df)],
+             "dl": [0] * len(vc) + [int(dl.sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    dfs = {t: 0 for t in terms}
+    n_docs = total = 0
+    if len(parts):
+        agg = parts.groupby("token")[["n", "dl"]].sum()
+        for t, row in agg.iterrows():
+            if t == "":
+                n_docs, total = int(row["n"]), int(row["dl"])
+            else:
+                dfs[str(t)] = int(row["n"])
+    return n_docs, total, dfs
+
+
+def bm25_topk(ds, terms: list[str], k: int = 20,
+              k1_milli: int = 1200, b_milli: int = 750,
+              text_col: str = "text", id_col: str = "doc_id"
+              ) -> pd.DataFrame:
+    """Top-k documents under an INTEGER-QUANTIZED BM25.
+
+    Classic BM25 needs ln() and float division — both drift between
+    engines — so every factor here is a milli-scaled integer with
+    floor division, replayed verbatim by the DuckDB oracle:
+
+        avgdl_m   = (1000 · Σ dl) // N
+        idf_m(t)  = (1000 · (N − df + 1)) // (df + 1)
+                    (Robertson-shaped rational idf surrogate — same
+                    monotonicity in df, no logarithm; documented
+                    deviation from the ln() form)
+        norm_m(d) = 1000 − b_m + (b_m · dl · 1000) // avgdl_m
+        tfc_m     = (tf · (k1_m + 1000) · 1000)
+                      // (tf · 1000 + (k1_m · norm_m) // 1000)
+        score(d)  = Σ_t idf_m(t) · tfc_m(t, d)   (score 0 dropped)
+
+    Defaults k1_m=1200, b_m=750 quantize the textbook k1=1.2, b=0.75.
+    Top-k by (score DESC, id ASC).
+
+    Scale shape mirrors :func:`keyword_search_topk`: one stats pass
+    (≤ terms+1 partial rows per block), then broadcast integer weights
+    and a score pass emitting ≤ k rows per block — no shuffle. int64
+    is safe while idf_m · tfc_m < 2⁶³: tfc_m ≤ (k1_m+1000)·1000, so
+    N/df may reach ~4·10⁹ before overflow — cap idf_m if a corpus
+    exceeds that.
+    """
+    n_docs, total, dfs = corpus_length_stats(ds, terms, text_col)
+    if not n_docs or not total:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="int64")})
+    avgdl_m = (1000 * total) // n_docs
+    idf = {t: (1000 * (n_docs - n + 1)) // (n + 1)
+           for t, n in dfs.items() if n > 0}
+    if not idf:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="int64")})
+    wterms = list(idf)
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="int64")})
+        tf = _term_tf(df, wterms, text_col, per_doc=True)
+        if not len(tf):
+            return empty
+        dl_all = (df[text_col].astype(str).str.split().str.len()
+                  .fillna(0).to_numpy(dtype="int64"))
+        rows = tf["row"].to_numpy(dtype="int64")
+        t_f = tf["tf"].to_numpy(dtype="int64")
+        dl = dl_all[rows]
+        idf_w = tf["token"].map(idf).to_numpy(dtype="int64")
+        norm_m = 1000 - b_milli + (b_milli * dl * 1000) // avgdl_m
+        tfc_m = (t_f * (k1_milli + 1000) * 1000) \
+            // (t_f * 1000 + (k1_milli * norm_m) // 1000)
+        tf["part"] = idf_w * tfc_m
+        sc = tf.groupby("row")["part"].sum()
+        ids = df[id_col]
+        out = pd.DataFrame({id_col: ids.iloc[sc.index].to_numpy(),
+                            "score": sc.to_numpy(dtype="int64")})
+        out = out[out["score"] > 0]
+        return out.sort_values(["score", id_col],
+                               ascending=[False, True]).head(k)
+
+    parts = ds.map_batches(score_partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="int64")})
+    out = parts.sort_values(["score", id_col],
+                            ascending=[False, True]).head(k)
+    out["score"] = out["score"].astype("int64")
+    return out.reset_index(drop=True)

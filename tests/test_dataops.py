@@ -1478,3 +1478,130 @@ def test_normalize_batch_matches_duckdb_oracle_on_unicode():
         FROM n ORDER BY doc_id""").df()
     assert got["norm_text"].tolist() == exp["norm_text"].tolist()
     assert got["norm_len"].tolist() == exp["norm_len"].tolist()
+
+
+# ------------------------------------------------------- BM25 (r5 s3)
+def test_bm25_topk_exact_and_ranking():
+    from fluent_bit_ray.dataops import bm25_topk, corpus_length_stats
+
+    texts = ["spark hash hash window", "window window", "hash",
+             "nothing here", "spark spark spark spark spark spark"]
+    n, total, dfs = corpus_length_stats(docs_ds(texts),
+                                        ["hash", "window", "ghost"])
+    assert (n, total) == (5, 15)
+    assert dfs == {"hash": 2, "window": 2, "ghost": 0}
+
+    out = bm25_topk(docs_ds(texts), ["hash", "window", "spark"], k=10)
+    # hand replay of the integer formula: avgdl_m = 15000//5 = 3000,
+    # idf_m = (1000*(5-2+1))//(2+1) = 1333 for every term (df=2 each)
+    def tfc(tf, dl):
+        norm = 1000 - 750 + (750 * dl * 1000) // 3000
+        return (tf * 2200000) // (tf * 1000 + (1200 * norm) // 1000)
+    exp = {0: 1333 * (tfc(2, 4) + tfc(1, 4) + tfc(1, 4)),
+           1: 1333 * tfc(2, 2),
+           2: 1333 * tfc(1, 1),
+           4: 1333 * tfc(6, 6)}
+    got = dict(zip(out["doc_id"].tolist(), out["score"].tolist()))
+    assert got == exp
+    # scores sorted desc, ties broken by id asc
+    assert out["score"].is_monotonic_decreasing
+
+    # saturation: tf 6 in a long doc must NOT score 6x tf 1 (BM25's
+    # point vs plain tf-idf)
+    assert got[4] < 6 * got[2]
+
+
+def test_bm25_block_independence_and_empty():
+    from fluent_bit_ray.dataops import bm25_topk
+
+    texts = [f"tok{i % 3} pad pad" for i in range(40)]
+    one = bm25_topk(docs_ds(texts), ["tok0", "tok1"], k=6)
+    many = bm25_topk(docs_ds(texts).repartition(11), ["tok0", "tok1"], k=6)
+    assert one.equals(many)
+
+    none = bm25_topk(docs_ds(["a b", "c"]), ["zzz"], k=5)
+    assert len(none) == 0 and list(none.columns) == ["doc_id", "score"]
+
+
+# ---------------------------------------------- segment dedup (r5 s3)
+def test_segment_dedup_keep_first_semantics():
+    from fluent_bit_ray.dataops import segment_dedup
+
+    seg_a = "a b c"                      # 3 words -> one segment at words=3
+    seg_b = "d e f"
+    texts = [seg_a + " " + seg_b,        # doc 0 owns both segments
+             seg_b + " " + seg_a,        # doc 1: both already seen -> drops
+             seg_a + " x y z",           # doc 2 keeps only its new segment
+             "p q"]                      # short doc: partial segment kept
+    out = segment_dedup(docs_ds(texts), words=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 2, 3]
+    assert out["text"].tolist() == ["a b c d e f", "x y z", "p q"]
+
+
+def test_segment_dedup_within_doc_and_partition_independence():
+    from fluent_bit_ray.dataops import segment_dedup
+
+    # repeat INSIDE one doc: second occurrence drops too (seg_idx order)
+    texts = ["m n o m n o", "fresh words here"]
+    out = segment_dedup(docs_ds(texts), words=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == ["m n o", "fresh words here"]
+
+    texts2 = [f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7}" for i in range(60)]
+    one = segment_dedup(docs_ds(texts2), words=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    many = segment_dedup(docs_ds(texts2).repartition(13), words=3) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert one.equals(many)
+
+
+# -------------------------------------------------- hash split (r5 s3)
+def test_hash_split_assignment():
+    import pytest
+
+    from fluent_bit_ray.dataops import hash_split
+    from fluent_bit_ray.dataops.curation import _key_bucket
+
+    texts = ["x"] * 200
+    out = hash_split(docs_ds(texts),
+                     {"train": 90, "val": 5, "test": 5}).to_pandas()
+    # every row assigned; buckets map to the cumulative ranges
+    b = _key_bucket(out["doc_id"])
+    exp = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+    assert (out["split"].to_numpy() == exp).all()
+
+    # parallelism-independent
+    two = hash_split(docs_ds(texts).repartition(9),
+                     {"train": 90, "val": 5, "test": 5}).to_pandas() \
+        .sort_values("doc_id")["split"].tolist()
+    assert two == out.sort_values("doc_id")["split"].tolist()
+
+    with pytest.raises(ValueError):
+        hash_split(docs_ds(texts), {"train": 50, "val": 10})
+
+
+# -------------------------------- contamination fraction (r5 s3)
+def test_decontaminate_overlap_fraction():
+    from fluent_bit_ray.dataops import benchmark_ngram_hashes, decontaminate
+
+    bench = docs_ds(["one two three"])          # < 5 words -> 1 gram
+    corpus = docs_ds(["one two three",          # full overlap (1/1)
+                      "one two three and much more text here now",
+                      "totally different words"])
+    bh = benchmark_ngram_hashes(bench, ngram=5)
+    out = decontaminate(corpus, bh, ngram=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_hits"].tolist()[0] == 1
+    assert out["overlap_milli"].tolist()[0] == 1000
+    # doc 1 has 5-grams (9 words -> 5 distinct grams), none equal to the
+    # bench's single whole-text gram
+    assert out["n_hits"].tolist()[1] == 0
+    assert out["n_grams"].tolist()[1] == 5
+    assert out["overlap_milli"].tolist()[2] == 0
+
+    # empty bench: zero hits, fraction 0, n_grams still populated
+    out2 = decontaminate(corpus, np.array([], dtype=np.uint64),
+                         ngram=5).to_pandas()
+    assert (out2["overlap_milli"] == 0).all()
+    assert (out2["n_grams"] > 0).all()
