@@ -1605,3 +1605,43 @@ def test_decontaminate_overlap_fraction():
                          ngram=5).to_pandas()
     assert (out2["overlap_milli"] == 0).all()
     assert (out2["n_grams"] > 0).all()
+
+
+def test_segment_dedup_hypothesis_vs_bruteforce():
+    """Hypothesis: the exchange+broadcast implementation equals a
+    serial keep-first reference on random corpora over a tiny word
+    alphabet (forces heavy cross-doc and within-doc collisions)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fluent_bit_ray.dataops import segment_dedup
+
+    word = st.sampled_from(["u", "v", "w"])
+    doc = st.lists(word, min_size=0, max_size=9).map(" ".join)
+
+    def brute(texts, words):
+        seen: set[str] = set()
+        out = {}
+        for i, t in enumerate(texts):
+            ws = t.split()
+            kept = []
+            for start in range(0, len(ws), words):
+                seg = " ".join(ws[start:start + words])
+                if seg not in seen:
+                    seen.add(seg)
+                    kept.append(seg)
+            if kept:
+                out[i] = " ".join(kept)
+        return out
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8),
+           st.integers(min_value=1, max_value=4))
+    def run(texts, words):
+        got = segment_dedup(docs_ds(texts), words=words).to_pandas()
+        # a fully-empty result loses its columns (Ray drops empty blocks)
+        got = dict(zip(got["doc_id"].astype(int), got["text"])) \
+            if len(got) else {}
+        assert got == brute(texts, words)
+
+    run()
