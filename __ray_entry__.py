@@ -1466,6 +1466,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[["doc_id", "n_hits", "n_grams", "overlap_milli"]]
         return out.sort_values("doc_id").reset_index(drop=True)
 
+    def docs_bpe_packed(sf_dir: str):
+        """THE training-prep pipeline, composed end-to-end: BPE train
+        (12 merges) → actor-pool tokenize (per-doc token counts) →
+        greedy per-source sequence packing on the BPE counts (budget
+        256). Only (source, doc_id, n_bpe_tokens) transits the packing
+        exchange; the oracle re-derives the merges, replays the encode
+        AND the packing recurrence in one SQL statement."""
+        from fluent_bit_ray.dataops import (bpe_tokenize_counts,
+                                            bpe_train, pack_sequences)
+        docs = _docs(sf_dir)
+        m = bpe_train(docs, num_merges=12, max_words=50_000)
+        counts = bpe_tokenize_counts(docs, m["pair"].tolist())
+        out = pack_sequences(counts, budget=256, group_col="source",
+                             n_col="n_bpe_tokens").to_pandas()
+        out["doc_id"] = out["doc_id"].astype("int64")
+        out = out[["source", "doc_id", "n_bpe_tokens", "bin_idx"]]
+        return out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+
     def doc_chunks(sf_dir: str):
         """Fixed word-window chunking (window 32, stride 24): the
         flat-map that turns documents into training-sequence chunks."""
@@ -1864,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_segdedup": docs_segdedup,
         "docs_split": docs_split,
         "doc_contamination": doc_contamination,
+        "docs_bpe_packed": docs_bpe_packed,
         # --- driver-green in earlier rounds (fills the 50-slot gate) ---
         "config_grep_rows": config_grep_rows,
         "config_route_counts": config_route_counts,
@@ -3033,6 +3052,30 @@ def oracle_sql() -> dict[str, str]:
         # CTEs: pair counts, argmax + tie-break, replace-sweep apply)
         "bpe_merges": bpe_train_sql(12, 50_000),
         "doc_bpe_tokens": bpe_tokenize_sql(12, 50_000),
+        # composed train→tokenize→pack: the tokenize replay feeds the
+        # docs_pack recursion (budget 256, per-source chains). The
+        # MATERIALIZED hint on d is load-bearing: without it DuckDB
+        # inlines the whole BPE training chain into every recursion step
+        "docs_bpe_packed": f"""
+            WITH RECURSIVE d AS MATERIALIZED (
+              SELECT s.source, t.doc_id, t.n_bpe_tokens AS n,
+                     row_number() OVER (PARTITION BY s.source
+                                        ORDER BY t.doc_id) AS rn
+              FROM ({bpe_tokenize_sql(12, 50_000)}) t
+              JOIN documents s USING (doc_id)),
+            r AS (SELECT source, doc_id, n, rn,
+                         0::BIGINT AS bin_idx, n AS cum
+                  FROM d WHERE rn = 1
+             UNION ALL
+             SELECT d.source, d.doc_id, d.n, d.rn,
+                    CASE WHEN r.cum + d.n <= 256 THEN r.bin_idx
+                         ELSE r.bin_idx + 1 END,
+                    CASE WHEN r.cum + d.n <= 256 THEN r.cum + d.n
+                         ELSE d.n END
+             FROM r JOIN d ON d.source = r.source AND d.rn = r.rn + 1)
+            SELECT source, doc_id, n AS n_bpe_tokens, bin_idx
+            FROM r ORDER BY source, doc_id
+        """,
         "doc_chunks": r"""
             WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
                        FROM documents),

@@ -507,7 +507,7 @@ def column_quantiles(ds, col: str, qs=(250, 500, 750, 900, 990),
 # ------------------------------------------------------------- packing
 def pack_sequences(ds, budget: int = 128, group_col: str = "source",
                    key: str = "doc_id", text_col: str = "text",
-                   shards: int = 1):
+                   shards: int = 1, n_col: str | None = None):
     """Greedy sequence packing: within each (group, shard), docs in
     ``key`` order fill bins of at most ``budget`` words; a doc that
     does not fit opens the next bin (an over-budget doc gets its own).
@@ -519,14 +519,21 @@ def pack_sequences(ds, budget: int = 128, group_col: str = "source",
     sequential per (group, shard) by nature; ``shards`` (key-hash
     split) bounds that serialization for hot groups at scale. The
     per-row kernel is integer-only (cumsum-with-reset).
+
+    ``n_col``: pack on a PRECOMPUTED per-row count column (e.g. BPE
+    token counts from an upstream tokenizer) instead of counting
+    ``text_col`` words; the output count column keeps that name.
     """
     from ..shuffle import coarse_group_apply
+
+    ncol = n_col or "n_words"
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame({
             group_col: df[group_col],
             key: df[key],
-            "n_words": df[text_col].astype(str).str.count(r"\S+")
+            ncol: df[n_col].to_numpy(dtype=np.int64) if n_col else
+            df[text_col].astype(str).str.count(r"\S+")
             .to_numpy(dtype=np.int64),
         })
         if shards > 1:
@@ -535,7 +542,7 @@ def pack_sequences(ds, budget: int = 128, group_col: str = "source",
 
     def pack(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(key, kind="mergesort").reset_index(drop=True)
-        n = g["n_words"].to_numpy()
+        n = g[ncol].to_numpy()
         bins = np.zeros(len(g), dtype=np.int64)
         b, cum = 0, 0
         for i, ni in enumerate(n):

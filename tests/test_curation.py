@@ -470,3 +470,29 @@ def test_bpe_null_text_counts_zero(ray_session):
     assert got["n_bpe_tokens"].astype(int).tolist() == \
         exp["n_bpe_tokens"].astype(int).tolist()
     assert got["n_bpe_tokens"].iloc[0] == 0
+
+
+def test_pack_sequences_precomputed_count_column(ray_session):
+    """n_col packs on a precomputed count instead of word-counting the
+    text, and keeps that column name in the output."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_bit_ray.dataops import pack_sequences
+
+    df = pd.DataFrame({"source": ["a"] * 4 + ["b"] * 2,
+                       "doc_id": [0, 1, 2, 3, 4, 5],
+                       "text": ["x"] * 6,     # would count 1 word each
+                       "n_tok": [60, 60, 60, 200, 90, 20]})
+    out = pack_sequences(rd.from_pandas(df), budget=128,
+                         n_col="n_tok").to_pandas() \
+        .sort_values(["source", "doc_id"]).reset_index(drop=True)
+    assert list(out.columns) == ["source", "doc_id", "n_tok", "bin_idx"]
+    # a: 60+60 fit (bin 0), 60 opens bin 1, 200 over-budget -> bin 2
+    assert out[out["source"] == "a"]["bin_idx"].tolist() == [0, 0, 1, 2]
+    # b: 90+20 fit one bin
+    assert out[out["source"] == "b"]["bin_idx"].tolist() == [0, 0]
+
+    # default path unchanged: counts text words
+    out2 = pack_sequences(rd.from_pandas(df), budget=128).to_pandas()
+    assert (out2["n_words"] == 1).all()
