@@ -22,4 +22,5 @@ PY
 case "${1:-all}" in
   G|all) run_chunk G_sf4 multiline,sft_pairs_refs,collapse_repeats,collapse_repeats_refs,convs_curated,convs_curated_refs,turn_gaps ;;&
   H|all) run_chunk H_sf4 dedup_exact_docs,minhash_pairs,simhash ;;&
+  J|all) run_chunk J_sf4 bm25_topk,segment_dedup ;;&  # r5 session-3 ops
 esac
