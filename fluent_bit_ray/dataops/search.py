@@ -30,8 +30,12 @@ import pandas as pd
 
 def _term_tf(df: pd.DataFrame, terms: list[str], text_col: str,
              per_doc: bool) -> pd.DataFrame:
-    """Token-exact term frequencies per row (or presence per row)."""
-    toks = df[text_col].astype(str).str.split().explode().dropna()
+    """Token-exact term frequencies per row (or presence per row).
+    NULL text contributes no tokens (fillna before astype — bare
+    astype(str) would mint a literal 'None' token, diverging from the
+    oracle's unnest(regexp_extract_all(NULL)) = nothing)."""
+    toks = (df[text_col].fillna("").astype(str)
+            .str.split().explode().dropna())
     hit = toks[toks.isin(terms)]
     if per_doc:
         tf = hit.groupby([hit.index, hit]).size()
@@ -124,7 +128,7 @@ def corpus_length_stats(ds, terms: list[str], text_col: str = "text"
     terms = list(dict.fromkeys(terms))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].astype(str).str.split()
+        toks = df[text_col].fillna("").astype(str).str.split()
         dl = toks.str.len().fillna(0).to_numpy(dtype="int64")
         pres = _term_tf(df, terms, text_col, per_doc=False)
         vc = pres["token"].value_counts()
@@ -195,8 +199,8 @@ def bm25_topk(ds, terms: list[str], k: int = 20,
         tf = _term_tf(df, wterms, text_col, per_doc=True)
         if not len(tf):
             return empty
-        dl_all = (df[text_col].astype(str).str.split().str.len()
-                  .fillna(0).to_numpy(dtype="int64"))
+        dl_all = (df[text_col].fillna("").astype(str).str.split()
+                  .str.len().fillna(0).to_numpy(dtype="int64"))
         rows = tf["row"].to_numpy(dtype="int64")
         t_f = tf["tf"].to_numpy(dtype="int64")
         dl = dl_all[rows]

@@ -54,7 +54,11 @@ def _segments(df: pd.DataFrame, key: str, text_col: str, words: int):
     ids_out: list = []
     idx_out: list[int] = []
     txt_out: list[str] = []
-    for kid, t in zip(df[key].tolist(), df[text_col].astype(str).tolist()):
+    # NULL text emits no segments (fillna first — astype(str) alone
+    # would mint the literal word 'None', unlike the oracle's
+    # regexp_extract_all(NULL) = NULL row excluded by len(ws) > 0)
+    for kid, t in zip(df[key].tolist(),
+                      df[text_col].fillna("").astype(str).tolist()):
         ws = t.split()
         for si, start in enumerate(range(0, len(ws), words)):
             ids_out.append(kid)

@@ -1645,3 +1645,60 @@ def test_segment_dedup_hypothesis_vs_bruteforce():
         assert got == brute(texts, words)
 
     run()
+
+
+def test_bm25_and_segdedup_null_text():
+    """NULL text contributes NO tokens/segments on both engine and
+    oracle paths (astype(str) alone would mint a literal 'None')."""
+    import duckdb
+    import pyarrow as pa
+
+    from fluent_bit_ray.dataops import bm25_topk, segment_dedup
+
+    def ds_with_null():
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["hash spark", None, "hash None"],
+                             type=pa.string())}))
+
+    # 'None' must appear as df=1 (doc 2's literal token), not df=2
+    out = bm25_topk(ds_with_null(), ["hash", "None"], k=10)
+    docs = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "text": ["hash spark", None, "hash None"]})
+    want = duckdb.sql(r"""
+        WITH w AS (SELECT doc_id,
+                          unnest(regexp_extract_all(text, '\S+')) AS token
+                   FROM docs),
+        dl AS (SELECT doc_id,
+                      len(regexp_extract_all(text, '\S+'))::BIGINT AS dl
+               FROM docs WHERE text IS NOT NULL
+               UNION ALL SELECT doc_id, 0 FROM docs WHERE text IS NULL),
+        stats AS (SELECT count(*)::BIGINT AS n,
+                         (1000*sum(dl))//count(*) AS avgdl_m FROM dl),
+        q AS (SELECT unnest(['hash','None']) AS term),
+        dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+                  FROM w WHERE token IN (SELECT term FROM q)
+                  GROUP BY token),
+        idf AS (SELECT token, (1000*(s.n - df + 1))//(df + 1) AS idf_m
+                FROM dfreq, stats s),
+        tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+               FROM w WHERE token IN (SELECT term FROM q)
+               GROUP BY doc_id, token),
+        contrib AS (SELECT tf.doc_id,
+            idf.idf_m * ((tf.tf*2200000)
+              // (tf.tf*1000
+                  + (1200*(1000-750+(750*dl.dl*1000)//s.avgdl_m))//1000)) AS c
+            FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), stats s),
+        sc AS (SELECT doc_id, sum(c)::BIGINT AS score
+               FROM contrib GROUP BY doc_id)
+        SELECT doc_id, score FROM sc WHERE score > 0
+        ORDER BY score DESC, doc_id
+    """).df()
+    assert out["doc_id"].tolist() == want["doc_id"].astype(int).tolist()
+    assert out["score"].tolist() == want["score"].astype(int).tolist()
+
+    # null doc vanishes from segdedup output; 'None' is doc 2's word only
+    sd = segment_dedup(ds_with_null(), words=2).to_pandas() \
+        .sort_values("doc_id")
+    assert sd["doc_id"].tolist() == [0, 2]
+    assert sd["text"].tolist() == ["hash spark", "hash None"]
