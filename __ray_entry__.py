@@ -1425,6 +1425,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["doc_id"] = out["doc_id"].astype("int64")
         return out
 
+    def docs_hybrid_search(sf_dir: str):
+        """Two-stage retrieval: BM25 candidate top-50 (no shuffle) →
+        embedding-cosine rerank against a fixed query vector
+        (vec_id 7) — candidate ids broadcast, embeddings table
+        streamed once with an isin filter, ≤50 rows reach the driver.
+        Output = top-10 by cosine (search.py:hybrid_search_topk)."""
+        import numpy as np
+
+        from fluent_bit_ray.dataops import hybrid_search_topk
+        import pyarrow.dataset as pads
+
+        docs = _docs(sf_dir)
+        embs = _embs(sf_dir)
+        # one predicate-pushdown row read for the query vector — no
+        # Dataset scan, no row UDF
+        qrow = pads.dataset(
+            f"{sf_dir.rstrip('/')}/embeddings.parquet").to_table(
+            columns=["embedding"],
+            filter=pads.field("vec_id") == 7)
+        qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+        out = hybrid_search_topk(
+            docs, embs, ["hash", "window", "spark", "zzzmissing"], qvec,
+            k_lex=50, k=10)
+        out["cos_r4"] = np.round(out["cosine"], 4)
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out[["doc_id", "score", "cos_r4"]].reset_index(drop=True)
+
     def docs_segdedup(sf_dir: str):
         """C4-style keep-first cross-document segment dedup (10-word
         windows): first occurrence of each distinct segment survives,
@@ -1883,6 +1910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": docs_split,
         "doc_contamination": doc_contamination,
         "docs_bpe_packed": docs_bpe_packed,
+        "docs_hybrid_search": docs_hybrid_search,
         # --- driver-green in earlier rounds (fills the 50-slot gate) ---
         "config_grep_rows": config_grep_rows,
         "config_route_counts": config_route_counts,
@@ -2950,6 +2978,45 @@ def oracle_sql() -> dict[str, str]:
                    FROM contrib GROUP BY doc_id)
             SELECT doc_id, score FROM sc WHERE score > 0
             ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # hybrid retrieval: the BM25 CTEs feed a 50-candidate rerank by
+        # cosine against vec_id 7's embedding (ann_topk's round-to-4
+        # float convention)
+        "docs_hybrid_search": r"""
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+')) AS token
+                       FROM documents),
+            dl AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '\S+'))::BIGINT AS dl
+                   FROM documents),
+            stats AS (SELECT count(*)::BIGINT AS n,
+                             (1000*sum(dl))//count(*) AS avgdl_m FROM dl),
+            q AS (SELECT unnest(['hash','window','spark','zzzmissing']) AS term),
+            dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+                      FROM w WHERE token IN (SELECT term FROM q)
+                      GROUP BY token),
+            idf AS (SELECT token, (1000*(s.n - df + 1))//(df + 1) AS idf_m
+                    FROM dfreq, stats s),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM w WHERE token IN (SELECT term FROM q)
+                   GROUP BY doc_id, token),
+            contrib AS (SELECT tf.doc_id,
+                idf.idf_m * ((tf.tf*2200000)
+                  // (tf.tf*1000
+                      + (1200*(1000-750+(750*dl.dl*1000)//s.avgdl_m))//1000)) AS c
+                FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), stats s),
+            sc AS (SELECT doc_id, sum(c)::BIGINT AS score
+                   FROM contrib GROUP BY doc_id),
+            cand AS (SELECT doc_id, score FROM sc WHERE score > 0
+                     ORDER BY score DESC, doc_id LIMIT 50),
+            qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+            rer AS (SELECT c.doc_id, c.score,
+                           list_cosine_similarity(e.embedding, qv.qe) AS cos
+                    FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id, qv),
+            top AS (SELECT *, row_number() OVER (ORDER BY cos DESC, doc_id)
+                           AS rk FROM rer)
+            SELECT doc_id, score, round(cos::DOUBLE, 4) AS cos_r4
+            FROM top WHERE rk <= 10 ORDER BY doc_id
         """,
         # C4-style keep-first segment dedup: same 10-word windows
         # (last partial window included), keep-first = row_number over

@@ -2,7 +2,8 @@ from .textstats import (fingerprint_ds, langid_ds, normalize_ds,  # noqa: F401
                         quality_ds, token_count_ds, vocab_topk)
 from .redact import redact_ds  # noqa: F401
 from .search import (bm25_topk, corpus_length_stats,  # noqa: F401
-                     document_frequencies, keyword_search_topk)
+                     document_frequencies, hybrid_search_topk,
+                     keyword_search_topk)
 from .boilerplate import boilerplate_keys, remove_boilerplate  # noqa: F401
 from .segdedup import segment_dedup, segment_drop_pairs  # noqa: F401
 from .cluster import (cluster_balanced_sample, kmeans,  # noqa: F401

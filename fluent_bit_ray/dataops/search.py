@@ -115,6 +115,55 @@ def keyword_search_topk(ds, terms: list[str], k: int = 20,
     return out.reset_index(drop=True)
 
 
+# -------------------------------------------------- hybrid retrieval
+def hybrid_search_topk(docs, embs, terms: list[str], query_vec,
+                       k_lex: int = 50, k: int = 10,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       vec_id_col: str = "vec_id",
+                       emb_col: str = "embedding") -> pd.DataFrame:
+    """Two-stage retrieval: BM25 candidate generation → embedding
+    cosine rerank (the standard lexical-recall / semantic-precision
+    hybrid). Returns (id_col, score, cosine) for the top-``k``
+    candidates by cosine (ties → id ASC), sorted by id.
+
+    Scale shape: stage 1 is :func:`bm25_topk` (no shuffle, ≤ k_lex
+    driver rows); the candidate id set and the query vector broadcast
+    via ``ray.put``; stage 2 streams the embeddings table ONCE with a
+    vectorized isin filter emitting ≤ k_lex total rows — no shuffle,
+    no join exchange. Cosine is float64 over the candidate set only
+    (k_lex rows), matching the ann_topk oracle convention (DuckDB
+    list_cosine_similarity, compared at 4 decimals).
+    """
+    import ray
+
+    cand = bm25_topk(docs, terms, k=k_lex, text_col=text_col,
+                     id_col=id_col)
+    empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+    if not len(cand):
+        return empty
+    ids = np.sort(cand[id_col].to_numpy(dtype="int64"))
+    ids_ref = ray.put(ids)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        sel = df[df[vec_id_col].isin(ray.get(ids_ref))]
+        return sel[[vec_id_col, emb_col]]
+
+    sub = embs.map_batches(pick, batch_format="pandas").to_pandas()
+    if not len(sub):
+        return empty
+    mat = np.stack(sub[emb_col].to_numpy()).astype(np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    rer = pd.DataFrame({id_col: sub[vec_id_col].to_numpy(dtype="int64"),
+                        "cosine": cos})
+    out = cand.merge(rer, on=id_col, how="inner")
+    out = out.sort_values(["cosine", id_col],
+                          ascending=[False, True]).head(k)
+    return out.sort_values(id_col).reset_index(drop=True)
+
+
 # ------------------------------------------------------------- BM25
 def corpus_length_stats(ds, terms: list[str], text_col: str = "text"
                         ) -> tuple[int, int, dict[str, int]]:

@@ -1702,3 +1702,36 @@ def test_bm25_and_segdedup_null_text():
         .sort_values("doc_id")
     assert sd["doc_id"].tolist() == [0, 2]
     assert sd["text"].tolist() == ["hash spark", "hash None"]
+
+
+def test_hybrid_search_rerank_semantics():
+    """Stage-1 BM25 restricts the candidate set; stage-2 orders by
+    cosine, not by lexical score."""
+    import pyarrow as pa
+
+    from fluent_bit_ray.dataops import hybrid_search_topk
+
+    texts = ["spark spark spark",   # top lexical
+             "spark",               # weaker lexical
+             "spark hash",          # lexical middle
+             "nothing relevant"]    # no hit -> never a candidate
+    embs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0],
+                               [0.7, 0.7], [0.0, -1.0]],
+                              type=pa.list_(pa.float32()))}))
+    q = [0.0, 1.0]
+    out = hybrid_search_topk(docs_ds(texts), embs, ["spark", "hash"],
+                             q, k_lex=3, k=2)
+    # doc 1 (cos 1.0) and doc 2 (cos ~0.707) outrank doc 0 (cos 0)
+    # despite doc 0's highest BM25; doc 3 is excluded at stage 1
+    assert sorted(out["doc_id"].tolist()) == [1, 2]
+    best = out.sort_values("cosine", ascending=False)
+    assert best["doc_id"].tolist() == [1, 2]
+    assert (out["score"] > 0).all()
+
+    # k_lex=1 keeps only the lexical best (doc 2 — 'hash' is the rare
+    # term, idf 2000 vs spark's 500) -> rerank can't resurrect others
+    only = hybrid_search_topk(docs_ds(texts), embs, ["spark", "hash"],
+                              q, k_lex=1, k=2)
+    assert only["doc_id"].tolist() == [2]
