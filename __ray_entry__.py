@@ -2959,7 +2959,7 @@ def oracle_sql() -> dict[str, str]:
                           len(regexp_extract_all(text, '\S+'))::BIGINT AS dl
                    FROM documents),
             stats AS (SELECT count(*)::BIGINT AS n,
-                             (1000*sum(dl))//count(*) AS avgdl_m FROM dl),
+                             greatest((1000*sum(dl))//count(*), 1) AS avgdl_m FROM dl),
             q AS (SELECT unnest(['hash','window','spark','zzzmissing']) AS term),
             dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
                       FROM w WHERE token IN (SELECT term FROM q)
@@ -2990,7 +2990,7 @@ def oracle_sql() -> dict[str, str]:
                           len(regexp_extract_all(text, '\S+'))::BIGINT AS dl
                    FROM documents),
             stats AS (SELECT count(*)::BIGINT AS n,
-                             (1000*sum(dl))//count(*) AS avgdl_m FROM dl),
+                             greatest((1000*sum(dl))//count(*), 1) AS avgdl_m FROM dl),
             q AS (SELECT unnest(['hash','window','spark','zzzmissing']) AS term),
             dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
                       FROM w WHERE token IN (SELECT term FROM q)

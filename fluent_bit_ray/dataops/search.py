@@ -233,7 +233,10 @@ def bm25_topk(ds, terms: list[str], k: int = 20,
     if not n_docs or not total:
         return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                              "score": pd.Series([], dtype="int64")})
-    avgdl_m = (1000 * total) // n_docs
+    # clamp: a corpus that is almost entirely empty docs can floor the
+    # milli average length to 0 (div-by-zero in norm_m); the oracle
+    # applies the same greatest(..., 1)
+    avgdl_m = max(1, (1000 * total) // n_docs)
     idf = {t: (1000 * (n_docs - n + 1)) // (n + 1)
            for t, n in dfs.items() if n > 0}
     if not idf:

@@ -1674,7 +1674,7 @@ def test_bm25_and_segdedup_null_text():
                FROM docs WHERE text IS NOT NULL
                UNION ALL SELECT doc_id, 0 FROM docs WHERE text IS NULL),
         stats AS (SELECT count(*)::BIGINT AS n,
-                         (1000*sum(dl))//count(*) AS avgdl_m FROM dl),
+                         greatest((1000*sum(dl))//count(*), 1) AS avgdl_m FROM dl),
         q AS (SELECT unnest(['hash','None']) AS term),
         dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
                   FROM w WHERE token IN (SELECT term FROM q)
@@ -1735,3 +1735,57 @@ def test_hybrid_search_rerank_semantics():
     only = hybrid_search_topk(docs_ds(texts), embs, ["spark", "hash"],
                               q, k_lex=1, k=2)
     assert only["doc_id"].tolist() == [2]
+
+
+def test_bm25_hypothesis_vs_sql():
+    """Hypothesis: the distributed integer BM25 equals the DuckDB
+    replay on random corpora over a tiny vocabulary (forces df=N
+    saturation, idf ties, empty docs, and length skew)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fluent_bit_ray.dataops import bm25_topk
+
+    word = st.sampled_from(["hash", "spark", "pad"])
+    doc = st.lists(word, min_size=0, max_size=7).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8))
+    def run(texts):
+        got = bm25_topk(docs_ds(texts), ["hash", "spark", "ghost"], k=20)
+        docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        want = duckdb.sql(r"""
+            WITH w AS (SELECT doc_id,
+                              unnest(regexp_extract_all(text, '\S+')) AS token
+                       FROM docs),
+            dl AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '\S+'))::BIGINT AS dl
+                   FROM docs),
+            stats AS (SELECT count(*)::BIGINT AS n,
+                             greatest((1000*sum(dl))//count(*), 1) AS avgdl_m FROM dl),
+            q AS (SELECT unnest(['hash','spark','ghost']) AS term),
+            dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+                      FROM w WHERE token IN (SELECT term FROM q)
+                      GROUP BY token),
+            idf AS (SELECT token, (1000*(s.n - df + 1))//(df + 1) AS idf_m
+                    FROM dfreq, stats s),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM w WHERE token IN (SELECT term FROM q)
+                   GROUP BY doc_id, token),
+            contrib AS (SELECT tf.doc_id,
+                idf.idf_m * ((tf.tf*2200000)
+                  // (tf.tf*1000
+                      + (1200*(1000-750+(750*dl.dl*1000)//s.avgdl_m))//1000))
+                  AS c
+                FROM tf JOIN idf USING (token) JOIN dl USING (doc_id),
+                     stats s),
+            sc AS (SELECT doc_id, sum(c)::BIGINT AS score
+                   FROM contrib GROUP BY doc_id)
+            SELECT doc_id, score FROM sc WHERE score > 0
+            ORDER BY score DESC, doc_id LIMIT 20
+        """).df()
+        assert got["doc_id"].tolist() == want["doc_id"].astype(int).tolist()
+        assert got["score"].tolist() == want["score"].astype(int).tolist()
+
+    run()
