@@ -461,8 +461,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         normalize_ds, quality_ds,
                                         simhash_ds, token_count_ds)
 
-    def _docs(sf_dir: str):
-        return rd.read_parquet(f"{sf_dir}/documents.parquet")
+    def _docs(sf_dir: str, columns=None):
+        # columns= prunes at the read (only requested columns leave
+        # storage) — pass it wherever a query touches a subset
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=columns)
 
     def _embs(sf_dir: str):
         return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -1353,7 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         broadcast semi-join (no shuffle, corpus streams)."""
         from fluent_bit_ray.dataops import (benchmark_ngram_hashes,
                                             decontaminate)
-        docs = _docs(sf_dir)
+        docs = _docs(sf_dir, columns=["doc_id", "text"])
         bench = docs.map_batches(
             lambda df: df[df["doc_id"] % 20 == 0], batch_format="pandas")
         bh = benchmark_ngram_hashes(bench, ngram=5)
@@ -1420,7 +1423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         (dataops/search.py:bm25_topk — every factor milli-scaled with
         floor division so the oracle replays it verbatim)."""
         from fluent_bit_ray.dataops import bm25_topk
-        out = bm25_topk(_docs(sf_dir),
+        out = bm25_topk(_docs(sf_dir, columns=["doc_id", "text"]),
                         ["hash", "window", "spark", "zzzmissing"], k=20)
         out["doc_id"] = out["doc_id"].astype("int64")
         return out
@@ -1436,7 +1439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from fluent_bit_ray.dataops import hybrid_search_topk
         import pyarrow.dataset as pads
 
-        docs = _docs(sf_dir)
+        docs = _docs(sf_dir, columns=["doc_id", "text"])
         embs = _embs(sf_dir)
         # one predicate-pushdown row read for the query vector — no
         # Dataset scan, no row UDF
@@ -1459,7 +1462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         drop. ONE 24-byte-row hash exchange + broadcast drop list —
         text never transits (dataops/segdedup.py)."""
         from fluent_bit_ray.dataops import segment_dedup
-        out = segment_dedup(_docs(sf_dir), words=10).to_pandas()
+        out = segment_dedup(_docs(sf_dir, columns=["doc_id", "text"]),
+                            words=10).to_pandas()
         out = out[["doc_id", "text"]]
         out["doc_id"] = out["doc_id"].astype("int64")
         return out.sort_values("doc_id").reset_index(drop=True)
@@ -1469,7 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         range per doc_id — no RNG, stateless batch map, identical at
         any parallelism and on resume (curation.py:hash_split)."""
         from fluent_bit_ray.dataops import hash_split
-        out = hash_split(_docs(sf_dir),
+        out = hash_split(_docs(sf_dir, columns=["doc_id"]),
                          {"train": 98, "val": 1, "test": 1}).to_pandas()
         out = out[["doc_id", "split"]]
         out["doc_id"] = out["doc_id"].astype("int64")
@@ -1484,7 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         doc_decontaminate."""
         from fluent_bit_ray.dataops import (benchmark_ngram_hashes,
                                             decontaminate)
-        docs = _docs(sf_dir)
+        docs = _docs(sf_dir, columns=["doc_id", "text"])
         bench = docs.map_batches(
             lambda df: df[df["doc_id"] % 20 == 0], batch_format="pandas")
         bh = benchmark_ngram_hashes(bench, ngram=5)
@@ -1502,7 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         AND the packing recurrence in one SQL statement."""
         from fluent_bit_ray.dataops import (bpe_tokenize_counts,
                                             bpe_train, pack_sequences)
-        docs = _docs(sf_dir)
+        docs = _docs(sf_dir, columns=["source", "doc_id", "text"])
         m = bpe_train(docs, num_merges=12, max_words=50_000)
         counts = bpe_tokenize_counts(docs, m["pair"].tolist())
         out = pack_sequences(counts, budget=256, group_col="source",
