@@ -467,8 +467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=columns)
 
-    def _embs(sf_dir: str):
-        return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    def _embs(sf_dir: str, columns=None):
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=columns)
 
     def dedup_exact_transcripts(sf_dir: str):
         """Exact dedup over the 60k-row transcript text column:
@@ -1440,7 +1441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow.dataset as pads
 
         docs = _docs(sf_dir, columns=["doc_id", "text"])
-        embs = _embs(sf_dir)
+        embs = _embs(sf_dir, columns=["vec_id", "embedding"])
         # one predicate-pushdown row read for the query vector — no
         # Dataset scan, no row UDF
         qrow = pads.dataset(
