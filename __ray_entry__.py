@@ -2286,6 +2286,36 @@ def _tf_oracle_sql() -> str:
     """
 
 
+# integer-quantized BM25 CTE chain (search.py:bm25_topk replayed in SQL)
+# — shared by the docs_bm25 and docs_hybrid_search oracles so the
+# formula can never drift between them
+_BM25_CTES = r"""w AS (SELECT doc_id,
+                      unnest(regexp_extract_all(text, '\S+')) AS token
+               FROM documents),
+    dl AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '\S+'))::BIGINT AS dl
+           FROM documents),
+    stats AS (SELECT count(*)::BIGINT AS n,
+                     greatest((1000*sum(dl))//count(*), 1) AS avgdl_m
+              FROM dl),
+    q AS (SELECT unnest(['hash','window','spark','zzzmissing']) AS term),
+    dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+              FROM w WHERE token IN (SELECT term FROM q)
+              GROUP BY token),
+    idf AS (SELECT token, (1000*(s.n - df + 1))//(df + 1) AS idf_m
+            FROM dfreq, stats s),
+    tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+           FROM w WHERE token IN (SELECT term FROM q)
+           GROUP BY doc_id, token),
+    contrib AS (SELECT tf.doc_id,
+        idf.idf_m * ((tf.tf*2200000)
+          // (tf.tf*1000
+              + (1200*(1000-750+(750*dl.dl*1000)//s.avgdl_m))//1000)) AS c
+        FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), stats s),
+    sc AS (SELECT doc_id, sum(c)::BIGINT AS score
+           FROM contrib GROUP BY doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     from fluent_bit_ray.dataops.bpe import (bpe_tokenize_sql,
                                             bpe_train_sql)
@@ -2956,62 +2986,16 @@ def oracle_sql() -> dict[str, str]:
         # milli-scaled with floor division — idf is the rational
         # Robertson surrogate (1000·(N−df+1))//(df+1), k1=1200m,
         # b=750m — so the SQL replays the exact integers
-        "docs_bm25": r"""
-            WITH w AS (SELECT doc_id,
-                              unnest(regexp_extract_all(text, '\S+')) AS token
-                       FROM documents),
-            dl AS (SELECT doc_id,
-                          len(regexp_extract_all(text, '\S+'))::BIGINT AS dl
-                   FROM documents),
-            stats AS (SELECT count(*)::BIGINT AS n,
-                             greatest((1000*sum(dl))//count(*), 1) AS avgdl_m FROM dl),
-            q AS (SELECT unnest(['hash','window','spark','zzzmissing']) AS term),
-            dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
-                      FROM w WHERE token IN (SELECT term FROM q)
-                      GROUP BY token),
-            idf AS (SELECT token, (1000*(s.n - df + 1))//(df + 1) AS idf_m
-                    FROM dfreq, stats s),
-            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
-                   FROM w WHERE token IN (SELECT term FROM q)
-                   GROUP BY doc_id, token),
-            contrib AS (SELECT tf.doc_id,
-                idf.idf_m * ((tf.tf*2200000)
-                  // (tf.tf*1000
-                      + (1200*(1000-750+(750*dl.dl*1000)//s.avgdl_m))//1000)) AS c
-                FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), stats s),
-            sc AS (SELECT doc_id, sum(c)::BIGINT AS score
-                   FROM contrib GROUP BY doc_id)
+        "docs_bm25": f"""
+            WITH {_BM25_CTES}
             SELECT doc_id, score FROM sc WHERE score > 0
             ORDER BY score DESC, doc_id LIMIT 20
         """,
         # hybrid retrieval: the BM25 CTEs feed a 50-candidate rerank by
         # cosine against vec_id 7's embedding (ann_topk's round-to-4
         # float convention)
-        "docs_hybrid_search": r"""
-            WITH w AS (SELECT doc_id,
-                              unnest(regexp_extract_all(text, '\S+')) AS token
-                       FROM documents),
-            dl AS (SELECT doc_id,
-                          len(regexp_extract_all(text, '\S+'))::BIGINT AS dl
-                   FROM documents),
-            stats AS (SELECT count(*)::BIGINT AS n,
-                             greatest((1000*sum(dl))//count(*), 1) AS avgdl_m FROM dl),
-            q AS (SELECT unnest(['hash','window','spark','zzzmissing']) AS term),
-            dfreq AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
-                      FROM w WHERE token IN (SELECT term FROM q)
-                      GROUP BY token),
-            idf AS (SELECT token, (1000*(s.n - df + 1))//(df + 1) AS idf_m
-                    FROM dfreq, stats s),
-            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
-                   FROM w WHERE token IN (SELECT term FROM q)
-                   GROUP BY doc_id, token),
-            contrib AS (SELECT tf.doc_id,
-                idf.idf_m * ((tf.tf*2200000)
-                  // (tf.tf*1000
-                      + (1200*(1000-750+(750*dl.dl*1000)//s.avgdl_m))//1000)) AS c
-                FROM tf JOIN idf USING (token) JOIN dl USING (doc_id), stats s),
-            sc AS (SELECT doc_id, sum(c)::BIGINT AS score
-                   FROM contrib GROUP BY doc_id),
+        "docs_hybrid_search": f"""
+            WITH {_BM25_CTES},
             cand AS (SELECT doc_id, score FROM sc WHERE score > 0
                      ORDER BY score DESC, doc_id LIMIT 50),
             qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
@@ -3055,7 +3039,9 @@ def oracle_sql() -> dict[str, str]:
         # graded decontamination: doc_decontaminate's gram/hit CTEs
         # plus per-doc distinct-gram totals and the milli fraction
         "doc_contamination": rf"""
-            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(coalesce(text, ''),
+                                                 '\S+') AS ws
                        FROM documents),
             sh AS (SELECT doc_id,
                     CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
@@ -3080,7 +3066,9 @@ def oracle_sql() -> dict[str, str]:
         # oracle's shingles (dataops/dedup._shingles), same h64 hash;
         # n_hits counts DISTINCT contaminated gram hashes per doc
         "doc_decontaminate": rf"""
-            WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(coalesce(text, ''),
+                                                 '\S+') AS ws
                        FROM documents),
             sh AS (SELECT doc_id,
                     CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]

@@ -59,7 +59,9 @@ def benchmark_ngram_hashes(bench_ds, text_col: str = "text",
     """
     def part(df: pd.DataFrame) -> pd.DataFrame:
         hs: set[int] = set()
-        for t in df[text_col].astype(str):
+        # NULL text = empty string (oracle: coalesce(text, '')) — bare
+        # astype(str) would mint a literal 'None' gram
+        for t in df[text_col].fillna("").astype(str):
             hs |= _shingles(t, ngram)
         arr = np.fromiter(hs, dtype=np.uint64, count=len(hs))
         return pd.DataFrame({"h": arr.view(np.int64)})
@@ -152,7 +154,7 @@ def decontaminate(ds, bench_hashes: np.ndarray, key: str = "doc_id",
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
         n_hits, n_grams = _gram_hit_counts(
-            df[text_col].astype(str).tolist(),
+            df[text_col].fillna("").astype(str).tolist(),
             ray.get(ref), ray.get(bloom_ref), ngram)
         return pd.DataFrame(
             {key: df[key], "n_hits": n_hits, "n_grams": n_grams,
@@ -192,6 +194,11 @@ def hash_split(ds, splits: dict[str, int], key: str = "doc_id",
     ordered spec: {"train": 98, "val": 1, "test": 1}."""
     if sum(splits.values()) != 100:
         raise ValueError(f"split percents must sum to 100: {splits}")
+    if any(v <= 0 for v in splits.values()):
+        # a negative entry would make the cumulative edges non-monotonic
+        # and searchsorted would misassign silently; a zero entry is a
+        # split no row can ever land in — both are caller mistakes
+        raise ValueError(f"split percents must be positive: {splits}")
     names = list(splits)
     edges = np.cumsum([splits[n] for n in names])
 

@@ -28,14 +28,23 @@ import numpy as np
 import pandas as pd
 
 
+def _split_col(df: pd.DataFrame, text_col: str) -> pd.Series:
+    """Whitespace-token lists per row. NULL text contributes no tokens
+    (fillna before astype — bare astype(str) would mint a literal
+    'None' token, diverging from the oracle's
+    unnest(regexp_extract_all(NULL)) = nothing)."""
+    return df[text_col].fillna("").astype(str).str.split()
+
+
 def _term_tf(df: pd.DataFrame, terms: list[str], text_col: str,
-             per_doc: bool) -> pd.DataFrame:
+             per_doc: bool, split: pd.Series | None = None
+             ) -> pd.DataFrame:
     """Token-exact term frequencies per row (or presence per row).
-    NULL text contributes no tokens (fillna before astype — bare
-    astype(str) would mint a literal 'None' token, diverging from the
-    oracle's unnest(regexp_extract_all(NULL)) = nothing)."""
-    toks = (df[text_col].fillna("").astype(str)
-            .str.split().explode().dropna())
+    ``split``: reuse an already-tokenized column (the BM25 passes
+    also need per-row lengths — splitting is their dominant string
+    cost, so it is paid once per batch)."""
+    words = split if split is not None else _split_col(df, text_col)
+    toks = words.explode().dropna()
     hit = toks[toks.isin(terms)]
     if per_doc:
         tf = hit.groupby([hit.index, hit]).size()
@@ -132,7 +141,11 @@ def hybrid_search_topk(docs, embs, terms: list[str], query_vec,
     vectorized isin filter emitting ≤ k_lex total rows — no shuffle,
     no join exchange. Cosine is float64 over the candidate set only
     (k_lex rows), matching the ann_topk oracle convention (DuckDB
-    list_cosine_similarity, compared at 4 decimals).
+    list_cosine_similarity, compared at 4 decimals). Known shared
+    caveat with ann_topk: the top-k CUT uses each side's unrounded
+    value, so two candidates whose cosines differ by less than
+    float32 epsilon straddling rank k could select different rows —
+    data-dependent, not observed at either gate scale.
     """
     import ray
 
@@ -177,9 +190,9 @@ def corpus_length_stats(ds, terms: list[str], text_col: str = "text"
     terms = list(dict.fromkeys(terms))
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[text_col].fillna("").astype(str).str.split()
+        toks = _split_col(df, text_col)
         dl = toks.str.len().fillna(0).to_numpy(dtype="int64")
-        pres = _term_tf(df, terms, text_col, per_doc=False)
+        pres = _term_tf(df, terms, text_col, per_doc=False, split=toks)
         vc = pres["token"].value_counts()
         return pd.DataFrame(
             {"token": list(vc.index.astype(str)) + [""],
@@ -248,11 +261,11 @@ def bm25_topk(ds, terms: list[str], k: int = 20,
         df = df.reset_index(drop=True)
         empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                               "score": pd.Series([], dtype="int64")})
-        tf = _term_tf(df, wterms, text_col, per_doc=True)
+        words = _split_col(df, text_col)
+        tf = _term_tf(df, wterms, text_col, per_doc=True, split=words)
         if not len(tf):
             return empty
-        dl_all = (df[text_col].fillna("").astype(str).str.split()
-                  .str.len().fillna(0).to_numpy(dtype="int64"))
+        dl_all = words.str.len().fillna(0).to_numpy(dtype="int64")
         rows = tf["row"].to_numpy(dtype="int64")
         t_f = tf["tf"].to_numpy(dtype="int64")
         dl = dl_all[rows]

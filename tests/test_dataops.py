@@ -1789,3 +1789,30 @@ def test_bm25_hypothesis_vs_sql():
         assert got["score"].tolist() == want["score"].astype(int).tolist()
 
     run()
+
+
+def test_decontaminate_null_text_matches_oracle_semantics():
+    """NULL corpus/bench text behaves as empty string on both sides
+    (the oracle coalesces; bare astype(str) minted a 'None' gram)."""
+    import pyarrow as pa
+
+    from fluent_bit_ray.dataops import benchmark_ngram_hashes, decontaminate
+
+    def tbl(texts):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string())}))
+
+    # bench contains a null: its gram set must equal the empty-string
+    # doc's, NOT {'None'}
+    bh_null = benchmark_ngram_hashes(tbl([None]), ngram=5)
+    bh_empty = benchmark_ngram_hashes(tbl([""]), ngram=5)
+    assert bh_null.tolist() == bh_empty.tolist()
+
+    # a null corpus doc matches the empty-string bench gram, and a doc
+    # containing the word 'None' does NOT match a null bench doc's gram
+    out = decontaminate(tbl([None, "None", "clean words here"]),
+                        bh_null, ngram=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_hits"].tolist() == [1, 0, 0]
+    assert out["n_grams"].tolist() == [1, 1, 1]
